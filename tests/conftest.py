@@ -1,0 +1,101 @@
+"""
+Pytest configuration for slmsuite-tpu.
+
+Mirrors the reference test strategy (reference ``tests/conftest.py``):
+hardware-free by default via the simulated SLM + camera rig, with env-var
+opt-in for real devices. Compute runs on a **virtual 8-device CPU mesh**
+so that sharding/`shard_map` paths are exercised without TPU hardware;
+set ``SLMSUITE_TPU_TEST_PLATFORM=tpu`` to run on a real chip.
+"""
+
+import os
+
+# Configure XLA before jax import: 8 virtual host devices for mesh tests.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+if os.environ.get("SLMSUITE_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import logging  # noqa: E402
+import random  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import matplotlib  # noqa: E402
+
+matplotlib.use("Agg")  # never open windows in CI
+
+
+# --- Reproducibility: log and fix the session seed (ref conftest.py:58-86). ---
+
+SESSION_SEED = int(os.environ.get("SLMSUITE_TPU_TEST_SEED", "12345"))
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _seed_session():
+    random.seed(SESSION_SEED)
+    np.random.seed(SESSION_SEED)
+    logging.getLogger("slmsuite_tpu.tests").info("session seed = %d", SESSION_SEED)
+    yield
+
+
+@pytest.fixture()
+def rng():
+    """Fresh numpy Generator seeded from the session seed."""
+    return np.random.default_rng(SESSION_SEED)
+
+
+# --- Simulated hardware rig (ref conftest.py:91-298). -----------------------
+
+
+def _load_class(env_class, env_args, default_factory):
+    """Instantiate hardware from env vars, or fall back to simulated."""
+    import importlib
+    import json
+
+    class_path = os.environ.get(env_class)
+    if not class_path:
+        return default_factory()
+    module_name, _, class_name = class_path.rpartition(".")
+    cls = getattr(importlib.import_module(module_name), class_name)
+    kwargs = json.loads(os.environ.get(env_args, "{}"))
+    return cls(**kwargs)
+
+
+@pytest.fixture()
+def slm():
+    def default():
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        return SimulatedSLM(resolution=(128, 96), pitch_um=(8, 8), wav_um=0.78)
+
+    return _load_class("SLMSUITE_TEST_SLM_CLASS", "SLMSUITE_TEST_SLM_ARGS", default)
+
+
+@pytest.fixture()
+def camera(slm):
+    def default():
+        from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+
+        return SimulatedCamera(
+            slm,
+            resolution=(160, 120),
+            pitch_um=(5, 5),
+            basis="kxy",
+            M=np.array([[2.8e3, 0], [0, 2.8e3]]),
+            b=np.array([[80], [60]]),
+        )
+
+    return _load_class("SLMSUITE_TEST_CAMERA_CLASS", "SLMSUITE_TEST_CAMERA_ARGS", default)
+
+
+@pytest.fixture()
+def fourierslm(slm, camera):
+    from slmsuite_tpu.hardware.cameraslms import FourierSLM
+
+    return FourierSLM(camera, slm)

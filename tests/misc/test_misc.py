@@ -1,0 +1,77 @@
+"""Tests for slmsuite_tpu.misc (mirrors reference tests/misc)."""
+
+import numpy as np
+import pytest
+
+from slmsuite_tpu.misc import math as mmath
+from slmsuite_tpu.misc import files as mfiles
+
+
+class TestMath:
+    def test_types(self):
+        assert isinstance(1, mmath.INTEGER_TYPES)
+        assert isinstance(np.int32(1), mmath.INTEGER_TYPES)
+        assert isinstance(1.5, mmath.FLOAT_TYPES)
+        assert isinstance(np.float32(1.5), mmath.REAL_TYPES)
+        assert isinstance(1j, mmath.SCALAR_TYPES)
+        assert not isinstance(1j, mmath.REAL_TYPES)
+
+    def test_iseven(self):
+        assert mmath.iseven(2) and not mmath.iseven(3)
+
+
+class TestPaths:
+    def test_generate_and_latest(self, tmp_path):
+        p1 = mfiles.generate_path(str(tmp_path), "data", extension="h5")
+        open(p1, "w").close()
+        p2 = mfiles.generate_path(str(tmp_path), "data", extension="h5")
+        assert p1 != p2
+        assert p1.endswith("data_00000.h5")
+        assert p2.endswith("data_00001.h5")
+        open(p2, "w").close()
+        assert mfiles.latest_path(str(tmp_path), "data", extension="h5") == p2
+
+    def test_latest_none(self, tmp_path):
+        assert mfiles.latest_path(str(tmp_path), "nothing") is None
+
+    def test_dir_kind(self, tmp_path):
+        d = mfiles.generate_path(str(tmp_path), "run", kind="dir")
+        import os
+
+        assert os.path.isdir(d)
+
+    def test_path_count(self, tmp_path):
+        paths = mfiles.generate_path(str(tmp_path), "multi", extension="txt", path_count=3)
+        assert len(paths) == 3
+        assert paths[0] != paths[2]
+
+
+class TestH5:
+    def test_roundtrip(self, tmp_path):
+        data = {
+            "array": np.arange(12).reshape(3, 4),
+            "scalar": 3.5,
+            "string": "hello",
+            "none": None,
+            "nested": {"inner": np.ones((2, 2)), "name": "world"},
+        }
+        path = str(tmp_path / "test.h5")
+        mfiles.save_h5(path, data)
+        loaded = mfiles.load_h5(path)
+        assert np.array_equal(loaded["array"], data["array"])
+        assert loaded["scalar"] == 3.5
+        assert loaded["string"] == "hello"
+        assert loaded["none"] == False  # noqa: E712  (None stored as False)
+        assert np.array_equal(loaded["nested"]["inner"], np.ones((2, 2)))
+        assert loaded["nested"]["name"] == "world"
+
+    def test_string_array(self, tmp_path):
+        path = str(tmp_path / "strs.h5")
+        mfiles.save_h5(path, {"names": np.array(["a", "bc"])})
+        loaded = mfiles.load_h5(path)
+        assert list(loaded["names"]) == ["a", "bc"]
+
+    def test_staggered_raises(self, tmp_path):
+        path = str(tmp_path / "bad.h5")
+        with pytest.raises(ValueError):
+            mfiles.save_h5(path, {"bad": [np.zeros(2), np.zeros(3)]})
