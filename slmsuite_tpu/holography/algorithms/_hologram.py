@@ -1,0 +1,979 @@
+r"""
+DFT-based phase retrieval: the :class:`Hologram` class.
+
+TPU-native redesign of the reference's ``Hologram``
+(``slmsuite/holography/algorithms/_hologram.py``): the NumPy/CuPy backend
+switch, in-place ``out=`` arithmetic, and torch interop are replaced by
+
+- a pure scanned step function (:mod:`slmsuite_tpu.ops.engine`) jitted
+  with donated buffers for the fully-computational fast path,
+- jitted forward/backward halves for host-in-the-loop (camera feedback,
+  callbacks) optimization,
+- ``jax.grad`` + optax for conjugate-gradient optimization (replacing
+  the torch autograd path, ``_hologram.py:1664-1740``).
+
+The nearfield phase is carried in the *folded* (checkerboard) basis so the
+GS loop runs shift-free (see :mod:`slmsuite_tpu.ops.propagation`); all
+user-facing accessors unfold transparently.
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm.auto import tqdm
+
+from slmsuite_tpu.holography import analysis, toolbox
+from slmsuite_tpu.holography.algorithms._header import (
+    ALGORITHM_DEFAULTS,
+    ALGORITHM_INDEX,
+    FEEDBACK_OPTIONS,
+)
+from slmsuite_tpu.holography.algorithms._stats import _HologramStats
+from slmsuite_tpu.holography.toolbox import phase as tphase
+from slmsuite_tpu.misc.math import REAL_TYPES
+from slmsuite_tpu.ops import engine as _engine
+from slmsuite_tpu.ops import propagation as _prop
+from slmsuite_tpu.ops.weights import update_weights_generic
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=32)
+def _stepwise_backward(config):
+    """
+    Cached jitted constraint+backward for the host-in-the-loop path:
+    ``(farfield, weights, phase_ff, consts) -> psi``.
+    """
+
+    def backward(farfield, weights, phase_ff, consts):
+        kernel = consts.get("kernel") if config.has_kernel else None
+        constrained = weights * jnp.exp(1j * phase_ff)
+        if config.mraf:
+            constrained = jnp.where(consts["signal_mask"], constrained, farfield)
+            if config.mraf_factor:
+                constrained = jnp.where(
+                    consts["noise_mask"],
+                    consts["mraf_factor"] * constrained,
+                    constrained,
+                )
+            constrained = jnp.where(consts["zero_mask"], 0.0, constrained)
+        new_nearfield = _prop.farfield_to_nearfield(constrained)
+        return _prop.extract_folded_phase(
+            new_nearfield, tuple(config.slm_shape), kernel
+        )
+
+    return jax.jit(backward)
+
+
+class Hologram(_HologramStats):
+    r"""
+    Core DFT phase retrieval.
+
+    Attributes
+    ----------
+    slm_shape : (int, int)
+        Shape of the nearfield device (numpy ``(h, w)``).
+    shape : (int, int)
+        Shape of the computational farfield (padded; powers of 2 advised).
+    phase : numpy.ndarray
+        Nearfield phase (radians), shape :attr:`slm_shape`.
+    amp : float OR numpy.ndarray
+        Nearfield amplitude (normalized).
+    target, weights : numpy.ndarray
+        Farfield target amplitude (nan marks MRAF noise regions) and the
+        current optimization weights, shape :attr:`shape`.
+    amp_ff, phase_ff : numpy.ndarray OR None
+        Current farfield amplitude/phase.
+    flags : dict
+        Persistent optimization flags (see :meth:`optimize`).
+    stats : dict
+        Per-iteration statistics in the reference schema.
+    """
+
+    def __init__(
+        self,
+        target,
+        amp=None,
+        phase=None,
+        slm_shape=None,
+        dtype=np.float32,
+        propagation_kernel=None,
+        **kwargs,
+    ):
+        """
+        Initialize the hologram. Parity: reference ``_hologram.py:196-439``.
+
+        Parameters
+        ----------
+        target : array_like OR (int, int) OR None
+            Target farfield **amplitude** (or a shape for an empty target).
+        amp : array_like OR None
+            Nearfield amplitude (normalized internally); uniform if ``None``.
+        phase : array_like OR None
+            Initial nearfield phase (random if ``None``).
+        slm_shape : (int, int) OR SLM OR FourierSLM OR None
+            Nearfield shape (or hardware to infer it, along with ``amp``).
+        dtype : type
+            float32 (default) or float64.
+        propagation_kernel : array_like OR None
+            Nearfield phase kernel baked into propagation (multiplane /
+            aberration-space holograms).
+        **kwargs :
+            Initial :attr:`flags`.
+        """
+        # Infer slm_shape from hardware-like objects.
+        amp_from_slm = None
+        if slm_shape is not None and hasattr(slm_shape, "slm"):
+            slm_shape = slm_shape.slm
+        if slm_shape is not None and hasattr(slm_shape, "shape") and hasattr(slm_shape, "grid"):
+            slm_obj = slm_shape
+            slm_shape = tuple(slm_obj.shape)
+            source_amp = slm_obj.source.get("amplitude", None) if hasattr(slm_obj, "source") else None
+            if amp is None and source_amp is not None:
+                amp_from_slm = np.asarray(source_amp)
+        elif slm_shape is not None:
+            slm_shape = tuple(int(v) for v in np.ravel(slm_shape))
+
+        if amp is None and amp_from_slm is not None:
+            amp = amp_from_slm
+
+        # Resolve shapes.
+        candidates = []
+        if amp is not None and not np.isscalar(amp):
+            candidates.append(tuple(np.shape(amp)))
+        if phase is not None:
+            candidates.append(tuple(np.shape(phase)))
+        if slm_shape is not None:
+            candidates.append(tuple(slm_shape))
+        if candidates:
+            if len(set(candidates)) > 1:
+                raise ValueError(
+                    f"Inconsistent shapes among amp/phase/slm_shape: {candidates}"
+                )
+            self.slm_shape = candidates[0]
+        else:
+            self.slm_shape = None
+
+        # Parse target into the computational shape.
+        if target is None:
+            if self.slm_shape is None:
+                raise ValueError("SLM shape must be provided when target is None.")
+            self.shape = tuple(self.slm_shape)
+            target_array = None
+            self._has_target = False
+        elif np.ndim(target) <= 1 and len(target) == 2:
+            self.shape = tuple(int(v) for v in target)
+            target_array = None
+            self._has_target = True
+        elif np.ndim(target) == 2:
+            self.shape = tuple(np.shape(target))
+            target_array = target
+            self._has_target = True
+        else:
+            raise ValueError(f"Unexpected target {np.shape(target)}.")
+
+        if self._has_target and any(
+            np.log2(self.shape) != np.round(np.log2(self.shape))
+        ) and not hasattr(self, "holograms"):
+            warnings.warn(
+                f"Hologram target shape {self.shape} is not a power of 2; consider "
+                "using .get_padded_shape() for faster FFTs."
+            )
+
+        if self.slm_shape is None:
+            self.slm_shape = self.shape
+
+        # Data types.
+        if np.dtype(dtype).itemsize == 4:
+            self.dtype = np.float32
+            self.dtype_complex = np.complex64
+        elif np.dtype(dtype).itemsize == 8:
+            self.dtype = np.float64
+            self.dtype_complex = np.complex128
+        else:
+            raise ValueError(f"Data type {dtype} not supported.")
+
+        # Nearfield amplitude (normalized).
+        if amp is None:
+            self.amp = 1 / np.sqrt(np.prod(self.slm_shape))
+        else:
+            amp = np.asarray(amp, dtype=self.dtype)
+            self.amp = amp / Hologram._norm(amp)
+
+        # Propagation kernel.
+        if propagation_kernel is None or isinstance(propagation_kernel, REAL_TYPES):
+            self.propagation_kernel = None
+        else:
+            self.propagation_kernel = np.asarray(propagation_kernel, dtype=self.dtype)
+            if self.propagation_kernel.shape != tuple(self.slm_shape):
+                raise ValueError("propagation_kernel must match slm_shape.")
+
+        self.flags = dict(kwargs)
+
+        # Target, phase, and the rest of the state.
+        self.target = None
+        self._set_target(target_array, reset_weights=False)
+
+        self._psi = None  # folded nearfield phase
+        self.reset_phase(phase)
+        self.reset(reset_phase=False, reset_flags=False)
+
+    # ------------------------------------------------------------------
+    # Phase fold bookkeeping.
+    # ------------------------------------------------------------------
+
+    @property
+    def phase(self):
+        """Nearfield phase in the user (unfolded) convention."""
+        if self._psi is None:
+            return None
+        return _prop.unfold_phase(self._psi, self.shape)
+
+    @phase.setter
+    def phase(self, value):
+        if value is None:
+            self._psi = None
+        else:
+            self._psi = _prop.fold_phase(
+                np.asarray(value, dtype=self.dtype), self.shape
+            )
+
+    def _unfold_ff_phase(self, theta_folded):
+        """Folded-layout farfield phase -> true centered farfield phase."""
+        H, W = self.shape
+        iy, ix = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        offset = np.pi * ((iy + ix) % 2)
+        if _prop.farfield_sign(self.shape) < 0:
+            offset = offset + np.pi
+        return np.mod(theta_folded + offset + np.pi, 2 * np.pi) - np.pi
+
+    # ------------------------------------------------------------------
+    # Reset / target management (ref :442-614, :760-787).
+    # ------------------------------------------------------------------
+
+    def reset(self, reset_phase=True, reset_flags=False):
+        """Reset the hologram to an initial state (ref ``:442-500``)."""
+        if self._psi is None or reset_phase:
+            self.reset_phase()
+        self.reset_weights()
+
+        self.iter = 0
+        self.stats = {"method": [], "flags": {}, "stats": {}}
+        if reset_flags:
+            self.flags = {"method": ""}
+
+        self.amp_ff = None
+        self._phase_ff_folded = None
+        self._farfield_folded = None
+        self._final_fixed_phase = False
+
+    def reset_phase(self, custom_phase=None, random_phase=None, quadratic_phase=None):
+        r"""
+        Reset :attr:`phase` to ``custom_phase``, or to (scaled) random phase
+        plus an optional analytic quadratic precondition (ref ``:536-601``).
+        """
+        if custom_phase is not None:
+            custom_phase = np.asarray(custom_phase, dtype=self.dtype)
+            if tuple(custom_phase.shape) != tuple(self.slm_shape):
+                raise ValueError(
+                    f"Reset phase of shape {custom_phase.shape} is not slm_shape {self.slm_shape}"
+                )
+            self.phase = custom_phase
+            return
+
+        if quadratic_phase is None:
+            quadratic_phase = self.flags.get("quadratic_phase", False)
+        if random_phase is None:
+            random_phase = self.flags.get("random_phase", 1)
+
+        phase = np.zeros(self.slm_shape, dtype=self.dtype)
+        if quadratic_phase:
+            phase += self._get_quadratic_initial_phase(quadratic_phase)
+        if random_phase:
+            phase += random_phase * np.random.uniform(
+                -np.pi, np.pi, self.slm_shape
+            ).astype(self.dtype)
+        self.phase = phase
+
+    def reset_weights(self):
+        """Reset weights to the target (MRAF noise regions zeroed)."""
+        if self.target is not None:
+            self.weights = np.nan_to_num(self.target.copy(), nan=0)
+        else:
+            self.weights = None
+
+    def _set_target(self, new_target, reset_weights=False):
+        if new_target is None:
+            self.target = np.zeros(self.shape, dtype=self.dtype)
+        else:
+            new_target = np.abs(np.asarray(new_target, dtype=self.dtype))
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                self.target = new_target / Hologram._norm(new_target)
+        if reset_weights:
+            self.reset_weights()
+
+    def set_target(self, new_target, reset_weights=False):
+        """Change the target (cleans and normalizes). Ref ``:772-787``."""
+        self._set_target(new_target=new_target, reset_weights=reset_weights)
+
+    def set_weights(self, new_weights):
+        """Set the weights to a new array of the target's shape."""
+        new_weights = np.asarray(new_weights, dtype=self.dtype)
+        if new_weights.shape != self.target.shape:
+            raise ValueError(
+                f"New weights {new_weights.shape} do not match target {self.target.shape}"
+            )
+        self.weights = new_weights
+
+    def get_weights(self):
+        """Current weights (numpy)."""
+        return np.asarray(self.weights)
+
+    # ------------------------------------------------------------------
+    # Accessors (ref :787-931).
+    # ------------------------------------------------------------------
+
+    def get_phase(self, include_propagation=False):
+        r"""
+        Current nearfield phase shifted to :math:`[0, 2\pi)`-friendly form
+        (+pi), or with the propagation kernel included. Ref ``:787-813``.
+        """
+        if include_propagation and self.propagation_kernel is not None:
+            return self.phase + self.propagation_kernel
+        return self.phase + np.pi
+
+    def get_amp(self):
+        """Nearfield amplitude (scalar or numpy array)."""
+        return self.amp
+
+    def get_amp_ff(self):
+        """Current farfield amplitude (numpy or None)."""
+        return None if self.amp_ff is None else np.asarray(self.amp_ff)
+
+    @property
+    def phase_ff(self):
+        """Current farfield phase (true centered convention) or None."""
+        if self._phase_ff_folded is None:
+            return None
+        return self._unfold_ff_phase(np.asarray(self._phase_ff_folded))
+
+    @phase_ff.setter
+    def phase_ff(self, value):
+        if value is None:
+            self._phase_ff_folded = None
+        else:
+            # Invert the unfold (same checkerboard both ways).
+            self._phase_ff_folded = self._unfold_ff_phase(np.asarray(value))
+
+    @property
+    def farfield(self):
+        """Current complex farfield (true centered convention) or None."""
+        if self._farfield_folded is None:
+            return None
+        if isinstance(self._farfield_folded, np.ndarray):
+            return _prop.unfold_farfield(self._farfield_folded)
+        return _prop.to_numpy_complex(
+            _prop.unfold_farfield_device(self._farfield_folded)
+        )
+
+    def get_farfield(self, shape=None, propagation_kernel=None, affine=None, get=True):
+        r"""
+        Compute the complex farfield from the current phase/amp, optionally
+        at a different ``shape`` or through an ``affine`` transform.
+        Ref ``:853-931``.
+        """
+        if shape is None:
+            shape = self.shape
+        shape = tuple(int(v) for v in shape)
+
+        if propagation_kernel is None:
+            propagation_kernel = self.propagation_kernel
+        if isinstance(propagation_kernel, REAL_TYPES) and propagation_kernel == 0:
+            propagation_kernel = None
+
+        psi = _prop.fold_phase(self.phase, shape)
+        kernel = (
+            None
+            if propagation_kernel is None
+            else jnp.asarray(propagation_kernel, dtype=jnp.float32)
+        )
+        amp = self.amp if np.isscalar(self.amp) else jnp.asarray(self.amp)
+        farfield = _prop.to_numpy_complex(
+            _prop.compute_farfield(
+                jnp.asarray(psi), amp, shape, tuple(self.slm_shape), kernel
+            )
+        )
+
+        if shape == tuple(self.shape):
+            self.amp_ff = np.abs(farfield)
+
+        if affine is not None:
+            from scipy.ndimage import affine_transform
+
+            farfield = affine_transform(
+                input=farfield,
+                matrix=affine["M"],
+                offset=np.ravel(affine["b"]),
+                output_shape=shape,
+                order=3,
+                mode="constant",
+                cval=0,
+            )
+        return farfield
+
+    def _populate_results(self):
+        """Populate farfield/amp_ff/phase_ff from the current phase/amp."""
+        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        amp = (
+            jnp.float32(self.amp)
+            if np.isscalar(self.amp)
+            else jnp.asarray(self.amp, dtype=jnp.float32)
+        )
+        kernel = (
+            None
+            if self.propagation_kernel is None
+            else jnp.asarray(self.propagation_kernel, dtype=jnp.float32)
+        )
+        folded, amp_ff, theta = _prop.forward_fields(psi, amp, tuple(self.shape), kernel)
+        self._farfield_folded = folded  # device array; complex stays on device
+        self.amp_ff = np.asarray(amp_ff)
+        self._phase_ff_folded = np.asarray(theta)
+
+    # ------------------------------------------------------------------
+    # Padded shape helper (ref :616-738).
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def get_padded_shape(
+        slm_shape,
+        padding_order=1,
+        square_padding=True,
+        precision=np.inf,
+        precision_basis="kxy",
+    ):
+        """
+        Computational-shape helper: pad ``slm_shape`` to the
+        ``padding_order``-th larger power of 2 (squared by default), or to
+        achieve a target k-space ``precision``. Ref ``:616-725``.
+        """
+        cameraslm = None
+        if hasattr(slm_shape, "slm") and hasattr(slm_shape, "cam"):
+            cameraslm = slm_shape
+            slm_shape = cameraslm.slm.shape
+        elif hasattr(slm_shape, "shape") and hasattr(slm_shape, "grid"):
+            slm_obj = slm_shape
+            slm_shape = slm_obj.shape
+            if precision_basis == "ij" and np.isfinite(precision):
+                raise ValueError("Pass a CameraSLM for 'ij' precision_basis.")
+            cameraslm = type("_Fake", (), {"slm": slm_obj})()
+
+        slm_shape = tuple(int(v) for v in slm_shape)
+
+        if np.isfinite(precision) and cameraslm is not None:
+            if precision <= 0:
+                raise ValueError("precision must be positive.")
+            dpixel = np.amin(cameraslm.slm.pitch)
+            fs = 1 / dpixel
+            if precision_basis == "ij":
+                slm_range = np.amax(cameraslm.kxyslm_to_ijcam([fs, fs]))
+                pixels = slm_range / precision
+            else:
+                pixels = fs / precision
+            pixels = int(2 ** int(np.ceil(np.log2(pixels))))
+            precision_shape = (pixels, pixels)
+        elif np.isfinite(precision):
+            raise ValueError("Pass a CameraSLM/SLM for precision calculations.")
+        else:
+            precision_shape = slm_shape
+
+        if padding_order > 0:
+            padding_shape = np.power(
+                2, np.ceil(np.log2(slm_shape)) + padding_order - 1
+            ).astype(int)
+        else:
+            padding_shape = slm_shape
+
+        shape = tuple(np.amax(np.vstack((precision_shape, padding_shape)), axis=0))
+        if square_padding:
+            largest = int(np.amax(shape))
+            shape = (largest, largest)
+        return shape
+
+    # ------------------------------------------------------------------
+    # Initialization helpers (ref :501-536).
+    # ------------------------------------------------------------------
+
+    def _get_target_moments_knm_norm(self):
+        """First/second moments of the target in normalized knm space."""
+        target = np.nan_to_num(np.asarray(self.target))
+        center_knm = analysis.image_positions(target, nansum=True)
+        std_knm = np.sqrt(
+            analysis.image_variances(target, centers=center_knm, nansum=True)[:2, 0]
+        )
+        shape = np.flip(self.shape).astype(float)
+        return np.squeeze(center_knm) / shape, np.squeeze(std_knm) / shape
+
+    def _get_quadratic_initial_phase(self, scaling=1):
+        """Analytic blaze+lens guess that overlaps the target (ref :501-530)."""
+        amp = self.amp
+        if np.isscalar(amp):
+            amp = np.ones(self.slm_shape)
+        std_amp = np.sqrt(analysis.image_variances(np.asarray(amp))[:2, 0])
+        slm_shape = np.flip(self.slm_shape).astype(float)
+        std_amp = std_amp / slm_shape
+
+        center_knm_norm, std_knm_norm = self._get_target_moments_knm_norm()
+
+        grid = analysis._generate_grid(self.slm_shape[1], self.slm_shape[0], centered=True)
+        grid = [
+            grid[0].astype(self.dtype) / self.slm_shape[1],
+            grid[1].astype(self.dtype) / self.slm_shape[0],
+        ]
+        return (
+            tphase.blaze(grid, slm_shape * center_knm_norm)
+            + tphase.lens(
+                grid, np.reciprocal(scaling * slm_shape * std_knm_norm / std_amp)
+            )
+        ).astype(self.dtype)
+
+    # ------------------------------------------------------------------
+    # Optimization (ref :1076-1424).
+    # ------------------------------------------------------------------
+
+    def optimize(
+        self,
+        method="GS",
+        maxiter=20,
+        verbose=True,
+        callback=None,
+        feedback=None,
+        stat_groups=[],
+        **kwargs,
+    ):
+        r"""
+        Iterative phase retrieval: ``"GS"``, weighted variants
+        (``"WGS-Leonardo"``, ``"WGS-Kim"``, ``"WGS-Nogrette"``, ``"WGS-Wu"``,
+        ``"WGS-tanh"``), or gradient optimization ``"CG"``.
+
+        MRAF noise regions are marked by nan in :attr:`target`; the
+        ``"mraf_factor"`` flag attenuates them.
+
+        Parameters follow the reference exactly (``_hologram.py:1076-1368``):
+        ``method``, ``maxiter``, ``verbose``, ``callback`` (return True to
+        stop), ``feedback`` and ``stat_groups`` (see
+        :data:`~slmsuite_tpu.holography.algorithms.FEEDBACK_OPTIONS`), and
+        method-specific ``**kwargs`` persisted into :attr:`flags`
+        (``feedback_exponent``, ``feedback_factor``,
+        ``fix_phase_iteration``, ``fix_phase_efficiency``, ``mraf_factor``,
+        ...).
+        """
+        name = kwargs.pop("name", None)
+        self._update_flags(method, verbose, feedback, stat_groups, **kwargs)
+
+        if "GS" in method:
+            self.optimize_gs(maxiter, callback, verbose=verbose, name=name)
+        elif "CG" in method:
+            iterations = range(maxiter)
+            if verbose and maxiter > 1:
+                iterations = tqdm(iterations, desc=name)
+            self.optimize_cg(iterations, callback)
+        else:
+            raise ValueError(f"Unsupported optimization method '{method}'")
+
+    def _update_flags(self, method, verbose, feedback, stat_groups, **kwargs):
+        """Merge method defaults + kwargs into :attr:`flags` (ref :1370-1424)."""
+        if method not in ALGORITHM_DEFAULTS:
+            raise ValueError(
+                f"Unrecognized method '{method}'. Valid: {list(ALGORITHM_DEFAULTS)}"
+            )
+        self.flags["method"] = method
+
+        for flag, value in ALGORITHM_DEFAULTS[method].items():
+            self.flags.setdefault(flag, value)
+        self.flags.setdefault("fixed_phase", False)
+
+        for flag in kwargs:
+            self.flags[flag] = kwargs[flag]
+
+        for group in stat_groups:
+            if group not in FEEDBACK_OPTIONS:
+                raise ValueError(
+                    f"Statistics group '{group}' invalid. Valid: {FEEDBACK_OPTIONS}"
+                )
+        self.flags["stat_groups"] = list(stat_groups)
+
+        if feedback is not None:
+            if feedback not in FEEDBACK_OPTIONS:
+                raise ValueError(
+                    f"Feedback '{feedback}' invalid. Valid: {FEEDBACK_OPTIONS}"
+                )
+            self.flags["feedback"] = feedback
+
+        if verbose > 1:
+            import pprint
+
+            print(f"Optimizing with '{method}' using flags:")
+            pprint.pprint(
+                {k: v for k, v in self.flags.items() if k in ALGORITHM_DEFAULTS[method]}
+            )
+
+    # --- Engine plumbing. ---
+
+    def _engine_feedback(self):
+        """The device feedback mode for the engine ('computational' here)."""
+        feedback = self.flags.get("feedback", "computational")
+        if feedback not in ("computational",):
+            raise ValueError(
+                f"Feedback '{feedback}' requires a FeedbackHologram/SpotHologram subclass."
+            )
+        return feedback
+
+    def _device_stat_groups(self):
+        """Stat groups the engine can compute on device."""
+        return tuple(
+            g
+            for g in self.flags.get("stat_groups", [])
+            if g in ("computational", "computational_spot")
+        )
+
+    def _mraf_enabled(self):
+        return bool(np.any(np.isnan(self.target))) if self.target is not None else False
+
+    def _build_config(self):
+        mraf = self._mraf_enabled()
+        return _engine.GSConfig(
+            method=self.flags["method"],
+            shape=tuple(self.shape),
+            slm_shape=tuple(self.slm_shape),
+            feedback=self._engine_feedback(),
+            stat_groups=self._device_stat_groups(),
+            mraf=mraf,
+            mraf_factor=mraf and self.flags.get("mraf_factor") is not None,
+            zero_factor=mraf and bool(self.flags.get("zero_factor", 0)),
+            has_kernel=self.propagation_kernel is not None,
+            kim_efficiency_trigger=(
+                "Kim" in self.flags["method"]
+                and self.flags.get("fix_phase_efficiency") is not None
+            ),
+            spot_count=getattr(self, "_spot_count", 0),
+            spot_window=getattr(self, "_spot_window", 0),
+            spot_single_px=getattr(self, "_spot_single_px", False),
+        )
+
+    def _build_consts(self, config):
+        target = np.asarray(self.target, dtype=np.float32)
+        consts = {
+            "amp": (
+                jnp.float32(self.amp)
+                if np.isscalar(self.amp)
+                else jnp.asarray(self.amp, dtype=jnp.float32)
+            ),
+            "target": jnp.asarray(target),
+            "stat_mask": jnp.asarray((target != 0) & ~np.isnan(target)),
+            "feedback_exponent": jnp.float32(self.flags.get("feedback_exponent", 0.8)),
+            "feedback_factor": jnp.float32(self.flags.get("feedback_factor", 0.1)),
+            "fix_phase_iteration": jnp.int32(self.flags.get("fix_phase_iteration", 10)),
+            "fix_phase_efficiency": jnp.float32(
+                self.flags.get("fix_phase_efficiency") or np.nan
+            ),
+        }
+        if config.has_kernel:
+            consts["kernel"] = jnp.asarray(self.propagation_kernel, dtype=jnp.float32)
+        if config.mraf:
+            noise = np.isnan(target)
+            zero = (~noise) & (target == 0)
+            consts["signal_mask"] = jnp.asarray(~(noise | zero))
+            consts["noise_mask"] = jnp.asarray(noise)
+            consts["zero_mask"] = jnp.asarray(zero)
+            consts["mraf_factor"] = jnp.float32(self.flags.get("mraf_factor") or 1.0)
+            consts["zero_factor"] = jnp.float32(self.flags.get("zero_factor", 0.0))
+        self._extend_consts(consts, config)
+        return consts
+
+    def _extend_consts(self, consts, config):
+        """Hook for subclasses (spot gather maps etc.)."""
+
+    def _build_state(self, config):
+        return _engine.GSState(
+            psi=jnp.asarray(self._psi, dtype=jnp.float32),
+            weights=jnp.asarray(
+                np.nan_to_num(np.asarray(self.weights, dtype=np.float32))
+            ),
+            phase_ff=(
+                jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
+                if self._phase_ff_folded is not None
+                else jnp.zeros(config.shape, dtype=jnp.float32)
+            ),
+            zero_weights=(
+                jnp.asarray(getattr(self, "zero_weights"), dtype=jnp.float32)
+                if config.zero_factor and hasattr(self, "zero_weights")
+                else (
+                    jnp.zeros((2,) + tuple(config.shape), dtype=jnp.float32)
+                    if config.zero_factor
+                    else jnp.zeros((2, 0, 0), dtype=jnp.float32)
+                )
+            ),
+            fixed_phase=jnp.asarray(bool(self.flags.get("fixed_phase", False))),
+            unfixed_streak=jnp.zeros((), dtype=jnp.int32),
+            iteration=jnp.asarray(self.iter, dtype=jnp.int32),
+        )
+
+    def _sync_from_state(self, state):
+        """Write device scan state back into the host-facing attributes."""
+        self._psi = np.asarray(state.psi)
+        self.weights = np.asarray(state.weights)
+        self._phase_ff_folded = np.asarray(state.phase_ff)
+        if state.zero_weights.size:
+            self.zero_weights = np.asarray(state.zero_weights)
+        self._final_fixed_phase = bool(state.fixed_phase)
+        self.iter = int(state.iteration)
+
+    def optimize_gs(self, maxiter, callback, verbose=True, name=None):
+        """
+        GS/WGS loop. Fully-computational runs use the scanned engine in
+        chunks (device-resident, stats accumulated on device); callback or
+        host-feedback runs fall back to a per-iteration jitted step.
+        """
+        if isinstance(maxiter, range):
+            maxiter = len(maxiter)
+
+        host_groups = self._stats_pending_groups()
+        feedback = self.flags.get("feedback", "computational")
+        host_loop = (
+            callback is not None
+            or bool(host_groups)
+            or feedback in ("experimental", "experimental_spot", "external_spot")
+        )
+        if (
+            self.flags.get("fix_phase_efficiency") is not None
+            and "Kim" in self.flags["method"]
+            and not self._device_stat_groups()
+            and not host_loop
+        ):
+            raise ValueError("Must track statistics to fix phase based on efficiency!")
+
+        config = self._build_config()
+        consts = self._build_consts(config)
+        state = self._build_state(config)
+        start_iter = self.iter
+
+        if not host_loop:
+            # Fast path: chunked scans (progress updates between chunks).
+            chunk = maxiter if not verbose else max(1, int(np.ceil(maxiter / 10)))
+            progress = (
+                tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
+            )
+            remaining = maxiter
+            all_stats = []
+            while remaining > 0:
+                n = min(chunk, remaining)
+                state, stats = _engine.run_gs(config, state, consts, n)
+                all_stats.append(stats)
+                remaining -= n
+                if progress is not None:
+                    progress.update(n)
+            if progress is not None:
+                progress.close()
+
+            self._sync_from_state(state)
+            if self._device_stat_groups():
+                self._record_scan_stats(np.concatenate(all_stats), start_iter)
+        else:
+            iterations = range(maxiter)
+            if verbose and maxiter > 1:
+                iterations = tqdm(iterations, desc=name)
+            for _ in iterations:
+                self._stepwise_iteration(config, consts, callback)
+                if self._break_requested:
+                    break
+
+        self._populate_results()
+
+    _break_requested = False
+
+    def _stepwise_iteration(self, config, consts, callback):
+        """
+        One host-paced GS iteration: jitted forward, host feedback/stats/
+        callback, jitted weights+constraint+backward.
+        """
+        self._break_requested = False
+
+        # Forward (jitted; complex farfield stays on device).
+        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        kernel = consts.get("kernel") if config.has_kernel else None
+        farfield, amp_ff, theta = _prop.forward_fields(
+            psi, consts["amp"], config.shape, kernel
+        )
+        self._farfield_folded = farfield
+        self.amp_ff = np.asarray(amp_ff)
+        self._midloop_cleaning()
+
+        # Callback + stats (host).
+        if callback is not None and callback(self):
+            self._break_requested = True
+            return
+        self._update_stats(self.flags["stat_groups"])
+
+        # Weights (possibly measuring hardware) — subclass hook.
+        was_not_fixed = not self.flags.get("fixed_phase", False)
+        if "WGS" in self.flags["method"] and self.iter > 0:
+            self._update_weights()
+            self._kim_decision_host()
+        # Save the phase while unfixed, including the fixing transition
+        # (ref `_hologram.py:1585-1605`).
+        if was_not_fixed or self._phase_ff_folded is None:
+            self._phase_ff_folded = np.asarray(theta)
+
+        # Constraint + backward on device (single jitted call).
+        weights = jnp.asarray(np.nan_to_num(np.asarray(self.weights, dtype=np.float32)))
+        backward = _stepwise_backward(config)
+        self._psi = np.asarray(
+            backward(
+                farfield,
+                weights,
+                jnp.asarray(self._phase_ff_folded, dtype=jnp.float32),
+                consts,
+            )
+        )
+        self.iter += 1
+
+    def _midloop_cleaning(self):
+        """Invalidate cached per-iteration data (subclass hook)."""
+
+    def _kim_decision_host(self):
+        """Host-side Kim phase-fixing decision (stepwise path). Ref :1556-1583."""
+        if "Kim" not in self.flags["method"]:
+            self.flags["fixed_phase"] = False
+            return
+
+        was_not_fixed = not self.flags.get("fixed_phase", False)
+
+        if self.flags.get("fix_phase_efficiency") is not None:
+            stats = self.stats["stats"]
+            if len(stats) == 0:
+                raise ValueError("Must track statistics to fix phase based on efficiency!")
+            group = list(stats.keys())[-1]
+            eff = stats[group]["efficiency"][self.iter]
+            if eff > self.flags["fix_phase_efficiency"]:
+                self.flags["fixed_phase"] = True
+
+        if was_not_fixed and self.iter >= self.flags.get("fix_phase_iteration", 10) - 1:
+            previous = self.stats["flags"].get("fixed_phase", [])
+            n = self.flags.get("fix_phase_iteration", 10)
+            if len(previous) >= n and all(
+                not bool(previous[-1 - i]) for i in range(n)
+            ):
+                self.flags["fixed_phase"] = True
+
+    def _update_weights(self):
+        """Computational weight update (subclasses add feedback modes)."""
+        if self.flags["feedback"] == "computational":
+            self.weights = np.asarray(
+                update_weights_generic(
+                    jnp.asarray(np.nan_to_num(self.weights)),
+                    jnp.asarray(self.amp_ff),
+                    jnp.asarray(self.target),
+                    self.flags["method"],
+                    self.flags.get("feedback_exponent", 0.8),
+                    self.flags.get("feedback_factor", 0.1),
+                )
+            )
+
+    # ------------------------------------------------------------------
+    # Conjugate gradient via jax.grad + optax (ref :1664-1740).
+    # ------------------------------------------------------------------
+
+    def optimize_cg(self, iterations, callback):
+        """
+        Gradient-based phase retrieval with ``jax.grad`` and an optax
+        optimizer (named by the ``"optimizer"`` flag; ``"optimizer_kwargs"``
+        passed through, ``lr`` accepted as an alias of ``learning_rate``).
+
+        The ``"loss"`` flag may be a callable ``loss(farfield, target) ->
+        scalar`` in jax terms; the default is the complex MSE of the
+        normalized farfield amplitude against the target.
+        """
+        import optax
+
+        loss = self.flags.get("loss")
+        if loss is None:
+            def loss(farfield, target):
+                amp_ff = jnp.abs(farfield)
+                amp_ff = amp_ff / jnp.sqrt(jnp.sum(jnp.square(amp_ff)))
+                return jnp.mean(jnp.square(amp_ff - jnp.nan_to_num(target)))
+
+        optimizer_name = str(self.flags.get("optimizer", "adam")).lower()
+        kwargs = dict(self.flags.get("optimizer_kwargs", {"learning_rate": 0.1}))
+        if "lr" in kwargs:
+            kwargs["learning_rate"] = kwargs.pop("lr")
+        optimizer = getattr(optax, optimizer_name)(**kwargs)
+
+        shape = tuple(self.shape)
+        slm_shape = tuple(self.slm_shape)
+        amp = (
+            jnp.float32(self.amp)
+            if np.isscalar(self.amp)
+            else jnp.asarray(self.amp, dtype=jnp.float32)
+        )
+        target = jnp.asarray(self.target, dtype=jnp.float32)
+        kernel = (
+            None
+            if self.propagation_kernel is None
+            else jnp.asarray(self.propagation_kernel, dtype=jnp.float32)
+        )
+
+        def loss_from_psi(psi):
+            nearfield = _prop.build_folded_nearfield(psi, amp, shape, kernel)
+            farfield = _prop.unfold_farfield(_prop.nearfield_to_farfield(nearfield))
+            return loss(farfield, target)
+
+        @jax.jit
+        def cg_step(psi, opt_state):
+            value, grads = jax.value_and_grad(loss_from_psi)(psi)
+            updates, opt_state = optimizer.update(grads, opt_state, psi)
+            return optax.apply_updates(psi, updates), opt_state, value
+
+        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        opt_state = optimizer.init(psi)
+
+        for _ in iterations:
+            psi, opt_state, value = cg_step(psi, opt_state)
+            self.flags["loss_result"] = float(value)
+            if hasattr(iterations, "set_description"):
+                iterations.set_description(f"loss={float(value):.3e}")
+            if callback is not None:
+                self._psi = np.asarray(psi)
+                if callback(self):
+                    break
+            if self.flags["stat_groups"]:
+                self._psi = np.asarray(psi)
+                self._populate_results()
+                self._update_stats(self.flags["stat_groups"])
+            self.iter += 1
+
+        self._psi = np.asarray(psi)
+        self._populate_results()
+
+    # ------------------------------------------------------------------
+    # Misc (ref :1979-2011).
+    # ------------------------------------------------------------------
+
+    def _remove_vortices(self):
+        """Remove farfield phase vortices where the target is positive."""
+        if self.phase_ff is not None:
+            cleaned = analysis.image_remove_vortices(
+                self.phase_ff.copy(), np.nan_to_num(self.target) > 0
+            )
+            self.phase_ff = cleaned
+
+    @staticmethod
+    def _norm(matrix):
+        r"""Root of sum of squares :math:`\sqrt{\iint |E|^2}`."""
+        matrix = np.asarray(matrix)
+        if np.iscomplexobj(matrix):
+            return np.sqrt(np.nansum(np.square(np.abs(matrix))))
+        return np.sqrt(np.nansum(np.square(matrix)))

@@ -1,0 +1,362 @@
+r"""
+The scanned Gerchberg-Saxton engine.
+
+The reference's hot loop (``_hologram.py:1427-1493``) mutates device
+arrays in place between two FFTs. Here the whole iteration is a pure step
+function over an immutable :class:`GSState` pytree, scanned with
+``lax.scan`` and jitted with donated buffers — XLA fuses every elementwise
+stage into the FFT prologue/epilogue, and per-iteration statistics are
+accumulated on device (fetched once per optimize call).
+
+Iteration structure (parity with ``optimize_gs``):
+
+    (A) folded nearfield -> farfield          (fft2, no shifts; see ops.propagation)
+    (B.2) device stats per stat group
+    (B.3) WGS weight update (iter > 0), Kim phase-fixing decision,
+          amplitude constraint (plain or MRAF-masked)
+    (C) farfield -> nearfield, folded phase extraction
+
+Static configuration (method, feedback mode, MRAF masks present, stats
+groups) selects the traced branch; numeric flags (exponents, factors,
+fix-phase thresholds) are dynamic scalars so tuning them never recompiles.
+"""
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slmsuite_tpu.ops.propagation import (
+    build_folded_nearfield,
+    extract_folded_phase,
+    farfield_to_nearfield,
+    nearfield_to_farfield,
+)
+from slmsuite_tpu.ops.stats import calculate_stats
+from slmsuite_tpu.ops.weights import update_weights_generic
+
+
+class GSState(NamedTuple):
+    """
+    Scan carry: everything that evolves across GS iterations.
+
+    All leaves are real-valued: some TPU runtimes cannot transfer complex
+    arrays to/from the host, so complex quantities live only inside the
+    jitted step (``zero_weights`` is carried as a (2, H, W) re/im pair).
+    """
+
+    psi: jnp.ndarray            # (Hs, Ws) folded nearfield phase
+    weights: jnp.ndarray        # (H, W) farfield weight amplitudes
+    phase_ff: jnp.ndarray       # (H, W) stored farfield phase (Kim)
+    zero_weights: jnp.ndarray   # (2, H, W) f32 re/im (zero_factor) or (2, 0, 0)
+    fixed_phase: jnp.ndarray    # bool scalar
+    unfixed_streak: jnp.ndarray  # int32: consecutive unfixed iterations
+    iteration: jnp.ndarray      # int32: global iteration counter
+
+
+@dataclasses.dataclass(frozen=True)
+class GSConfig:
+    """Static (trace-time) configuration of the engine."""
+
+    method: str
+    shape: tuple
+    slm_shape: tuple
+    feedback: str = "computational"  # computational | computational_spot | external_spot
+    stat_groups: tuple = ()
+    mraf: bool = False
+    mraf_factor: bool = False        # apply the noise-region attenuation factor
+    zero_factor: bool = False        # evolving zero-region weights
+    has_kernel: bool = False
+    kim_efficiency_trigger: bool = False
+    nan_checks: bool = True
+    spot_count: int = 0
+    spot_window: int = 0             # integration width for *_spot feedback
+    spot_single_px: bool = False     # stats skip integration (shape == slm_shape)
+
+    @property
+    def is_wgs(self):
+        return self.method.startswith("WGS")
+
+    @property
+    def is_kim(self):
+        return "Kim" in self.method
+
+
+def _spot_feedback_amp(amp_ff_sq, consts):
+    """
+    Integrated power around each spot -> feedback amplitudes (N,).
+    ``consts["spot_flat_idx"]`` is a precomputed (N, D*D) gather map into
+    the raveled farfield plane (the jit analog of ``analysis.take``).
+    """
+    gathered = jnp.take(amp_ff_sq.ravel(), consts["spot_flat_idx"], axis=0)
+    return jnp.sqrt(jnp.sum(gathered, axis=-1))
+
+
+def _compute_group_stats(group, config, consts, amp_ff, spot_feedback):
+    """Length-4 stats vector for one stat group (device-side)."""
+    if group == "computational":
+        return calculate_stats(
+            amp_ff,
+            consts["target"],
+            mask=consts["stat_mask"],
+            efficiency_compensation=False,
+        )
+    if group == "computational_spot":
+        total = jnp.sum(jnp.square(amp_ff))
+        if config.spot_single_px:
+            # Spot size is one pixel wide: no integration (ref :1632-1641).
+            feedback = amp_ff.ravel()[consts["spot_center_idx"]]
+        else:
+            feedback = spot_feedback
+        return calculate_stats(
+            feedback,
+            consts["spot_amp"],
+            mask=consts["spot_amp"] != 0,
+            efficiency_compensation=False,
+            total=total,
+        )
+    # Experimental groups are host-side; filled with nan on device.
+    return jnp.full((4,), jnp.nan, dtype=jnp.float32)
+
+
+def make_gs_step(config: GSConfig):
+    """
+    Build the pure per-iteration step function
+    ``step(state, consts) -> (state, stats (n_groups+1, 4))``.
+
+    The extra trailing stats row always carries
+    ``[efficiency(computational), fixed_phase, 0, 0]`` for internal use
+    (Kim efficiency trigger and flag history).
+    """
+    needs_spot_feedback = (
+        config.feedback == "computational_spot"
+        or "computational_spot" in config.stat_groups
+    )
+
+    def step(state, consts):
+        # --- (A) Nearfield -> farfield. ---
+        kernel = consts.get("kernel") if config.has_kernel else None
+        nearfield = build_folded_nearfield(
+            state.psi, consts["amp"], config.shape, kernel
+        )
+        farfield = nearfield_to_farfield(nearfield)
+        amp_ff = jnp.abs(farfield)
+        theta = jnp.arctan2(farfield.imag, farfield.real)
+
+        spot_feedback = (
+            _spot_feedback_amp(jnp.square(amp_ff), consts)
+            if needs_spot_feedback
+            else None
+        )
+
+        # --- (B.2) Stats. ---
+        stats_rows = [
+            _compute_group_stats(group, config, consts, amp_ff, spot_feedback)
+            for group in config.stat_groups
+        ]
+
+        # --- (B.3) Weights + Kim decision. ---
+        weights = state.weights
+        if config.is_wgs:
+            if config.feedback == "computational":
+                updated = update_weights_generic(
+                    weights,
+                    amp_ff,
+                    consts["target"],
+                    config.method,
+                    consts["feedback_exponent"],
+                    consts["feedback_factor"],
+                    nan_checks=config.nan_checks,
+                )
+            elif config.feedback == "computational_spot":
+                # Weight feedback integrates around the *rounded* spot pixels
+                # (ref `_spots.py:1598-1624`); stats use the raw positions.
+                weight_feedback = jnp.sqrt(
+                    jnp.sum(
+                        jnp.take(
+                            jnp.square(amp_ff).ravel(),
+                            consts["spot_weight_flat_idx"],
+                            axis=0,
+                        ),
+                        axis=-1,
+                    )
+                )
+                spot_weights = weights.ravel()[consts["spot_center_idx"]]
+                new_spot_weights = update_weights_generic(
+                    spot_weights,
+                    weight_feedback,
+                    consts["spot_amp"],
+                    config.method,
+                    consts["feedback_exponent"],
+                    consts["feedback_factor"],
+                    nan_checks=config.nan_checks,
+                )
+                updated = (
+                    jnp.zeros_like(weights)
+                    .ravel()
+                    .at[consts["spot_center_idx"]]
+                    .set(new_spot_weights)
+                    .reshape(weights.shape)
+                )
+            else:
+                # External/experimental feedback: weights updated host-side
+                # between stepwise invocations.
+                updated = weights
+            weights = jnp.where(state.iteration > 0, updated, weights)
+
+        # Kim phase fixing.
+        was_not_fixed = jnp.logical_not(state.fixed_phase)
+        if config.is_kim:
+            fixed = state.fixed_phase
+            if config.kim_efficiency_trigger:
+                # Reference semantics: trigger on the last stat group's
+                # efficiency (`_hologram.py:1561-1570`); the wrapper
+                # guarantees stat_groups is non-empty in this mode.
+                efficiency = stats_rows[-1][0]
+                fixed = jnp.logical_or(
+                    fixed, efficiency > consts["fix_phase_efficiency"]
+                )
+            streak = jnp.where(was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak)
+            iter_trigger = jnp.logical_and(
+                jnp.logical_and(
+                    was_not_fixed,
+                    state.iteration >= consts["fix_phase_iteration"] - 1,
+                ),
+                streak >= consts["fix_phase_iteration"],
+            )
+            fixed = jnp.logical_or(fixed, iter_trigger)
+            # Applies only once WGS weighting starts (iter > 0), like the ref.
+            fixed = jnp.logical_and(fixed, state.iteration > 0)
+            phase_ff = jnp.where(was_not_fixed, theta, state.phase_ff)
+        else:
+            fixed = jnp.zeros((), dtype=bool)
+            streak = state.unfixed_streak
+            phase_ff = theta
+
+        # The constraint phase: current angle while unfixed (including the
+        # iteration that fixes), stored phase once fixed (ref :1589-1605).
+        constrained = weights * jnp.exp(1j * phase_ff)
+        if config.mraf:
+            new_farfield = jnp.where(consts["signal_mask"], constrained, farfield)
+            if config.mraf_factor:
+                new_farfield = jnp.where(
+                    consts["noise_mask"],
+                    consts["mraf_factor"] * new_farfield,
+                    new_farfield,
+                )
+            if config.zero_factor:
+                fz = jnp.where(consts["zero_mask"], farfield, 0.0)
+                zw_complex = (
+                    state.zero_weights[0] + 1j * state.zero_weights[1]
+                ).astype(jnp.complex64)
+                zw_complex = zw_complex - consts["zero_factor"] * jnp.abs(fz) * fz
+                zero_weights = jnp.stack([zw_complex.real, zw_complex.imag])
+                new_farfield = jnp.where(consts["zero_mask"], zw_complex, new_farfield)
+            else:
+                zero_weights = state.zero_weights
+                new_farfield = jnp.where(consts["zero_mask"], 0.0, new_farfield)
+        else:
+            new_farfield = constrained
+            zero_weights = state.zero_weights
+
+        # --- (C) Farfield -> nearfield. ---
+        new_nearfield = farfield_to_nearfield(new_farfield)
+        psi = extract_folded_phase(new_nearfield, config.slm_shape, kernel)
+
+        new_state = GSState(
+            psi=psi,
+            weights=weights,
+            phase_ff=phase_ff,
+            zero_weights=zero_weights,
+            fixed_phase=fixed,
+            unfixed_streak=streak,
+            iteration=state.iteration + 1,
+        )
+
+        # Internal row: current computational efficiency + flag history.
+        internal = jnp.stack(
+            [
+                stats_rows[-1][0] if stats_rows else jnp.float32(jnp.nan),
+                state.fixed_phase.astype(jnp.float32),
+                jnp.float32(0),
+                jnp.float32(0),
+            ]
+        )
+        stats = jnp.stack(stats_rows + [internal])
+        return new_state, stats
+
+    return step
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_run(config: GSConfig, n_iterations: int):
+    """Compile ``scan(step, state, length=n)`` with donated state."""
+    step = make_gs_step(config)
+
+    def run(state, consts):
+        def body(carry, _):
+            return step(carry, consts)
+
+        return jax.lax.scan(body, state, None, length=n_iterations)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def run_gs(config: GSConfig, state: GSState, consts: dict, n_iterations: int):
+    """
+    Run ``n_iterations`` of GS/WGS on device.
+
+    Returns ``(state, stats)`` where stats has shape
+    ``(n_iterations, len(stat_groups) + 1, 4)``.
+    """
+    return _compiled_run(config, int(n_iterations))(state, consts)
+
+
+def init_gs_state(config: GSConfig, psi, weights, phase_ff=None):
+    """Fresh scan state from initial folded phase and weights."""
+    return GSState(
+        psi=jnp.asarray(psi, dtype=jnp.float32),
+        weights=jnp.asarray(weights, dtype=jnp.float32),
+        phase_ff=(
+            jnp.zeros(config.shape, dtype=jnp.float32)
+            if phase_ff is None
+            else jnp.asarray(phase_ff, dtype=jnp.float32)
+        ),
+        zero_weights=(
+            jnp.zeros((2,) + tuple(config.shape), dtype=jnp.float32)
+            if config.zero_factor
+            else jnp.zeros((2, 0, 0), dtype=jnp.float32)
+        ),
+        fixed_phase=jnp.zeros((), dtype=bool),
+        unfixed_streak=jnp.zeros((), dtype=jnp.int32),
+        iteration=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def spot_gather_indices(spot_ij, window, shape):
+    """
+    Precompute the (N, D*D) flat gather map for spot-integration feedback
+    and the (N,) spot-center flat indices.
+
+    Parameters
+    ----------
+    spot_ij : numpy.ndarray
+        (2, N) integer spot pixel coordinates (x; y) in the farfield plane.
+    window : int
+        Integration width D (centered).
+    shape : (int, int)
+        Farfield plane shape.
+    """
+    spot_ij = np.asarray(spot_ij, dtype=int)
+    edge = np.floor(np.arange(window) - ((window - 1) / 2)).astype(int)
+    ex, ey = np.meshgrid(edge, edge)
+
+    ix = np.clip(spot_ij[0][:, None] + ex.ravel()[None, :], 0, shape[1] - 1)
+    iy = np.clip(spot_ij[1][:, None] + ey.ravel()[None, :], 0, shape[0] - 1)
+
+    flat = (iy * shape[1] + ix).astype(np.int32)
+    center = (spot_ij[1] * shape[1] + spot_ij[0]).astype(np.int32)
+    return flat, center
