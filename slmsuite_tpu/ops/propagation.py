@@ -103,13 +103,20 @@ def build_folded_nearfield(psi, amp, shape, kernel=None):
 
 
 def nearfield_to_farfield(folded_nearfield):
-    """Forward propagation: orthonormal 2D FFT of the folded nearfield canvas."""
-    return jnp.fft.fft2(folded_nearfield, norm="ortho")
+    """
+    Forward propagation: orthonormal 2D FFT of the folded nearfield canvas
+    (MXU matmul-FFT on TPU; see :mod:`slmsuite_tpu.ops.fft`).
+    """
+    from slmsuite_tpu.ops import fft as _fft
+
+    return _fft.fft2(folded_nearfield, norm="ortho")
 
 
 def farfield_to_nearfield(farfield):
     """Inverse propagation: orthonormal 2D IFFT."""
-    return jnp.fft.ifft2(farfield, norm="ortho")
+    from slmsuite_tpu.ops import fft as _fft
+
+    return _fft.ifft2(farfield, norm="ortho")
 
 
 def extract_folded_phase(folded_nearfield, slm_shape, kernel=None):

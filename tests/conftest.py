@@ -67,12 +67,23 @@ def _load_class(env_class, env_args, default_factory):
     return cls(**kwargs)
 
 
+#: Ground-truth affine placement of the test camera in the SLM's k-space.
+RIG_M = np.array([[8.0e3, 200.0], [-200.0, 8.0e3]])
+RIG_B = np.array([[256.0], [256.0]])
+
+
 @pytest.fixture()
 def slm():
     def default():
         from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
 
-        return SimulatedSLM(resolution=(128, 96), pitch_um=(8, 8), wav_um=0.78)
+        slm = SimulatedSLM(resolution=(512, 512), pitch_um=(8, 8), wav_um=0.78)
+        # Gaussian source: physical PSFs that span camera pixels.
+        slm.set_source_analytic(
+            "gaussian2d", sim=True, x0=0, y0=0, a=1, c=0,
+            wx=0.35 * 512 * slm.pitch[0], wy=0.35 * 512 * slm.pitch[1],
+        )
+        return slm
 
     return _load_class("SLMSUITE_TEST_SLM_CLASS", "SLMSUITE_TEST_SLM_ARGS", default)
 
@@ -84,11 +95,10 @@ def camera(slm):
 
         return SimulatedCamera(
             slm,
-            resolution=(160, 120),
-            pitch_um=(5, 5),
-            basis="kxy",
-            M=np.array([[2.8e3, 0], [0, 2.8e3]]),
-            b=np.array([[80], [60]]),
+            resolution=(512, 512),
+            pitch_um=(5.5, 5.5),
+            M=RIG_M.copy(),
+            b=RIG_B.copy(),
         )
 
     return _load_class("SLMSUITE_TEST_CAMERA_CLASS", "SLMSUITE_TEST_CAMERA_ARGS", default)
@@ -98,4 +108,11 @@ def camera(slm):
 def fourierslm(slm, camera):
     from slmsuite_tpu.hardware.cameraslms import FourierSLM
 
+    camera.set_exposure(1.0)
     return FourierSLM(camera, slm)
+
+
+@pytest.fixture()
+def fourierslm_calibrated(fourierslm):
+    fourierslm.fourier_calibrate(array_shape=5, array_pitch=16, verbose=False)
+    return fourierslm

@@ -1,0 +1,143 @@
+"""
+Integration tests for FourierSLM calibration on the simulated rig
+(mirrors reference tests/hardware/test_cameraslm.py).
+"""
+
+import numpy as np
+import pytest
+
+from slmsuite_tpu.hardware.cameraslms import CameraSLM, FourierSLM, NearfieldSLM
+from tests.conftest import RIG_B, RIG_M
+
+
+class TestConstruction:
+    def test_basic(self, fourierslm):
+        assert fourierslm.cam is not None and fourierslm.slm is not None
+        assert fourierslm.calibrations == {}
+
+    def test_rejects_non_camera(self, slm):
+        with pytest.raises(ValueError, match="Camera"):
+            CameraSLM("not_a_camera", slm)
+
+    def test_rejects_non_slm(self, camera):
+        with pytest.raises(ValueError, match="SLM"):
+            CameraSLM(camera, "not_an_slm")
+
+    def test_nearfield_stub(self, camera, slm):
+        with pytest.raises(NotImplementedError):
+            NearfieldSLM(camera, slm)
+
+
+class TestFourierCalibration:
+    def test_recovers_truth(self, fourierslm_calibrated):
+        cal = fourierslm_calibrated.calibrations["fourier"]
+        assert np.allclose(cal["M"], RIG_M, rtol=0.05, atol=80)
+        assert np.allclose(cal["b"], RIG_B, atol=2)
+
+    def test_analytic(self, fourierslm):
+        M = np.array([[1.5e3, 10], [-5, 1.6e3]])
+        b = np.array([[10.0], [20.0]])
+        fourierslm.fourier_calibrate_analytic(M, b)
+        cal = fourierslm.calibrations["fourier"]
+        assert np.allclose(cal["M"], M)
+        assert np.allclose(np.ravel(cal["b"]), [10, 20])
+
+    def test_nonpositive_pitch_raises(self, fourierslm):
+        with pytest.raises(ValueError):
+            fourierslm.fourier_calibrate(array_pitch=-1, array_shape=5)
+
+    def test_metadata(self, fourierslm_calibrated):
+        cal = fourierslm_calibrated.calibrations["fourier"]
+        assert "__version__" in cal
+
+
+class TestTransforms:
+    def test_roundtrip(self, fourierslm_calibrated):
+        kxy = np.array([[0.003, -0.002], [0.001, 0.0025]])
+        back = fourierslm_calibrated.ijcam_to_kxyslm(
+            fourierslm_calibrated.kxyslm_to_ijcam(kxy)
+        )
+        assert np.allclose(back, kxy, atol=1e-10)
+
+    def test_3d_roundtrip(self, fourierslm_calibrated):
+        kxyz = np.array([[0.003], [0.001], [0.05]])
+        back = fourierslm_calibrated.ijcam_to_kxyslm(
+            fourierslm_calibrated.kxyslm_to_ijcam(kxyz)
+        )
+        assert np.allclose(back, kxyz, rtol=1e-6)
+
+    def test_requires_calibration(self, fourierslm):
+        with pytest.raises(RuntimeError):
+            fourierslm.kxyslm_to_ijcam((0, 0))
+
+    def test_effective_focal_length(self, fourierslm_calibrated):
+        f_ij = fourierslm_calibrated.get_effective_focal_length("ij")
+        assert np.isclose(f_ij, np.sqrt(np.abs(np.linalg.det(RIG_M))), rtol=0.05)
+
+    def test_spot_size(self, fourierslm_calibrated):
+        size = fourierslm_calibrated.get_farfield_spot_size(basis="ij")
+        assert np.all(np.asarray(size) > 0)
+
+
+class TestClosedLoop:
+    def test_targeted_spot_lands(self, fourierslm_calibrated):
+        """Request a camera-pixel target through the calibration; check it lands."""
+        from slmsuite_tpu.holography.algorithms import SpotHologram
+
+        fs = fourierslm_calibrated
+        target_ij = np.array([[330.0], [210.0]])
+        holo = SpotHologram(
+            SpotHologram.get_padded_shape(fs), target_ij, basis="ij", cameraslm=fs
+        )
+        holo.optimize("WGS-Leonardo", maxiter=15, verbose=False)
+        fs.slm.set_phase(holo.get_phase(), phase_correct=False)
+        img = fs.cam.get_image()
+        peak = np.unravel_index(np.argmax(img), img.shape)
+        assert abs(peak[1] - 330) <= 3
+        assert abs(peak[0] - 210) <= 3
+
+
+class TestSimulateClone:
+    def test_simulate(self, fourierslm_calibrated):
+        sim = fourierslm_calibrated.simulate()
+        assert isinstance(sim, FourierSLM)
+        assert "fourier" in sim.calibrations
+        # Clone's camera reproduces the rig geometry.
+        sim.slm.set_phase(None)
+        img = sim.cam.get_image()
+        peak = np.unravel_index(np.argmax(img), img.shape)
+        b = np.ravel(fourierslm_calibrated.calibrations["fourier"]["b"])
+        assert abs(peak[1] - b[0]) <= 3 and abs(peak[0] - b[1]) <= 3
+
+    def test_simulate_requires_calibration(self, fourierslm):
+        with pytest.raises(ValueError):
+            fourierslm.simulate()
+
+
+class TestCalibrationIO:
+    def test_save_load_roundtrip(self, fourierslm_calibrated, tmp_path):
+        fs = fourierslm_calibrated
+        path = fs.save_calibration("fourier", str(tmp_path))
+        M = fs.calibrations["fourier"]["M"].copy()
+        fs.calibrations = {}
+        fs.load_calibration("fourier", path)
+        assert np.allclose(fs.calibrations["fourier"]["M"], M)
+
+    def test_save_unknown_raises(self, fourierslm):
+        with pytest.raises(ValueError):
+            fourierslm.save_calibration("bogus")
+
+    def test_rig_save_load(self, fourierslm_calibrated, tmp_path):
+        fs = fourierslm_calibrated
+        path = fs.save(str(tmp_path))
+        loaded = FourierSLM.load(path)
+        assert loaded.slm.shape == fs.slm.shape
+        assert loaded.cam.shape == fs.cam.shape
+
+
+@pytest.mark.slow
+class TestSettleCalibration:
+    def test_settle(self, fourierslm_calibrated):
+        fs = fourierslm_calibrated
+        cal = fs.settle_calibrate(times=5, settle_time_s=0)
+        assert "data" in cal
