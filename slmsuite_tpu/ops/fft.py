@@ -88,9 +88,27 @@ def _plan(n, inverse):
     return n1, n2, w1, tw, w2
 
 
+#: Matmul precision for the FFT stages. HIGHEST = full f32 (6 bf16
+#: passes, default); HIGH = 3 passes (~f24 mantissa) measured only
+#: marginally faster on bandwidth-limited hardware and ~100x less
+#: accurate. Settable via :meth:`set_fft_precision`.
+_PRECISION = "HIGHEST"
+
+
+def set_fft_precision(precision):
+    """Set the matmul-FFT precision: ``"HIGH"`` (default) or ``"HIGHEST"``."""
+    global _PRECISION
+    if precision not in ("HIGH", "HIGHEST", "DEFAULT"):
+        raise ValueError(f"Unknown precision '{precision}'.")
+    _PRECISION = precision
+
+
 def _cmatmul(ar, ai, br, bi, subscript):
-    """Complex einsum via four real f32 matmuls at HIGHEST precision."""
-    kwargs = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    """Complex einsum via four real f32 matmuls."""
+    kwargs = dict(
+        precision=getattr(jax.lax.Precision, _PRECISION),
+        preferred_element_type=jnp.float32,
+    )
     rr = jnp.einsum(subscript, ar, br, **kwargs)
     ri = jnp.einsum(subscript, ar, bi, **kwargs)
     ir = jnp.einsum(subscript, ai, br, **kwargs)

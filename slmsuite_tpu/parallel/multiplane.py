@@ -1,0 +1,213 @@
+r"""
+Batched / multiplane GS over a device mesh.
+
+The multiplane structure (reference ``_multiplane.py:255-279``) is the
+natural data-parallel axis of holography: ``B`` child holograms share one
+nearfield phase; each plane runs its own farfield constraint; the
+complex nearfields (with per-plane propagation kernels removed) are
+weight-summed back into the shared phase. On a mesh, planes shard over
+the ``"data"`` axis and the nearfield sum is a ``psum`` over ICI — the
+one real collective in the hot loop.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from slmsuite_tpu.ops.engine import GSConfig
+from slmsuite_tpu.ops.propagation import (
+    build_folded_nearfield,
+    farfield_to_nearfield,
+    nearfield_to_farfield,
+    pad_window_slices,
+)
+from slmsuite_tpu.ops.stats import calculate_stats
+from slmsuite_tpu.ops.weights import update_weights_generic
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchedGSConfig:
+    """Static configuration for a batched multiplane GS step."""
+
+    method: str
+    shape: tuple
+    slm_shape: tuple
+    n_planes: int
+    has_kernel: bool = True
+    stats: bool = True
+
+    @property
+    def is_wgs(self):
+        return self.method.startswith("WGS")
+
+
+def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
+    """
+    Build the per-iteration step for ``B`` planes sharing one phase:
+    ``step(psi, weights(B,H,W), consts) -> (psi', weights', stats(B,4))``.
+
+    When ``axis_name`` is given the step is written per-shard: the plane
+    axis holds only the local planes and the nearfield accumulation is
+    ``psum`` over ``axis_name``.
+    """
+    y0, y1, x0, x1 = pad_window_slices(config.shape, config.slm_shape)
+
+    def plane_forward(psi, kernel, amp):
+        nearfield = build_folded_nearfield(
+            psi, amp, config.shape, kernel if config.has_kernel else None
+        )
+        farfield = nearfield_to_farfield(nearfield)
+        return farfield
+
+    def plane_constrain(farfield, weights, target, feedback_exponent, feedback_factor, iteration):
+        amp_ff = jnp.abs(farfield)
+        theta = jnp.arctan2(farfield.imag, farfield.real)
+
+        if config.stats:
+            stats = calculate_stats(
+                amp_ff, target, mask=target != 0, efficiency_compensation=False
+            )
+        else:
+            stats = jnp.zeros((4,), jnp.float32)
+
+        if config.is_wgs:
+            updated = update_weights_generic(
+                weights, amp_ff, target, config.method, feedback_exponent, feedback_factor
+            )
+            weights = jnp.where(iteration > 0, updated, weights)
+
+        return weights * jnp.exp(1j * theta), weights, stats
+
+    def plane_backward(constrained, kernel, plane_weight):
+        nearfield = farfield_to_nearfield(constrained)
+        window = jax.lax.dynamic_slice(
+            nearfield, (y0, x0), tuple(config.slm_shape)
+        )
+        if config.has_kernel:
+            window = window * jnp.exp(-1j * kernel)
+        return plane_weight * window
+
+    def step(psi, weights, consts):
+        kernels = consts["kernels"]          # (B_local, Hs, Ws)
+        targets = consts["targets"]          # (B_local, H, W)
+        plane_weights = consts["plane_weights"]  # (B_local,)
+        iteration = consts["iteration"]
+
+        farfields = jax.vmap(lambda k: plane_forward(psi, k, consts["amp"]))(kernels)
+        constrained, weights, stats = jax.vmap(
+            lambda ff, w, t: plane_constrain(
+                ff, w, t, consts["feedback_exponent"], consts["feedback_factor"], iteration
+            )
+        )(farfields, weights, targets)
+
+        contributions = jax.vmap(plane_backward)(constrained, kernels, plane_weights)
+        combined = jnp.sum(contributions, axis=0)
+        if axis_name is not None:
+            combined = jax.lax.psum(combined, axis_name)
+
+        psi_new = jnp.arctan2(combined.imag, combined.real)
+        return psi_new, weights, stats
+
+    return step
+
+
+def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_name="data"):
+    """
+    Run ``n_iterations`` of the batched multiplane loop.
+
+    Single-device when ``mesh`` is ``None``; otherwise planes shard over
+    ``axis_name`` with the nearfield sum as a ``psum`` collective.
+
+    Returns ``(psi, weights, stats (n, B, 4))``.
+    """
+    if mesh is None:
+        step = make_batched_gs_step(config)
+
+        @jax.jit
+        def run(psi, weights, consts):
+            def body(carry, i):
+                psi, weights = carry
+                c = dict(consts, iteration=i)
+                psi, weights, stats = step(psi, weights, c)
+                return (psi, weights), stats
+
+            (psi, weights), stats = jax.lax.scan(
+                body, (psi, weights), jnp.arange(n_iterations)
+            )
+            return psi, weights, stats
+
+        return run(psi, weights, consts)
+
+    # Sharded path.
+    step = make_batched_gs_step(config, axis_name=axis_name)
+
+    replicated = P()
+    plane_sharded = P(axis_name)
+
+    in_specs = (
+        replicated,                      # psi
+        P(axis_name, None, None),        # weights
+        {
+            "kernels": P(axis_name, None, None),
+            "targets": P(axis_name, None, None),
+            "plane_weights": plane_sharded,
+            "amp": replicated,
+            "feedback_exponent": replicated,
+            "feedback_factor": replicated,
+        },
+    )
+    out_specs = (replicated, P(axis_name, None, None), P(None, axis_name, None))
+
+    def sharded_run(psi, weights, consts):
+        def body(carry, i):
+            psi, weights = carry
+            c = dict(consts, iteration=i)
+            psi, weights, stats = step(psi, weights, c)
+            return (psi, weights), stats
+
+        (psi, weights), stats = jax.lax.scan(
+            body, (psi, weights), jnp.arange(n_iterations)
+        )
+        return psi, weights, stats
+
+    fn = jax.jit(
+        shard_map(sharded_run, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+
+    # Place inputs on the mesh.
+    psi = jax.device_put(psi, NamedSharding(mesh, replicated))
+    weights = jax.device_put(weights, NamedSharding(mesh, P(axis_name, None, None)))
+    consts = {
+        "kernels": jax.device_put(
+            consts["kernels"], NamedSharding(mesh, P(axis_name, None, None))
+        ),
+        "targets": jax.device_put(
+            consts["targets"], NamedSharding(mesh, P(axis_name, None, None))
+        ),
+        "plane_weights": jax.device_put(
+            consts["plane_weights"], NamedSharding(mesh, P(axis_name))
+        ),
+        "amp": consts["amp"],
+        "feedback_exponent": consts["feedback_exponent"],
+        "feedback_factor": consts["feedback_factor"],
+    }
+    return fn(psi, weights, consts)
+
+
+def make_multiplane_consts(targets, kernels, plane_weights, amp, feedback_exponent=0.8, feedback_factor=0.1):
+    """Assemble the consts dict for :meth:`run_batched_gs` (numpy inputs ok)."""
+    return {
+        "kernels": jnp.asarray(kernels, dtype=jnp.float32),
+        "targets": jnp.asarray(targets, dtype=jnp.float32),
+        "plane_weights": jnp.asarray(plane_weights, dtype=jnp.float32),
+        "amp": (
+            jnp.float32(amp) if np.isscalar(amp) else jnp.asarray(amp, dtype=jnp.float32)
+        ),
+        "feedback_exponent": jnp.float32(feedback_exponent),
+        "feedback_factor": jnp.float32(feedback_factor),
+    }

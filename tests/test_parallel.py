@@ -1,0 +1,96 @@
+"""Tests for multi-chip scale-out on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from slmsuite_tpu.ops.propagation import fold_phase
+from slmsuite_tpu.parallel import (
+    distributed_fft2,
+    distributed_ifft2,
+    make_mesh,
+    run_batched_gs,
+)
+from slmsuite_tpu.parallel.multiplane import BatchedGSConfig, make_multiplane_consts
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh"
+)
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh(axis_names=("data",))
+        assert mesh.devices.size == len(jax.devices())
+
+    def test_bad_sizes(self):
+        with pytest.raises(ValueError):
+            make_mesh(axis_sizes=(3,), axis_names=("data",))
+
+
+class TestDistributedFFT:
+    def test_matches_dense(self, rng):
+        mesh = make_mesh(axis_names=("space",))
+        x = (rng.standard_normal((64, 64)) + 1j * rng.standard_normal((64, 64))).astype(
+            np.complex64
+        )
+        out = np.asarray(jnp.abs(distributed_fft2(jnp.asarray(x), mesh)))
+        ref = np.abs(np.fft.fft2(x, norm="ortho"))
+        assert np.abs(out - ref).max() < 1e-5
+
+    def test_roundtrip(self, rng):
+        mesh = make_mesh(axis_names=("space",))
+        x = (rng.standard_normal((64, 64)) + 1j * rng.standard_normal((64, 64))).astype(
+            np.complex64
+        )
+        back = distributed_ifft2(distributed_fft2(jnp.asarray(x), mesh), mesh)
+        assert np.abs(np.asarray(jnp.abs(back)) - np.abs(x)).max() < 1e-5
+
+
+class TestBatchedMultiplane:
+    def _problem(self, rng, B, N=64):
+        shape = (N, N)
+        targets = np.zeros((B, N, N), np.float32)
+        for b in range(B):
+            targets[b, 16 + (2 * b) % 32, 20 + (3 * b) % 24] = 1.0
+            targets[b] /= np.sqrt((targets[b] ** 2).sum())
+        kernels = np.stack([np.full(shape, 0.05 * b, np.float32) for b in range(B)])
+        consts = make_multiplane_consts(
+            targets, kernels, np.full(B, 1 / np.sqrt(B), np.float32), 1.0 / N
+        )
+        config = BatchedGSConfig(
+            method="WGS-Leonardo", shape=shape, slm_shape=shape, n_planes=B
+        )
+        psi0 = jnp.asarray(
+            fold_phase(rng.uniform(-np.pi, np.pi, shape).astype(np.float32), shape)
+        )
+        return config, psi0, jnp.asarray(targets.copy()), consts
+
+    def test_sharded_matches_single_device(self, rng):
+        B = len(jax.devices())
+        mesh = make_mesh(axis_names=("data",))
+        config, psi0, w0, consts = self._problem(rng, B)
+
+        psi_s, _, stats_s = run_batched_gs(config, psi0, w0, consts, 10, mesh=mesh)
+        psi_1, _, stats_1 = run_batched_gs(config, psi0, w0, consts, 10, mesh=None)
+
+        assert np.abs(np.asarray(psi_s) - np.asarray(psi_1)).max() < 1e-5
+        assert np.allclose(np.asarray(stats_s), np.asarray(stats_1), atol=1e-5)
+
+    def test_optimization_progresses(self, rng):
+        B = len(jax.devices())
+        mesh = make_mesh(axis_names=("data",))
+        config, psi0, w0, consts = self._problem(rng, B)
+        _, _, stats = run_batched_gs(config, psi0, w0, consts, 20, mesh=mesh)
+        stats = np.asarray(stats)
+        # Each plane's efficiency improves over the run.
+        assert np.all(stats[-1, :, 0] > stats[0, :, 0])
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(len(jax.devices()))
