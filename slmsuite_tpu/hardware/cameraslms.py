@@ -28,6 +28,11 @@ from slmsuite_tpu.misc.files import generate_path, latest_path, load_h5, save_h5
 from slmsuite_tpu.misc.math import REAL_TYPES
 
 
+def _blaze_offset(grid, vector, offset=0):
+    """Blaze plus a constant phase offset (superpixel imprint helper)."""
+    return blaze(grid=grid, vector=vector) + offset
+
+
 class CameraSLM(_Picklable):
     """
     Base class pairing a :class:`Camera` and an :class:`SLM` for closed-loop
@@ -754,3 +759,1352 @@ class FourierSLM(CameraSLM):
         if method == "zernike":
             return self.wavefront_calibrate_zernike(*args, **kwargs)
         raise ValueError(f"Wavefront calibration method '{method}' not recognized.")
+
+    # ------------------------------------------------------------------
+    # Zernike wavefront calibration (ref :1535-2210).
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _wavefront_calibrate_zernike_default_metric(images):
+        """
+        Spot areas (moment-matrix determinant) for a stack of spot images:
+        smaller/tighter is better, so the optimizer minimizes aberration.
+        """
+        variances = analysis.image_variances(images)
+        return analysis.image_areas(variances)
+
+    def wavefront_calibrate_zernike(
+        self,
+        calibration_points=None,
+        zernike_indices=9,
+        perturbation=1,
+        callback=None,
+        metric=None,
+        global_correction=False,
+        optimize_focus=True,
+        optimize_position=True,
+        optimize_weights=True,
+        plot=0,
+    ):
+        r"""
+        Wavefront calibration by iteratively scanning and subtracting Zernike
+        coefficients: a :class:`CompressedSpotHologram` projects spots at the
+        calibration points (re-optimized with 3 GS iterations each tick); per
+        Zernike term, a perturbation sweep measures a spot-quality ``metric``
+        (default: spot area) which is parabola-fit per spot; the fitted
+        offsets subtract into the per-spot coefficients. The result is stored
+        as ``calibrations["wavefront_zernike"]`` and can seed the next run.
+
+        Parameters follow the reference (``cameraslms.py:1535-2040``):
+        ``calibration_points`` (``(D, N)`` zernike-basis points, a count, or
+        ``None`` to resume), ``zernike_indices``, ``perturbation`` (radians
+        swept; 0/None projects and returns), ``callback``/``metric``
+        overrides, ``global_correction``, ``optimize_focus``/``position``/
+        ``weights``, and ``plot``.
+        """
+        from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+        from slmsuite_tpu.holography.toolbox.phase import (
+            _zernike_indices_parse,
+            zernike,
+            zernike_sum,
+        )
+        from slmsuite_tpu.holography.toolbox import (
+            convert_vector,
+            smallest_distance,
+        )
+
+        # --- Sweep helper: measure callback() at each perturbation value. ---
+        def sweep_term(sweep, term, pattern, callback, desc=None):
+            sweep = np.ravel(sweep)
+            result = None
+            M = None
+
+            iterable = list(enumerate(sweep))
+            if plot >= 0:
+                iterable = tqdm(iterable, desc=desc, position=0, leave=False)
+
+            for i, x in iterable:
+                phase = pattern + x * term
+                self.slm.set_phase(phase, settle=True, phase_correct=False)
+                this_result = np.array(callback())
+                if result is None:
+                    M = len(this_result)
+                    result = np.full((len(sweep), M), np.nan, dtype=this_result.dtype)
+                if len(this_result) != M:
+                    raise RuntimeError("Callback changed its return length mid-sweep.")
+                result[i, :] = this_result
+            return result
+
+        # --- Parabola fit of each spot's sweep (with railing detection). ---
+        def fit_term(sweep, result, term_index):
+            ddy = np.diff(result, n=2, axis=0)
+            a0 = 0.5 * np.mean(ddy, axis=0) / np.square(np.mean(np.diff(sweep)))
+            c0 = np.min(result, axis=0)
+            x0 = sweep[np.argmin(result, axis=0)]
+
+            def parabola(x, x0, a, c):
+                return c + a * np.square(x - x0)
+
+            x = np.zeros(result.shape[1])
+            dx = np.zeros(result.shape[1])
+            for i in range(result.shape[1]):
+                guess = (x0[i], max(a0[i], 1e-30), c0[i])
+                try:
+                    popt, pcov = optimize.curve_fit(
+                        parabola,
+                        sweep,
+                        result[:, i],
+                        ftol=1e-5,
+                        p0=guess,
+                        bounds=([-np.inf, 0, -np.inf], [np.inf, np.inf, np.inf]),
+                    )
+                    perr = np.sqrt(np.diag(pcov))
+                except Exception:
+                    popt = guess
+                    perr = np.zeros(3)
+                x[i] = popt[0]
+                dx[i] = perr[0]
+
+            x = np.clip(x, np.min(sweep), np.max(sweep))
+            railed = np.sum(
+                np.logical_or(x == np.min(sweep), x == np.max(sweep))
+            ) / float(len(x))
+
+            if plot > 0:
+                import matplotlib.pyplot as plt
+
+                shown = result - np.min(result, axis=0, keepdims=True)
+                shown = shown / np.maximum(np.max(shown, axis=0, keepdims=True), 1e-30)
+                plt.imshow(
+                    shown,
+                    interpolation="none",
+                    extent=[-0.5, result.shape[1] - 0.5, np.max(sweep), np.min(sweep)],
+                )
+                plt.errorbar(
+                    np.arange(result.shape[1]), x, yerr=dx, c="r", marker=".",
+                    linestyle="none",
+                )
+                plt.gca().set_aspect("auto")
+                plt.title("Zernike $Z_{" + str(term_index) + "}$")
+                plt.xlabel("Calibration Point [#]")
+                plt.ylabel("Perturbation [rad]")
+                plt.show()
+
+            return x, dx, railed
+
+        # --- Parse calibration_points / resume a previous calibration. ---
+        calibration_points_ij = None
+        metric_stats = []
+        weights = None
+        spot_integration_width_ij = None
+
+        if calibration_points is None:
+            if "wavefront_zernike" in self.calibrations:
+                dat = self.calibrations["wavefront_zernike"]
+                calibration_points = np.copy(dat["corrected_spots"])
+                calibration_points_ij = np.copy(dat["calibration_points_ij"])
+                spot_integration_width_ij = int(dat["spot_integration_width_ij"])
+                if zernike_indices is None:
+                    zernike_indices = np.copy(dat["zernike_indices"])
+                else:
+                    zernike_indices = _zernike_indices_parse(
+                        zernike_indices, calibration_points.shape[0], smaller_okay=True
+                    )
+                    stored = np.copy(dat["zernike_indices"])
+                    if len(zernike_indices) < len(stored) or not np.all(
+                        zernike_indices[: len(stored)] == stored
+                    ):
+                        raise ValueError(
+                            f"Requested indices {zernike_indices} are not compatible "
+                            f"with stored indices {stored}."
+                        )
+                metric_stats = list(dat.get("metric_stats", []))
+                weights = dat.get("weights")
+            else:
+                calibration_points = 100
+
+        if np.isscalar(calibration_points):
+            pitch = np.sqrt(np.prod(self.cam.shape) / calibration_points)
+            calibration_points = self.wavefront_calibration_points(pitch, plot=plot > 0)
+            calibration_points = convert_vector(
+                calibration_points, "ij", "zernike", hardware=self
+            )
+
+        calibration_points = format_vectors(
+            np.copy(calibration_points), handle_dimension="pass"
+        )
+        zernike_indices = _zernike_indices_parse(
+            zernike_indices, calibration_points.shape[0], smaller_okay=True
+        )
+        dp = len(zernike_indices) - calibration_points.shape[0]
+        if dp:
+            calibration_points = np.pad(calibration_points, ((0, dp), (0, 0)))
+
+        initial_points = calibration_points.copy()
+
+        # --- Build the calibration hologram. ---
+        hologram = CompressedSpotHologram(
+            spot_vectors=calibration_points,
+            basis=zernike_indices,
+            cameraslm=self,
+        )
+        if weights is not None:
+            hologram.set_weights(np.asarray(weights))
+        if calibration_points_ij is None:
+            calibration_points_ij = hologram.spot_ij
+        else:
+            hologram.spot_ij = calibration_points_ij
+
+        max_window = smallest_distance(calibration_points_ij)
+        max_width = int(2 * np.ceil(np.min((0.5 * max_window, 51)) / 2) + 1)
+        if spot_integration_width_ij is None:
+            spot_integration_width_ij = max_width
+        else:
+            spot_integration_width_ij = min(int(spot_integration_width_ij), max_width)
+        hologram.spot_integration_width_ij = spot_integration_width_ij
+
+        # --- Default callback: background-removed take -> metric. ---
+        if callback is None:
+
+            def default_callback():
+                img = self.cam.get_image()
+                images = analysis.take(
+                    img, calibration_points_ij, spot_integration_width_ij, clip=True
+                ).astype(float)
+                images = analysis.image_remove_field(images)
+                images[np.isnan(images)] = 0
+                total = np.sum(images)
+                if total > 0:
+                    images = images / total  # Remove laser noise.
+                if metric is None:
+                    return FourierSLM._wavefront_calibrate_zernike_default_metric(images)
+                return metric(images)
+
+            callback = default_callback
+
+        # --- Tick: re-optimize the hologram at the current coefficients. ---
+        def tick():
+            hologram.spot_zernike = calibration_points
+            hologram.optimize("GS", maxiter=3, verbose=0)
+            return hologram.get_phase()
+
+        if perturbation is None:
+            perturbation = 1
+
+        hologram.optimize("GS", maxiter=3, verbose=0, stat_groups=["computational_spot"])
+
+        if optimize_weights:
+            maxiter = 10 if isinstance(optimize_weights, bool) else int(optimize_weights)
+            if maxiter < 1:
+                raise ValueError(
+                    "optimize_weights must be True, False, or a positive integer."
+                )
+            hologram.optimize(
+                "WGS-Kim",
+                feedback="experimental_spot",
+                maxiter=maxiter,
+                verbose=plot >= 0,
+                name="optimize_weights",
+                stat_groups=["computational_spot", "experimental_spot"],
+            )
+            if "wavefront_zernike" in self.calibrations:
+                self.calibrations["wavefront_zernike"]["weights"] = hologram.get_weights()
+
+        no_perturbation = (
+            perturbation is None
+            or (np.isscalar(perturbation) and perturbation <= 0)
+            or (not np.isscalar(perturbation) and len(np.ravel(perturbation)) == 0)
+        )
+        if no_perturbation:
+            self.slm.set_phase(tick(), settle=True, phase_correct=False)
+            self.cam.flush()
+            self.cam.get_image()
+            return hologram
+
+        if np.isscalar(perturbation):
+            perturbation = np.linspace(-perturbation, perturbation, 11, endpoint=True)
+        else:
+            perturbation = np.ravel(perturbation)
+
+        if optimize_position:
+            self.slm.set_phase(tick())
+            hologram.refine_offset(
+                img=None, basis="kxy", force_affine=global_correction, plot=plot > 1
+            )
+            calibration_points = hologram.spot_zernike
+
+        # --- Calibration loop over Zernike terms. ---
+        result = None
+        self.cam.flush()
+        for j, i in enumerate(zernike_indices):
+            # Skip piston/tilt (and focus if not optimized).
+            if i in (0, 2, 1) or (i == 4 and not optimize_focus):
+                continue
+
+            pattern = tick()
+            self.slm.set_phase(pattern, settle=True, phase_correct=False)
+            metric_stats.append(callback())
+
+            term = zernike(self.slm, i, use_mask=False)
+            result = sweep_term(perturbation, term, pattern, callback, f"Z_{i}")
+            correction, correction_error, railed = fit_term(perturbation, result, i)
+
+            if global_correction:
+                correction = np.mean(correction)
+            calibration_points[j, :] += correction
+
+        pattern = tick()
+        self.slm.set_phase(pattern, settle=True, phase_correct=False)
+        metric_stats.append(callback())
+
+        self.calibrations["wavefront_zernike"] = {
+            "initial_points": initial_points,
+            "zernike_indices": zernike_indices,
+            "corrected_spots": calibration_points,
+            "last_result": result,
+            "calibration_points_ij": calibration_points_ij,
+            "spot_integration_width_ij": spot_integration_width_ij,
+            "metric_stats": metric_stats,
+            "weights": hologram.get_weights(),
+        }
+        self.calibrations["wavefront_zernike"].update(self._get_calibration_metadata())
+
+        del hologram
+        return self.calibrations["wavefront_zernike"]
+
+    def wavefront_calibrate_zernike_smooth(self, smoothing=0.25, smoothing_xy=0.25, smoothing_z=None, plot=False):
+        """
+        Smooth the Zernike-corrected spot coefficients by Delaunay-neighbor
+        averaging (xy terms average the residual against the affine
+        expectation; higher orders average the coefficients directly).
+        Returns the smoothed ``(D, N)`` coefficients.
+        """
+        from scipy.spatial import Delaunay
+
+        from slmsuite_tpu.holography.toolbox import convert_vector
+
+        if smoothing < 0 or smoothing > 1:
+            raise ValueError("Smoothing factor must be between 0 and 1.")
+        if smoothing_xy < 0 or smoothing_xy > 1:
+            raise ValueError("Smoothing factor must be between 0 and 1.")
+        if smoothing_z is not None:
+            raise RuntimeError("Zernike z-smoothing not yet implemented.")
+
+        indices = np.asarray(self.calibrations["wavefront_zernike"]["zernike_indices"])
+        I = np.arange(len(indices))
+        to_smooth = I[indices > 2]
+        x_smooth = I[indices == 2]
+        y_smooth = I[indices == 1]
+
+        vectors = np.asarray(self.calibrations["wavefront_zernike"]["corrected_spots"])
+        final = np.zeros_like(vectors)
+
+        points_ij = np.asarray(
+            self.calibrations["wavefront_zernike"]["calibration_points_ij"]
+        )
+        base_xy = convert_vector(points_ij, "ij", "zernike", hardware=self)
+
+        points = points_ij[:2, :].T
+        tri = Delaunay(points)
+
+        edges = np.array(
+            [
+                (t[a], t[b])
+                for t in tri.simplices
+                for a, b in [(0, 1), (1, 2), (2, 0)]
+            ]
+        )
+        edges = np.unique(np.sort(edges, axis=1), axis=0)
+        lens = np.linalg.norm(points[edges[:, 0]] - points[edges[:, 1]], axis=1)
+        max_len = 1.5 * np.median(lens)
+
+        simplices = np.array(
+            [
+                t
+                for t in tri.simplices
+                if all(
+                    np.linalg.norm(points[[t[a]]] - points[[t[b]]]) <= max_len
+                    for a, b in [(0, 1), (1, 2), (2, 0)]
+                )
+            ]
+        )
+
+        for i in range(points_ij.shape[1]):
+            neighbors = set()
+            for simplex in simplices:
+                if i in simplex:
+                    neighbors.update(simplex)
+            neighbors.discard(i)
+            count = max(len(neighbors), 1)
+
+            final[x_smooth, i] = (1 - smoothing_xy) * (
+                vectors[x_smooth, i] - base_xy[0, i]
+            ) + base_xy[0, i]
+            final[y_smooth, i] = (1 - smoothing_xy) * (
+                vectors[y_smooth, i] - base_xy[1, i]
+            ) + base_xy[1, i]
+            for n in neighbors:
+                final[x_smooth, i] += smoothing_xy * (vectors[x_smooth, n] - base_xy[0, n]) / count
+                final[y_smooth, i] += smoothing_xy * (vectors[y_smooth, n] - base_xy[1, n]) / count
+
+            final[to_smooth, i] = (1 - smoothing) * vectors[to_smooth, i]
+            for n in neighbors:
+                final[to_smooth, i] += smoothing * vectors[to_smooth, n] / count
+
+        return final
+
+    def wavefront_calibration_points(
+        self,
+        pitch,
+        field_exclusion=None,
+        field_point=(0, 0),
+        field_point_units="kxy",
+        avoid_points=None,
+        avoid_mirrors=True,
+        avoid_nyquist=True,
+        plot=False,
+    ):
+        """
+        Grid of camera-basis points to calibrate at: spaced by ``pitch``,
+        avoiding the 0th/±1st/±2nd orders of the field blaze, optionally
+        aligning -1st-order mirrors between points and pruning beyond the
+        first Nyquist zone. Returns ``(2, N)`` ij points sorted by distance
+        from the 0th order. Ref ``cameraslms.py:3346-3513``.
+        """
+        from slmsuite_tpu.holography.toolbox import convert_vector, fit_3pt
+
+        field_point = toolbox.convert_vector(
+            format_2vectors(field_point), field_point_units, "ij", hardware=self
+        )
+        field_point = np.rint(format_2vectors(field_point)).astype(int)
+
+        if field_exclusion is None:
+            field_exclusion = pitch
+        if not np.isscalar(field_exclusion):
+            field_exclusion = np.mean(field_exclusion)
+
+        zeroth_order = np.rint(self.kxyslm_to_ijcam([0, 0])).astype(int)
+
+        plane = format_2vectors(self.cam.shape[::-1])
+        grid = np.ceil(plane / pitch - 0.5)
+        spacing = np.floor(plane / (grid + (0.5 if avoid_mirrors else 0))).astype(int)
+        if avoid_mirrors:
+            base_point = spacing * (np.remainder(zeroth_order / spacing - 0.5, 1) + 0.25)
+        else:
+            base_point = spacing / 2
+
+        calibration_points = fit_3pt(
+            base_point,
+            (spacing[0, 0], 0),
+            (0, spacing[1, 0]),
+            np.squeeze(grid).astype(int),
+            x1=None,
+            x2=None,
+        )
+
+        if avoid_nyquist:
+            points_knm = convert_vector(
+                calibration_points, "ij", "knm", hardware=self, shape=[1, 1]
+            )
+            outside = (
+                (points_knm[0] < 0)
+                + (points_knm[1] < 0)
+                + (points_knm[0] > 1)
+                + (points_knm[1] > 1)
+            ) > 0
+            calibration_points = np.delete(calibration_points, outside, axis=1)
+
+        distance = np.sum(np.square(calibration_points - zeroth_order), axis=0)
+        calibration_points = calibration_points[:, np.argsort(distance)]
+
+        # Prune near diffraction orders (and user-specified avoid_points).
+        dorder = field_point - zeroth_order
+        order_points = np.hstack([zeroth_order + dorder * i for i in range(-2, 3)])
+        if avoid_points is None:
+            avoid_points = order_points
+        else:
+            avoid_points = np.hstack((format_2vectors(avoid_points), order_points))
+
+        for i in range(avoid_points.shape[1]):
+            point = avoid_points[:, [i]]
+            distance = np.sum(np.square(calibration_points - point), axis=0)
+            calibration_points = np.delete(
+                calibration_points, distance < field_exclusion**2, axis=1
+            )
+
+        if plot:
+            import matplotlib.pyplot as plt
+
+            plt.scatter(calibration_points[0, :], calibration_points[1, :], c="b")
+            plt.scatter(avoid_points[0, :], avoid_points[1, :], c="r")
+            plt.xlim([0, self.cam.shape[1]])
+            plt.ylim([self.cam.shape[0], 0])
+            plt.show()
+
+        return calibration_points
+
+    # ------------------------------------------------------------------
+    # Superpixel wavefront calibration (ref :2212-3345).
+    # ------------------------------------------------------------------
+
+    def wavefront_calibrate_superpixel(
+        self,
+        calibration_points=None,
+        superpixel_size=50,
+        reference_superpixels=None,
+        exclude_superpixels=(0, 0),
+        test_index=None,
+        field_point=(0, 0),
+        field_point_units="kxy",
+        phase_steps=1,
+        fresh_calibration=True,
+        measure_background=False,
+        corrected_amplitude=False,
+        plot=0,
+    ):
+        r"""
+        Superpixel wavefront calibration (Cizmar-style interference,
+        doi:10.1038/nphoton.2010.85): a reference superpixel and each test
+        superpixel blaze to the same camera point; the interference fringes
+        yield per-superpixel phase offset, local blaze gradients (kx, ky),
+        amplitude, and fit r^2. Multiple calibration points run
+        simultaneously through a conflict-free measurement schedule.
+
+        Parameters follow the reference (``cameraslms.py:2212-2436``):
+        ``calibration_points`` (ij; auto-layout if ``None``),
+        ``superpixel_size``, ``reference_superpixels``,
+        ``exclude_superpixels`` (margins or denylist image), ``test_index``
+        (measure one schedule column and return), ``field_point`` (where the
+        inactive field blazes), ``phase_steps`` (1 = single-shot fringe
+        fitting; ``None`` = amplitude only), ``fresh_calibration``,
+        ``measure_background``, ``corrected_amplitude``, ``plot``.
+
+        Run :meth:`wavefront_calibration_superpixel_process` afterwards to
+        produce the usable correction.
+        """
+        from slmsuite_tpu.holography.analysis.fitfunctions import (
+            _sinc2d_centered,
+            _sinc2d_nomod,
+            cos,
+        )
+        from slmsuite_tpu.holography.toolbox import imprint, smallest_distance
+
+        superpixel_size = int(superpixel_size)
+        slm_supershape = tuple(
+            np.ceil(np.array(self.slm.shape) / superpixel_size).astype(int)
+        )
+        num_superpixels = slm_supershape[0] * slm_supershape[1]
+
+        interference_window = self.wavefront_calibration_superpixel_window(
+            superpixel_size
+        ).ravel()
+        interference_size = interference_window / self._wavefront_calibration_window_multiplier
+        interference_window = (interference_window // 2) * 2 + 1
+        interference_size = (interference_size // 2) * 2 + 1
+
+        def index2coord(index):
+            return format_2vectors(
+                np.stack((index % slm_supershape[1], index // slm_supershape[1]), axis=0)
+            )
+
+        def coord2index(coord):
+            coord = np.array(coord)
+            return coord[1, :] * slm_supershape[1] + coord[0, :]
+
+        # Parse exclusions.
+        exclude_superpixels = np.array(exclude_superpixels)
+        if exclude_superpixels.shape == slm_supershape:
+            exclude_superpixels = exclude_superpixels != 0
+        elif exclude_superpixels.size == 2:
+            margin = exclude_superpixels.astype(int)
+            exclude_superpixels = np.zeros(slm_supershape, dtype=bool)
+            if margin[0]:
+                exclude_superpixels[:, : margin[0]] = True
+                exclude_superpixels[:, slm_supershape[1] - margin[0]:] = True
+            if margin[1]:
+                exclude_superpixels[: margin[1], :] = True
+                exclude_superpixels[slm_supershape[0] - margin[1]:, :] = True
+        else:
+            raise ValueError("Did not recognize type for exclude_superpixels")
+
+        num_active_superpixels = int(np.sum(~exclude_superpixels))
+
+        # Parse calibration points.
+        if calibration_points is None:
+            calibration_points = self.wavefront_calibration_points(
+                1.5 * np.max(interference_window),
+                np.max(interference_window),
+                field_point,
+                field_point_units,
+                plot=plot > 1,
+            )
+        calibration_points = np.rint(format_2vectors(calibration_points)).astype(int)
+        num_points = calibration_points.shape[1]
+
+        base_point = np.rint(self.kxyslm_to_ijcam([0, 0])).astype(int)
+
+        if field_point_units != "ij":
+            field_blaze = toolbox.convert_vector(
+                format_2vectors(field_point), field_point_units, "kxy", hardware=self.slm
+            )
+            field_point = self.kxyslm_to_ijcam(field_blaze)
+        else:
+            field_blaze = toolbox.convert_vector(field_point, "ij", "kxy", hardware=self)
+        field_point = np.rint(format_2vectors(field_point)).astype(int)
+
+        if "fourier" not in self.calibrations:
+            raise RuntimeError("Fourier calibration must be done before wavefront calibration.")
+        calibration_blazes = self.ijcam_to_kxyslm(calibration_points)
+        reference_blazes = calibration_blazes.copy()
+
+        # Reference superpixels default to an SLM-center cluster.
+        if reference_superpixels is None:
+            all_coords = index2coord(np.arange(num_superpixels))
+            distance = np.sum(
+                np.square(all_coords - format_2vectors(slm_supershape[::-1]) / 2), axis=0
+            )
+            reference_superpixels = np.argsort(distance)[:num_points]
+        else:
+            reference_superpixels = coord2index(
+                np.rint(format_2vectors(reference_superpixels)).astype(int)
+            )
+
+        reference_superpixels_coords = index2coord(reference_superpixels)
+        reference_image = np.zeros(slm_supershape, dtype=bool)
+        reference_image.ravel()[reference_superpixels] = True
+        if np.any(np.logical_and(reference_image, exclude_superpixels)):
+            raise ValueError("reference_superpixels out of range of calibration.")
+
+        # Build the conflict-free measurement schedule (ref :2470-2528).
+        num_measurements = num_active_superpixels + (
+            (2 * num_points - 2) if phase_steps is not None else 0
+        )
+        index_image = np.reshape(np.arange(num_superpixels, dtype=int), slm_supershape)
+        active_superpixels = index_image[~exclude_superpixels].ravel()
+
+        scheduling = np.zeros((num_points, num_measurements), dtype=int)
+        scheduling[:, : num_active_superpixels - 1] = np.mod(
+            np.repeat(
+                np.arange(num_active_superpixels - 1, dtype=int)[np.newaxis, :] + 1,
+                num_points,
+                axis=0,
+            )
+            + np.repeat(
+                reference_superpixels[:, np.newaxis], num_active_superpixels - 1, axis=1
+            ),
+            num_active_superpixels,
+        )
+        scheduling = active_superpixels[scheduling]
+        scheduling[:, num_active_superpixels - 1:] = -1
+
+        if phase_steps is not None:
+            for i in range(num_points):
+                reference_index = reference_superpixels[i]
+                conflicts = scheduling == reference_index
+                conflict_indices = np.array(np.where(conflicts))
+                for j in range(int(np.sum(conflicts))):
+                    c_index = conflict_indices[:, j]
+                    displaced = scheduling[i, c_index[1]]
+                    scheduling[i, c_index[1]] = -1
+                    if displaced != -1:
+                        for k in range(num_active_superpixels - 1, num_measurements + 1):
+                            if k == num_measurements:
+                                raise RuntimeError("Calibration scheduling failed.")
+                            if (
+                                scheduling[i, k] == -1
+                                and not np.any(scheduling[:, k] == reference_index)
+                                and not np.any(scheduling[:, k] == displaced)
+                            ):
+                                scheduling[i, k] = displaced
+                                break
+
+        empty = np.all(scheduling == -1, axis=0)
+        scheduling = scheduling[:, ~empty]
+        num_measurements = scheduling.shape[1]
+
+        # Geometry guards.
+        if num_points > 1:
+            calibration_distance = smallest_distance(calibration_points, "euclidean")
+            if np.max(interference_window) > calibration_distance:
+                message = (
+                    f"Requested calibration points are too close together: minimum "
+                    f"distance {calibration_distance} pix < window {interference_window} pix."
+                )
+                if test_index is None:
+                    raise ValueError(message)
+                warnings.warn(message)
+
+        dorder = field_point - base_point
+        order_distance = np.inf
+        for order in range(-5, 5):
+            order_distance = min(
+                order_distance,
+                smallest_distance(
+                    np.hstack((calibration_points, base_point + order * dorder)),
+                    "euclidean",
+                ),
+            )
+        if np.mean(interference_window) > order_distance:
+            warnings.warn(
+                "Calibration point(s) are close to field diffractive orders; "
+                "consider moving the calibration regions."
+            )
+
+        reflections = 2 * base_point - calibration_points
+        reflection_distance = smallest_distance(
+            np.hstack((calibration_points, reflections)), "euclidean"
+        )
+        if np.mean(interference_window) / 2 > reflection_distance:
+            warnings.warn(
+                "Calibration points are close to their own -1st orders; consider "
+                "avoid_mirrors in wavefront_calibration_points."
+            )
+
+        amplitude = self.slm._get_source_amplitude()
+        phase = self.slm._get_source_phase()
+        if fresh_calibration:
+            self.slm.source.pop("amplitude", None)
+            self.slm.source.pop("phase", None)
+            self.slm.source.pop("r2", None)
+
+        if phase_steps is not None:
+            if not np.isclose(phase_steps, int(phase_steps)):
+                raise ValueError(f"Expected integer phase_steps. Received {phase_steps}.")
+            phase_steps = int(phase_steps)
+            if phase_steps <= 0:
+                raise ValueError(f"Expected positive phase_steps. Received {phase_steps}.")
+
+        verbose = plot >= 0
+        plot_fits = plot >= 1
+
+        calibration_dict = {
+            "__version__": __version__,
+            "__time__": time.time(),
+            "calibration_points": calibration_points,
+            "superpixel_size": superpixel_size,
+            "slm_supershape": slm_supershape,
+            "reference_superpixels": reference_superpixels,
+            "phase_steps": phase_steps,
+            "interference_size": interference_size,
+            "interference_window": interference_window,
+            "previous_phase_correction": (
+                False
+                if "phase" not in self.slm.source
+                else np.copy(self.slm.source["phase"])
+            ),
+            "scheduling": scheduling,
+        }
+        keys = [
+            "power", "normalization", "background", "phase", "kx", "ky",
+            "amp_fit", "contrast_fit", "r2_fit",
+        ]
+        for key in keys:
+            calibration_dict[key] = np.full(
+                (num_points,) + slm_supershape, np.nan, dtype=np.float32
+            )
+
+        # --- Pattern builder. ---
+        def superpixels(
+            schedule=None,
+            reference_phase=None,
+            target_phase=None,
+            reference_blaze=reference_blazes,
+            target_blaze=calibration_blazes,
+            phase_baselines=None,
+        ):
+            matrix = blaze(self.slm, field_blaze)
+
+            if reference_phase is not None:
+                for i in range(num_points):
+                    if schedule is None or schedule[i] != -1:
+                        imprint(
+                            matrix,
+                            np.array(
+                                [
+                                    reference_superpixels_coords[0, i], 1,
+                                    reference_superpixels_coords[1, i], 1,
+                                ]
+                            )
+                            * superpixel_size,
+                            _blaze_offset,
+                            self.slm,
+                            vector=reference_blaze[:, [i]],
+                            offset=reference_phase,
+                        )
+
+            if target_phase is not None and schedule is not None:
+                target_coords = index2coord(schedule)
+                for i in range(num_points):
+                    if schedule[i] != -1:
+                        baseline = 0 if phase_baselines is None else phase_baselines[i]
+                        imprint(
+                            matrix,
+                            np.array(
+                                [target_coords[0, i], 1, target_coords[1, i], 1]
+                            )
+                            * superpixel_size,
+                            _blaze_offset,
+                            self.slm,
+                            vector=target_blaze[:, [i]],
+                            offset=baseline
+                            + (
+                                target_phase
+                                if np.isscalar(target_phase)
+                                else target_phase[i]
+                            ),
+                        )
+
+            self.slm.set_phase(matrix, settle=True)
+            self.cam.flush()
+            return self.cam.get_image()
+
+        # --- Phase-stepped sine fit (ref :2722-2790). ---
+        def fit_phase(phases, intensities, plot_this=False):
+            guess = [
+                phases[np.argmax(intensities)],
+                np.max(intensities) - np.min(intensities),
+                np.min(intensities),
+            ]
+            try:
+                popt, _ = optimize.curve_fit(cos, phases, intensities, p0=guess)
+            except BaseException:
+                warnings.warn("Curve fitting failed; nulling response from this superpixel.")
+                return 0, 0, 0, 0
+
+            best_phase = popt[0]
+            amp = popt[1]
+            contrast = popt[1] / (popt[1] + popt[2]) if popt[1] + popt[2] != 0 else 0
+            ss_res = np.sum((intensities - cos(phases, *popt)) ** 2)
+            ss_tot = np.sum((intensities - np.mean(intensities)) ** 2)
+            r2 = 1 - (ss_res / ss_tot) if ss_tot > 0 else 0
+            return best_phase, amp, r2, contrast
+
+        # --- Single-shot fringe-image fit (ref :2794-2930). ---
+        def fit_phase_image(img, dsuperpixel):
+            xy = np.meshgrid(
+                *[
+                    np.arange(
+                        -(img.shape[1 - a] - 1) / 2, +(img.shape[1 - a] - 1) / 2 + 0.5
+                    )
+                    for a in range(2)
+                ]
+            )
+            xyr = [l.ravel() for l in xy]
+
+            M = self.calibrations["fourier"]["M"]
+            M_norm = M / np.sqrt(np.abs(np.linalg.det(M)))
+            dsuperpixel = np.squeeze(M_norm @ format_2vectors(dsuperpixel))
+
+            d = float(np.amin(img))
+            c = 0
+            a = float(np.amax(img)) - c
+            R = float(np.mean(img.shape)) / 4
+
+            guess = [
+                R, a, 0, c, d,
+                8 * np.pi * dsuperpixel[0] / img.shape[1],
+                8 * np.pi * dsuperpixel[1] / img.shape[0],
+            ]
+            dk = 8 * np.pi * np.max(slm_supershape) / np.min(img.shape)
+            lb = [0.9 * R, 0, -4 * np.pi, 0, 0, guess[5] - dk, guess[6] - dk]
+            ub = [1.1 * R, 2 * a + 1e-9, 4 * np.pi, a + 1e-9, a + 1e-9, guess[5] + dk, guess[6] + dk]
+
+            # Coarse phase guess by overlap.
+            differences = []
+            phases = np.arange(20) * 2 * np.pi / 20
+            for trial in phases:
+                guess[2] = trial
+                differences.append(np.sum(np.square(img - _sinc2d_centered(xy, *guess))))
+            guess[2] = phases[int(np.argmin(differences))]
+
+            try:
+                popt, _ = optimize.curve_fit(
+                    _sinc2d_centered, xyr, img.ravel().astype(float), p0=guess,
+                    bounds=(lb, ub),
+                )
+            except BaseException:
+                return [np.nan, np.nan, 0, np.nan]
+
+            best_phase = popt[2]
+            amp = np.abs(popt[1])
+            denominator = np.abs(popt[1]) + np.abs(popt[3])
+            contrast = np.abs(popt[1]) / denominator if denominator != 0 else 0
+
+            popt_nomod = np.copy(popt)
+            popt_nomod[3] += popt_nomod[1] / 2
+            popt_nomod[1] = 0
+            img0 = img - _sinc2d_centered(xy, *popt_nomod)
+            fit0 = _sinc2d_centered(xy, *popt) - _sinc2d_centered(xy, *popt_nomod)
+            ss_res = np.sum((img0 - fit0) ** 2)
+            ss_tot = np.sum((img0 - np.mean(img0)) ** 2)
+            r2 = 1 - (ss_res / ss_tot) if ss_tot > 0 else 0
+
+            return (np.mod(-best_phase, 2 * np.pi), amp, r2, contrast)
+
+        def take_interference_regions(img, integrate=True):
+            return analysis.take(
+                img, calibration_points, interference_window, clip=True, integrate=integrate
+            )
+
+        def find_centers(img):
+            imgs = take_interference_regions(img, integrate=False)
+            centers = analysis.image_positions(imgs)
+            a = np.nanmax(imgs, axis=(1, 2))
+            R = np.mean(imgs.shape[1:]) / 4
+            guess = np.transpose(
+                np.vstack((centers, np.full_like(a, R), a, np.full_like(a, 0)))
+            )
+            result = analysis.image_fit(
+                np.nan_to_num(imgs), function=_sinc2d_nomod, guess=guess
+            )
+            centers = result[:, 1:3].T
+            return centers + calibration_points
+
+        # --- One measurement (one schedule column). ---
+        def measure(schedule):
+            if measure_background:
+                back = take_interference_regions(superpixels(schedule, None, None))
+            else:
+                back = [np.nan] * num_points
+
+            norm = take_interference_regions(superpixels(schedule, 0, None))
+
+            position_image = superpixels(schedule, None, 0)
+            if phase_steps is None and not corrected_amplitude:
+                return {
+                    "power": take_interference_regions(position_image),
+                    "normalization": norm,
+                    "background": back,
+                    "phase": [np.nan] * num_points,
+                    "kx": [np.nan] * num_points,
+                    "ky": [np.nan] * num_points,
+                    "amp_fit": [np.nan] * num_points,
+                    "contrast_fit": [np.nan] * num_points,
+                    "r2_fit": [np.nan] * num_points,
+                }
+
+            found_centers = find_centers(position_image)
+            blaze_differences = self.ijcam_to_kxyslm(found_centers) - calibration_blazes
+            target_blaze_fixed = calibration_blazes - blaze_differences
+
+            if corrected_amplitude:
+                pwr = take_interference_regions(
+                    superpixels(schedule, None, 0, target_blaze=target_blaze_fixed)
+                )
+            else:
+                pwr = take_interference_regions(position_image)
+
+            if phase_steps is None:
+                return {
+                    "power": pwr,
+                    "normalization": norm,
+                    "background": back,
+                    "phase": [np.nan] * num_points,
+                    "kx": -blaze_differences[0, :],
+                    "ky": -blaze_differences[1, :],
+                    "amp_fit": [np.nan] * num_points,
+                    "contrast_fit": [np.nan] * num_points,
+                    "r2_fit": [np.nan] * num_points,
+                }
+
+            results = []
+            if phase_steps == 1:
+                result_img = superpixels(schedule, 0, 0, target_blaze=target_blaze_fixed)
+                cropped = take_interference_regions(result_img, integrate=False)
+                coord_difference = index2coord(schedule) - index2coord(reference_superpixels)
+                results = [
+                    (
+                        fit_phase_image(
+                            np.nan_to_num(cropped[i]), coord_difference[:, i]
+                        )
+                        if schedule[i] != -1
+                        else [np.nan] * 4
+                    )
+                    for i in range(num_points)
+                ]
+            else:
+                phases = np.linspace(0, 2 * np.pi, phase_steps, endpoint=False)
+                iresults = []
+                prange = (
+                    tqdm(phases, position=0, leave=False, desc="phase_measurement")
+                    if verbose
+                    else phases
+                )
+                for trial in prange:
+                    interference_image = superpixels(
+                        schedule, 0, trial, target_blaze=target_blaze_fixed
+                    )
+                    iresults.append(
+                        [
+                            interference_image[
+                                calibration_points[1, i], calibration_points[0, i]
+                            ]
+                            for i in range(num_points)
+                        ]
+                    )
+                iresults = np.array(iresults)
+                for i in range(num_points):
+                    results.append(fit_phase(phases, iresults[:, i]))
+
+            results = np.array(results)
+            return {
+                "power": pwr,
+                "normalization": norm,
+                "background": back,
+                "phase": results[:, 0],
+                "kx": -blaze_differences[0, :],
+                "ky": -blaze_differences[1, :],
+                "amp_fit": results[:, 1],
+                "contrast_fit": results[:, 3],
+                "r2_fit": results[:, 2],
+            }
+
+        # --- Correct the reference blazes from the measured centers. ---
+        base_image = superpixels(None, 0, None)
+        found_centers = find_centers(base_image)
+        reference_blaze_differences = self.ijcam_to_kxyslm(found_centers) - reference_blazes
+        np.subtract(reference_blazes, reference_blaze_differences, out=reference_blazes)
+
+        if test_index is not None:
+            result = measure(scheduling[:, test_index])
+            self.slm.source["amplitude"] = amplitude
+            self.slm.source["phase"] = phase
+            return result
+
+        measurements = range(num_measurements)
+        if plot > -1:
+            measurements = tqdm(measurements, position=1, leave=True, desc="calibration")
+
+        for n in measurements:
+            schedule = scheduling[:, n]
+            measurement = measure(schedule)
+            coords = index2coord(schedule)
+            for i in range(num_points):
+                if schedule[i] != -1:
+                    for key in measurement:
+                        result = measurement[key]
+                        if np.size(result) > 1:
+                            result = result[i]
+                        elif not np.isscalar(result):
+                            result = np.squeeze(result)
+                        calibration_dict[key][i, coords[1, i], coords[0, i]] = result
+
+        self.calibrations["wavefront_superpixel"] = calibration_dict
+        self.calibrations["wavefront_superpixel"].update(self._get_calibration_metadata())
+        return calibration_dict
+
+    # ------------------------------------------------------------------
+    # Superpixel processing (ref :3538-3983).
+    # ------------------------------------------------------------------
+
+    def wavefront_calibration_superpixel_process(
+        self,
+        index=0,
+        smooth=True,
+        r2_threshold=0.9,
+        remove_vortices=False,
+        remove_blaze=True,
+        remove_background=True,
+        apply=True,
+        plot=False,
+    ):
+        """
+        Process raw superpixel data into the usable source phase/amplitude:
+        r^2 masking, reference-neighbor averaging, phase inference for
+        below-threshold superpixels (majority vote from neighbors with
+        blaze-gradient extrapolation), superpixel-to-SLM expansion,
+        iterative smoothing (optional vortex removal), global blaze
+        removal, and wrap reduction. Writes ``slm.source`` when ``apply``.
+        """
+        if "wavefront_superpixel" in self.calibrations:
+            data = self.calibrations["wavefront_superpixel"]
+        elif "wavefront" in self.calibrations:
+            data = self.calibrations["wavefront"]
+        else:
+            raise RuntimeError("Could not find wavefront calibration.")
+        if len(data) == 0:
+            raise RuntimeError("No raw wavefront data to process.")
+
+        if "__version__" not in data:
+            data["__version__"] = "0.0.1"
+
+        if data["__version__"] != "0.0.1":
+            # Flatten a (multi-point) calibration into the r001 single-point form.
+            slm_supershape = tuple(np.asarray(data["slm_supershape"]).astype(int))
+
+            def index2coord(i):
+                return format_2vectors(
+                    np.stack((i % slm_supershape[1], i // slm_supershape[1]), axis=0)
+                )
+
+            reference = index2coord(
+                np.asarray(data["reference_superpixels"]).astype(int)[index]
+            ).ravel()
+
+            correction = {
+                "NX": slm_supershape[1],
+                "NY": slm_supershape[0],
+                "nxref": int(reference[0]),
+                "nyref": int(reference[1]),
+                "superpixel_size": data["superpixel_size"],
+                "interference_point": np.asarray(data["calibration_points"])[:, index],
+                "interference_size": data["interference_size"],
+                "previous_phase_correction": data.get("previous_phase_correction", False),
+            }
+            for key in [
+                "power", "normalization", "background", "phase", "kx", "ky",
+                "amp_fit", "contrast_fit", "r2_fit",
+            ]:
+                correction[key] = np.asarray(data[key])[index]
+            data = correction
+
+        return self._wavefront_calibration_superpixel_process_r001(
+            data,
+            smooth=smooth,
+            r2_threshold=r2_threshold,
+            remove_vortices=remove_vortices,
+            remove_blaze=remove_blaze,
+            remove_background=remove_background,
+            apply=apply,
+            plot=plot,
+        )
+
+    def _wavefront_calibration_superpixel_process_r001(
+        self,
+        data,
+        smooth=True,
+        r2_threshold=0.9,
+        remove_vortices=False,
+        remove_blaze=True,
+        remove_background=True,
+        apply=True,
+        plot=False,
+    ):
+        """Single-point processing core; see the public method."""
+        import cv2
+
+        from slmsuite_tpu.holography.analysis import (
+            image_reduce_wraps,
+            image_remove_blaze,
+            image_remove_vortices,
+        )
+        from slmsuite_tpu.holography.toolbox import imprint
+
+        if smooth is True:
+            smooth = 16
+        smooth = int(smooth)
+        if smooth < 0:
+            raise ValueError("Smoothing iterations must be a non-negative integer.")
+        r2_threshold = float(r2_threshold)
+
+        NX = int(data["NX"])
+        NY = int(data["NY"])
+        nxref = int(data["nxref"])
+        nyref = int(data["nyref"])
+
+        def average_neighbors(matrix):
+            n = 0
+            result = 0.0
+            for dx, dy in [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]:
+                x, y = nxref + dx, nyref + dy
+                if 0 <= x < NX and 0 <= y < NY and np.isfinite(matrix[y, x]):
+                    result += matrix[y, x]
+                    n += 1
+            matrix[nyref, nxref] = result / max(n, 1)
+
+        size_blur_k = 1
+        superpixel_size = int(data["superpixel_size"])
+        w = superpixel_size * NX
+        h = superpixel_size * NY
+
+        # Step 1: r^2.
+        r2 = np.nan_to_num(np.copy(np.asarray(data["r2_fit"], dtype=float)))
+        r2[nyref, nxref] = 1
+        r2s = r2
+        r2s_large = cv2.resize(r2s, (w, h), interpolation=cv2.INTER_NEAREST)
+        r2s_large = r2s_large[: self.slm.shape[0], : self.slm.shape[1]]
+
+        # Step 2: measured amplitude.
+        pwr = np.copy(np.asarray(data["power"], dtype=float))
+        pwr[pwr == np.inf] = np.nanmax(pwr)
+        average_neighbors(pwr)
+        if smooth:
+            pwr = cv2.GaussianBlur(pwr, (size_blur_k, size_blur_k), 0)
+
+        norm = np.copy(np.asarray(data["normalization"], dtype=float))
+        average_neighbors(norm)
+        if smooth:
+            norm = cv2.GaussianBlur(norm, (size_blur_k, size_blur_k), 0)
+
+        back = np.copy(np.asarray(data["background"], dtype=float))
+        back[np.isnan(back)] = 0
+        average_neighbors(back)
+        if smooth:
+            back = cv2.GaussianBlur(back, (size_blur_k, size_blur_k), 0)
+
+        if remove_background:
+            is_noise = r2s < r2_threshold
+            if np.all(back == 0) and np.sum(is_noise) > 0:
+                pwr_below = pwr[is_noise]
+                pwr_below[np.isnan(pwr_below)] = (
+                    np.nanmin(pwr_below) if np.any(np.isfinite(pwr_below)) else 0
+                )
+                pwr_min = np.min(pwr_below)
+                norm_min = np.nanmin(norm)
+                if (
+                    np.nanstd(pwr) > 0
+                    and (np.median(pwr_below) - pwr_min) / np.nanstd(pwr) < 0.5
+                    and pwr_min < norm_min
+                ):
+                    warnings.warn("Noise floor detected; removing this background.")
+                    back[:] = pwr_min
+
+        pwr = pwr - back
+        norm = norm - back
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pwr_norm = np.divide(pwr, norm)
+        pwr_norm[~np.isfinite(pwr_norm)] = 0
+        pwr_norm[pwr_norm < 0] = 0
+
+        pwr_large = cv2.resize(pwr_norm, (w, h), interpolation=cv2.INTER_CUBIC)
+        pwr_large = pwr_large[: self.slm.shape[0], : self.slm.shape[1]]
+        pwr_large[~np.isfinite(pwr_large)] = 0
+        pwr_large[pwr_large < 0] = 0
+        if smooth:
+            size_blur = 4 * superpixel_size + 1
+            pwr_large = cv2.GaussianBlur(pwr_large, (size_blur, size_blur), 0)
+
+        amp_large = np.sqrt(pwr_large)
+        peak = np.nanmax(amp_large)
+        if peak > 0:
+            amp_large = amp_large / peak
+
+        # Step 3: wavefront.
+        kx = np.nan_to_num(np.copy(np.asarray(data["kx"], dtype=float)))
+        ky = np.nan_to_num(np.copy(np.asarray(data["ky"], dtype=float)))
+        offset = np.nan_to_num(np.copy(np.asarray(data["phase"], dtype=float)))
+
+        real = np.cos(offset)
+        imag = np.sin(offset)
+        average_neighbors(real)
+        average_neighbors(imag)
+        average_neighbors(kx)
+        average_neighbors(ky)
+        offset = np.arctan2(imag, real) + np.pi
+
+        kx[r2s < r2_threshold] = 0
+        ky[r2s < r2_threshold] = 0
+        offset[r2s < r2_threshold] = 0
+        pathing = 0 * r2s - 100
+
+        # Step 3.1: infer phase for below-threshold superpixels.
+        for nx in list(range(NX)) + list(range(NX - 1, -1, -1)):
+            for ny in range(NY):
+                if r2s[ny, nx] >= r2_threshold:
+                    continue
+                kx2, ky2, offset2 = [], [], []
+                dx0 = 2 * np.pi * (nx - nxref) * superpixel_size * self.slm.pitch[0]
+                dy0 = 2 * np.pi * (ny - nyref) * superpixel_size * self.slm.pitch[1]
+
+                for ax, ay in [(1, 0), (-1, 0), (0, 1), (0, -1)]:
+                    tx, ty = nx + ax, ny + ay
+                    if (
+                        0 <= tx < NX
+                        and 0 <= ty < NY
+                        and (
+                            r2s[ty, tx] >= r2_threshold
+                            or pathing[ty, tx] == ny
+                            or (abs(pathing[ty, tx] - ny) == 1 and ax != 0)
+                        )
+                    ):
+                        kx3, ky3 = kx[ty, tx], ky[ty, tx]
+                        kx2.append(kx3)
+                        ky2.append(ky3)
+                        offset2.append(offset[ty, tx] + (dx0 * kx3 + dy0 * ky3))
+
+                if kx2:
+                    kx[ny, nx] = np.mean(kx2)
+                    ky[ny, nx] = np.mean(ky2)
+
+                    minstd = np.inf
+                    for phi in range(4):
+                        shift = phi * np.pi / 2
+                        offset3 = np.mod(np.array(offset2) + shift, 2 * np.pi)
+                        if minstd > np.std(offset3):
+                            minstd = np.std(offset3)
+                            offset[ny, nx] = np.mod(np.mean(offset3) - shift, 2 * np.pi)
+
+                    offset[ny, nx] -= dx0 * kx[ny, nx] + dy0 * ky[ny, nx]
+                    pathing[ny, nx] = ny
+
+        # Step 3.2: expand to SLM resolution.
+        phase = np.zeros(self.slm.shape)
+        for nx in range(NX):
+            for ny in range(NY):
+                imprint(
+                    phase,
+                    np.array([nx, 1, ny, 1]) * superpixel_size,
+                    _blaze_offset,
+                    self.slm,
+                    vector=(kx[ny, nx], ky[ny, nx]),
+                    offset=offset[ny, nx],
+                )
+
+        # Step 3.3: iterative smoothing.
+        if smooth:
+            for i in tqdm(range(smooth), desc="smooth"):
+                real = np.cos(phase)
+                imag = np.sin(phase)
+                size_blur = 2 * int(superpixel_size / 4) + 1
+                real = cv2.GaussianBlur(real, (size_blur, size_blur), 0)
+                imag = cv2.GaussianBlur(imag, (size_blur, size_blur), 0)
+                phase = np.arctan2(imag, real) + np.pi
+                if remove_vortices and i == smooth // 2:
+                    phase = image_remove_vortices(phase)
+        else:
+            phase = np.arctan2(np.sin(phase), np.cos(phase)) + np.pi
+
+        # Step 3.4: cleanup.
+        if remove_blaze:
+            phase = image_remove_blaze(phase, mask=pwr_large)
+        phase = image_reduce_wraps(phase, mask=pwr_large)
+
+        if (
+            "previous_phase_correction" in data
+            and data["previous_phase_correction"] is not None
+            and not (
+                np.isscalar(data["previous_phase_correction"])
+                and not data["previous_phase_correction"]
+            )
+        ):
+            phase = phase + np.asarray(data["previous_phase_correction"])
+
+        wavefront_calibration = {
+            "phase": phase,
+            "amplitude": amp_large,
+            "r2": r2s_large,
+            "r2_threshold": r2_threshold,
+        }
+
+        if apply:
+            self.slm.source.update(wavefront_calibration)
+        if plot:
+            self.slm.plot_source(source=wavefront_calibration)
+
+        return wavefront_calibration
+
+    def wavefront_calibration_superpixel_window(self, superpixel_size):
+        """
+        Interference-window size for a given SLM ``superpixel_size``
+        (inverse relation through the Fourier transform, times the stored
+        window multiplier).
+        """
+        interference_size = np.rint(
+            np.array(
+                self.get_farfield_spot_size(
+                    superpixel_size * self.slm.pitch, basis="ij"
+                )
+            )
+        ).astype(int)
+        return self._wavefront_calibration_window_multiplier * interference_size

@@ -1,0 +1,262 @@
+r"""
+Multiplane holography: several child holograms sharing one nearfield.
+
+Parity: reference ``slmsuite/holography/algorithms/_multiplane.py``.
+
+Each child (possibly at a different focal plane via its
+``propagation_kernel``) computes its own farfield and constraint; the
+complex nearfields (kernels removed) are weight-summed into the shared
+phase. The loop runs as jitted per-child forward/constraint stages plus
+one jitted combine; for homogeneous computational children the
+mesh-sharded batched engine (:mod:`slmsuite_tpu.parallel.multiplane`)
+offers the same math data-parallel across chips.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm.auto import tqdm
+
+from slmsuite_tpu.holography.algorithms._hologram import Hologram
+from slmsuite_tpu.ops import propagation as _prop
+
+
+@functools.lru_cache(maxsize=32)
+def _child_backward(config):
+    """
+    Jitted: constrained farfield -> weighted complex nearfield window
+    (propagation kernel removed).
+    """
+    y0, _, x0, _ = _prop.pad_window_slices(config.shape, config.slm_shape)
+
+    def backward(farfield, weights, phase_ff, plane_weight, consts):
+        kernel = consts.get("kernel") if config.has_kernel else None
+        constrained = weights * jnp.exp(1j * phase_ff)
+        if config.mraf:
+            constrained = jnp.where(consts["signal_mask"], constrained, farfield)
+            if config.mraf_factor:
+                constrained = jnp.where(
+                    consts["noise_mask"], consts["mraf_factor"] * constrained, constrained
+                )
+            constrained = jnp.where(consts["zero_mask"], 0.0, constrained)
+        nearfield = _prop.farfield_to_nearfield(constrained)
+        window = jax.lax.dynamic_slice(nearfield, (y0, x0), tuple(config.slm_shape))
+        if kernel is not None:
+            window = window * jnp.exp(-1j * kernel)
+        return plane_weight * window
+
+    return jax.jit(backward)
+
+
+@jax.jit
+def _combine_windows(windows):
+    """Sum the per-child complex windows; extract the shared folded phase."""
+    total = functools.reduce(jnp.add, windows)
+    return jnp.arctan2(total.imag, total.real)
+
+
+class MultiplaneHologram(Hologram):
+    """
+    Meta-hologram optimizing ``N`` child holograms simultaneously through
+    one shared phase pattern.
+
+    Attributes
+    ----------
+    holograms : list of Hologram
+        Children (any non-multiplane Hologram subclass).
+    weights : numpy.ndarray
+        Per-child power weights (normalized).
+    """
+
+    def __init__(self, holograms, weights=None):
+        """Initialize from children; weights default to even power."""
+        self.holograms = holograms
+
+        for h in self.holograms:
+            if isinstance(h, MultiplaneHologram):
+                raise ValueError("Multiplane hologram recursion is not supported.")
+            if not isinstance(h, Hologram):
+                raise ValueError(
+                    f"Multiplane hologram must be given child holograms, not {type(h)}"
+                )
+
+        super().__init__(
+            target=holograms[0].slm_shape,
+            amp=holograms[0].amp,
+            phase=holograms[0].phase,
+            slm_shape=holograms[0].slm_shape,
+            dtype=holograms[0].dtype,
+        )
+        self.target = None
+
+        # Children share the parent's nearfield.
+        for h in self.holograms:
+            h.amp = self.amp
+
+        if weights is None:
+            weights = np.ones(len(self), dtype=self.dtype)
+        self.weights = np.asarray(weights, dtype=self.dtype)
+        self.weights = self.weights / Hologram._norm(self.weights)
+
+    def __len__(self):
+        return len(self.holograms)
+
+    @staticmethod
+    def get_multiplane_defocus_blur(cameraslm, targets, target_depths, return_depths=None, sharp_focus=True):
+        """
+        Propagate a stack of target images between depths with Gaussian
+        defocus blur (ref ``_multiplane.py:86-170``).
+        """
+        import cv2
+
+        if return_depths is None:
+            return_depths = target_depths
+        targets = np.asarray(targets)
+        if targets.ndim != 3:
+            raise ValueError("Expected 3D stack of 2D images.")
+        image_count, h, w = targets.shape
+        if image_count != len(target_depths):
+            raise ValueError("There should be the same number of images as target_depths.")
+
+        if cameraslm.cam.pitch_um is None:
+            raise ValueError("Camera pitch_um is necessary to calculate defocus blur.")
+
+        canvas = np.zeros((len(return_depths), h, w))
+        f_eff = np.sqrt(np.abs(np.linalg.det(cameraslm.calibrations["fourier"]["M"])))
+        w0_kxy = cameraslm.slm.get_spot_radius_kxy()
+        w0_pix = f_eff * w0_kxy
+        w0_um = w0_pix * np.mean(cameraslm.cam.pitch_um)
+        zr = np.pi * w0_um * w0_um / cameraslm.slm.wav_um
+
+        for j, z2 in enumerate(return_depths):
+            for i, z1 in enumerate(target_depths):
+                dz = (z1 - z2) * (f_eff * f_eff)
+                blur = w0_pix * (np.sqrt(1 + (dz / zr) ** 2) - (1 if sharp_focus else 0))
+                blur = 2 * int(blur) + 1
+                canvas[j, :, :] += cv2.GaussianBlur(targets[i], (blur, blur), 0)
+
+        return canvas
+
+    # ------------------------------------------------------------------
+    # Meta plumbing (ref :175-289).
+    # ------------------------------------------------------------------
+
+    def _update_flags(self, method, verbose, feedback, stat_groups, **kwargs):
+        super()._update_flags(method, verbose, feedback, stat_groups, **kwargs)
+        for h in self.holograms:
+            h.flags.update(self.flags)
+
+    def reset(self, reset_phase=True, reset_flags=False):
+        super().reset(reset_phase, reset_flags)
+        if hasattr(self, "holograms"):
+            for h in self.holograms:
+                h.reset(reset_phase=False, reset_flags=reset_flags)
+
+    def reset_weights(self):
+        if hasattr(self, "holograms"):
+            for h in self.holograms:
+                h.reset_weights()
+
+    def set_target(self, *args, **kwargs):
+        raise RuntimeError(
+            "Do not use MultiplaneHologram.set_target(). "
+            "Update the targets of the child holograms directly."
+        )
+
+    def _update_stats(self, stat_groups=[]):
+        for h in self.holograms:
+            h._update_stats(stat_groups)
+
+    def plot_farfield(self, *args, **kwargs):
+        for h in self.holograms:
+            h.plot_farfield(*args, **kwargs)
+
+    def plot_stats(self, *args, **kwargs):
+        for h in self.holograms:
+            h.plot_stats(*args, **kwargs)
+
+    def remove_vortices(self):
+        for h in self.holograms:
+            h.remove_vortices()
+
+    # ------------------------------------------------------------------
+    # Optimization: meta GS loop.
+    # ------------------------------------------------------------------
+
+    def optimize_gs(self, maxiter, callback, verbose=True, name=None):
+        """
+        Meta GS: per-iteration, every child runs its jitted forward +
+        stats + weight update + constraint; the complex nearfields combine
+        through one jitted weighted sum into the shared phase.
+        """
+        if isinstance(maxiter, range):
+            maxiter = len(maxiter)
+
+        children = self.holograms
+        configs = [h._build_config() for h in children]
+        consts = [h._build_consts(c) for h, c in zip(children, configs)]
+
+        iterations = range(maxiter)
+        if verbose and maxiter > 1:
+            iterations = tqdm(iterations, desc=name)
+
+        amp = (
+            jnp.float32(self.amp)
+            if np.isscalar(self.amp)
+            else jnp.asarray(self.amp, dtype=jnp.float32)
+        )
+
+        for _ in iterations:
+            windows = []
+            stop = False
+
+            for h, config, c in zip(children, configs, consts):
+                # Forward with the child's kernel, from the shared phase.
+                h._psi = self._psi
+                kernel = c.get("kernel") if config.has_kernel else None
+                farfield, amp_ff, theta = _prop.forward_fields(
+                    jnp.asarray(self._psi, dtype=jnp.float32),
+                    amp,
+                    config.shape,
+                    kernel,
+                )
+                h._farfield_folded = farfield
+                h.amp_ff = np.asarray(amp_ff)
+                h._midloop_cleaning()
+                h.iter = self.iter
+
+                # Stats + weights + Kim decision per child.
+                h._update_stats(h.flags.get("stat_groups", []))
+                was_not_fixed = not h.flags.get("fixed_phase", False)
+                if "WGS" in h.flags["method"] and h.iter > 0:
+                    h._update_weights()
+                    h._kim_decision_host()
+                if was_not_fixed or h._phase_ff_folded is None:
+                    h._phase_ff_folded = np.asarray(theta)
+
+                weights = jnp.asarray(
+                    np.nan_to_num(np.asarray(h.weights, dtype=np.float32))
+                )
+                backward = _child_backward(config)
+                windows.append(
+                    backward(
+                        farfield,
+                        weights,
+                        jnp.asarray(h._phase_ff_folded, dtype=jnp.float32),
+                        jnp.float32(self.weights[children.index(h)]),
+                        c,
+                    )
+                )
+
+            self._psi = np.asarray(_combine_windows(tuple(windows)))
+
+            if callback is not None and callback(self):
+                stop = True
+
+            self.iter += 1
+            if stop:
+                break
+
+        self._populate_results()

@@ -17,6 +17,7 @@ import warnings
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from slmsuite_tpu.holography import analysis, toolbox
@@ -562,13 +563,474 @@ class SpotHologram(_AbstractSpotHologram):
 
 
 class CompressedSpotHologram(_AbstractSpotHologram):
-    """
-    Grid-free spot holography in a Zernike basis (under construction in
-    this module; see :mod:`slmsuite_tpu.ops.zernike` for the transform
-    kernels). Parity target: reference ``_spots.py:174-1089``.
+    r"""
+    Grid-free spot holography: the farfield is a length-``N`` complex
+    vector and the near<->far transform is an explicit Zernike-phase
+    kernel contraction — each spot carries its own Zernike coefficients
+    (3D position + aberrations). Parity: reference ``_spots.py:174-1089``;
+    the CUDA kernels are replaced by MXU matmul + fused-sincos pipelines
+    (:mod:`slmsuite_tpu.ops.compressed`, with an optional Pallas kernel).
+
+    Attributes
+    ----------
+    spot_zernike : numpy.ndarray
+        ``(D, N)`` spot coefficients in the Zernike basis.
+    zernike_basis : numpy.ndarray
+        ANSI indices of the basis (``-1`` = vortex waveplate).
+    spot_ij : numpy.ndarray OR None
+        Camera-basis lateral positions.
     """
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "CompressedSpotHologram lands with ops.zernike; use SpotHologram."
+    def __init__(self, spot_vectors, basis="kxy", spot_amp=None, cameraslm=None, cuda=False, **kwargs):
+        """
+        Initialize from ``(D, N)`` spot vectors in basis ``"kxy"``,
+        ``"ij"``, ``"zernike"``, or an explicit list of ANSI indices.
+        ``cuda`` maps to the fused Pallas path on TPU.
+        """
+        if cameraslm is None:
+            raise ValueError("cameraslm must be passed.")
+
+        spot_vectors = toolbox.format_vectors(spot_vectors, handle_dimension="pass")
+        D, N = spot_vectors.shape
+
+        if spot_amp is not None:
+            self.spot_amp = np.asarray(spot_amp).ravel()
+            if self.spot_amp.size != N:
+                raise ValueError("spot_amp must have the same length as the spots.")
+        else:
+            self.spot_amp = np.full(N, 1.0 / np.sqrt(N))
+
+        # Zernike basis.
+        from slmsuite_tpu.holography.toolbox import phase as tphase
+
+        if isinstance(basis, str):
+            self.zernike_basis = tphase._zernike_indices_parse(None, D)
+        else:
+            self.zernike_basis = np.ravel(basis)
+            basis = "zernike"
+            if len(self.zernike_basis) != D:
+                raise ValueError("zernike_basis must match the spot dimension.")
+            if 0 in self.zernike_basis:
+                warnings.warn(
+                    "Found ANSI index '0' (piston) in the zernike_basis; "
+                    "spot phase is controlled externally."
+                )
+
+        if not np.any(self.zernike_basis == 2) or not np.any(self.zernike_basis == 1):
+            raise ValueError("Compressed basis must include x, y (ANSI indices 2, 1)")
+        self.zernike_basis_cartesian = [
+            np.argwhere(self.zernike_basis == 2)[0],
+            np.argwhere(self.zernike_basis == 1)[0],
+        ]
+        if np.any(self.zernike_basis == 4):
+            self.zernike_basis_cartesian.append(np.argwhere(self.zernike_basis == 4)[0])
+        self.zernike_basis_cartesian = np.squeeze(self.zernike_basis_cartesian)
+
+        # Convert vectors into the zernike/kxy/ij triple.
+        if basis == "zernike":
+            self.spot_zernike = np.array(spot_vectors, dtype=float)
+            self.spot_kxy = toolbox.convert_vector(
+                spot_vectors[self.zernike_basis_cartesian, :],
+                "zernike",
+                "kxy",
+                hardware=cameraslm,
+            )
+            try:
+                self.spot_ij = toolbox.convert_vector(
+                    spot_vectors, "zernike", "ij", hardware=cameraslm
+                )
+            except Exception:
+                self.spot_ij = None
+        else:
+            self.spot_zernike = toolbox.convert_vector(
+                spot_vectors, basis, "zernike", hardware=cameraslm
+            )
+            self.spot_kxy = toolbox.convert_vector(
+                spot_vectors, basis, "kxy", hardware=cameraslm
+            )
+            try:
+                self.spot_ij = toolbox.convert_vector(
+                    spot_vectors, basis, "ij", hardware=cameraslm
+                )
+            except Exception:
+                self.spot_ij = None
+
+        # Bounds + integration widths.
+        if hasattr(cameraslm, "slm"):
+            kmax = 1.0 / np.min(cameraslm.slm.pitch) / 2.0
+            if np.any(np.abs(self.spot_kxy[:2, :]) > 1.1 * kmax):
+                raise ValueError("Spots laterally outside the bounds of the farfield")
+            psf_kxy = np.mean(cameraslm.slm.get_spot_radius_kxy())
+            if "fourier" in getattr(cameraslm, "calibrations", {}):
+                self.spot_ij = cameraslm.kxyslm_to_ijcam(self.spot_kxy)
+                psf_ij = toolbox.convert_radius(psf_kxy, "kxy", "ij", cameraslm)
+            else:
+                self.spot_ij = None
+                psf_ij = np.nan
+        else:
+            psf_ij = np.nan
+            self.spot_ij = None
+
+        if np.isnan(psf_ij):
+            psf_ij = 0
+
+        min_psf = 3
+        if self.spot_ij is not None:
+            dist_ij = np.max([toolbox.smallest_distance(self.spot_ij) / 1.5, min_psf])
+            if psf_ij > dist_ij:
+                warnings.warn("The expected camera spot psf is too large; clipping.")
+            width = np.clip(2 * psf_ij, 3, dist_ij)
+            self.spot_integration_width_ij = int(2 * np.floor(width / 2) + 1)
+
+            cam_shape = cameraslm.cam.shape
+            half = self.spot_integration_width_ij / 2
+            if (
+                np.any(self.spot_ij[0] < half)
+                or np.any(self.spot_ij[1] < half)
+                or np.any(self.spot_ij[0] >= cam_shape[1] - half)
+                or np.any(self.spot_ij[1] >= cam_shape[0] - half)
+            ):
+                raise ValueError(
+                    f"Spots outside camera bounds!\nSpots:\n{self.spot_ij}\n"
+                    f"Bounds: {cam_shape}"
+                )
+        else:
+            self.spot_integration_width_ij = None
+
+        super().__init__(shape=None, target_ij=None, cameraslm=cameraslm, **kwargs)
+        self.shape = self.slm_shape
+
+        self.set_target(new_target=self.spot_amp, reset_weights=True)
+        self.reset()
+
+        self.external_spot_amp = np.copy(self.spot_amp)
+
+        # Basis stack for the compressed transforms (host-built, cached).
+        from slmsuite_tpu.ops.compressed import build_zernike_basis
+
+        slm = cameraslm.slm if hasattr(cameraslm, "slm") else cameraslm
+        self._basis = build_zernike_basis(self.zernike_basis, slm)
+        self.cuda = bool(cuda)  # Maps to the fused Pallas path.
+
+    def __len__(self):
+        return int(self.spot_amp.size)
+
+    def get_padded_shape(self, *args, **kwargs):
+        """Compressed holograms have no DFT grid and need no padding."""
+        raise NameError(
+            "CompressedSpotHologram does not use a DFT grid and does not need padding."
         )
+
+    # ------------------------------------------------------------------
+    # Target management (ref :917-947).
+    # ------------------------------------------------------------------
+
+    def _set_target(self, new_target, reset_weights=False):
+        # Called by Hologram.__init__ before spot data exists; defer.
+        if not hasattr(self, "spot_amp"):
+            self.target = None
+            return
+        self.set_target(new_target, reset_weights)
+
+    def set_target(self, new_target=None, reset_weights=False):
+        """Set the ``(N,)`` spot-amplitude target (cleans and normalizes)."""
+        if new_target is None:
+            self.target = np.asarray(self.spot_amp, dtype=self.dtype)
+        else:
+            new_target = np.squeeze(np.asarray(new_target).ravel())
+            if new_target.shape != (len(self),):
+                raise ValueError("Target must have one amplitude per spot.")
+            self.target = np.array(new_target, dtype=self.dtype)
+            self.spot_amp = np.array(new_target, dtype=self.dtype)
+
+        self.target = np.abs(self.target)
+        self.target = self.target / Hologram._norm(self.target)
+
+        if reset_weights:
+            self.reset_weights()
+
+    # ------------------------------------------------------------------
+    # Engine integration.
+    # ------------------------------------------------------------------
+
+    def _compressed_config(self):
+        from slmsuite_tpu.ops.compressed import CompressedGSConfig
+
+        return CompressedGSConfig(
+            method=self.flags["method"],
+            n_pixels=int(np.prod(self.slm_shape)),
+            n_spots=len(self),
+            stat_groups=tuple(
+                g for g in self.flags.get("stat_groups", []) if g == "computational_spot"
+            ),
+            kim_efficiency_trigger=(
+                "Kim" in self.flags["method"]
+                and self.flags.get("fix_phase_efficiency") is not None
+            ),
+            use_pallas=self.cuda,
+        )
+
+    def _compressed_consts(self):
+        amp = self.amp
+        if np.isscalar(amp):
+            amp_flat = jnp.float32(amp)
+        else:
+            amp_flat = jnp.asarray(np.asarray(amp, np.float32).ravel())
+        target = np.nan_to_num(np.asarray(self.target, np.float32))
+        return {
+            "amp": amp_flat,
+            "coeffs": jnp.asarray(self.spot_zernike, dtype=jnp.float32),
+            "basis": jnp.asarray(self._basis),
+            "target": jnp.asarray(target),
+            "stat_mask": jnp.asarray(target != 0),
+            "feedback_exponent": jnp.float32(self.flags.get("feedback_exponent", 0.8)),
+            "feedback_factor": jnp.float32(self.flags.get("feedback_factor", 0.1)),
+            "fix_phase_iteration": jnp.int32(self.flags.get("fix_phase_iteration", 10)),
+            "fix_phase_efficiency": jnp.float32(
+                self.flags.get("fix_phase_efficiency") or np.nan
+            ),
+        }
+
+    def optimize_gs(self, maxiter, callback, verbose=True, name=None):
+        """Compressed GS: scanned engine, or host loop for camera feedback."""
+        from slmsuite_tpu.ops import compressed as _comp
+        from tqdm.auto import tqdm as _tqdm
+
+        if isinstance(maxiter, range):
+            maxiter = len(maxiter)
+
+        feedback = self.flags.get("feedback", "computational")
+        if feedback == "computational":
+            feedback = self.flags["feedback"] = "computational_spot"
+        if feedback == "experimental":
+            warnings.warn(
+                "CompressedSpotHologram feedback 'experimental' is interpreted "
+                "as 'experimental_spot'"
+            )
+            feedback = self.flags["feedback"] = "experimental_spot"
+
+        host_loop = (
+            callback is not None
+            or bool(self._stats_pending_groups())
+            or feedback in ("experimental_spot", "external_spot")
+        )
+
+        config = self._compressed_config()
+        consts = self._compressed_consts()
+        start_iter = self.iter
+
+        state = _comp.CompressedGSState(
+            psi=jnp.asarray(np.asarray(self.phase, np.float32).ravel()),
+            weights=jnp.asarray(np.nan_to_num(np.asarray(self.weights, np.float32))),
+            phase_ff=(
+                jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
+                if self._phase_ff_folded is not None
+                else jnp.zeros(len(self), jnp.float32)
+            ),
+            fixed_phase=jnp.asarray(bool(self.flags.get("fixed_phase", False))),
+            unfixed_streak=jnp.zeros((), jnp.int32),
+            iteration=jnp.asarray(self.iter, jnp.int32),
+        )
+
+        if not host_loop:
+            iterator = _tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
+            chunk = maxiter if not verbose else max(1, int(np.ceil(maxiter / 10)))
+            remaining = maxiter
+            all_stats = []
+            while remaining > 0:
+                n = min(chunk, remaining)
+                state, stats = _comp.run_compressed_gs(config, state, consts, n)
+                all_stats.append(stats)
+                remaining -= n
+                if iterator is not None:
+                    iterator.update(n)
+            if iterator is not None:
+                iterator.close()
+
+            self._sync_compressed_state(state)
+            if config.stat_groups:
+                self._record_scan_stats(np.concatenate(all_stats), start_iter)
+        else:
+            step = _comp.make_compressed_gs_step(
+                dataclasses_replace_stats(config)
+            )
+            iterations = range(maxiter)
+            if verbose and maxiter > 1:
+                iterations = _tqdm(iterations, desc=name)
+            step_jit = jax.jit(step)
+            for _ in iterations:
+                state = self._stepwise_compressed(state, consts, config, callback, step_jit)
+                if self._break_requested:
+                    break
+            self._sync_compressed_state(state)
+
+        self._populate_results()
+
+    def _stepwise_compressed(self, state, consts, config, callback, step_jit):
+        """One host-paced compressed iteration with hardware feedback."""
+        from slmsuite_tpu.ops import compressed as _comp
+
+        self._break_requested = False
+
+        # Forward only: compute farfield from current psi.
+        amp = consts["amp"]
+        nf_re = amp * jnp.cos(state.psi)
+        nf_im = amp * jnp.sin(state.psi)
+        n2f = _comp._get_transforms(config)[1]
+        ff_re, ff_im = n2f(nf_re, nf_im, consts["coeffs"], consts["basis"], config.n_spots)
+        self.amp_ff = np.sqrt(np.asarray(ff_re) ** 2 + np.asarray(ff_im) ** 2)
+        theta_host = np.arctan2(np.asarray(ff_im), np.asarray(ff_re))
+        self._midloop_cleaning()
+        self.weights = np.asarray(state.weights)
+        self.iter = int(state.iteration)
+
+        if callback is not None and callback(self):
+            self._break_requested = True
+            return state
+        self._update_stats(self.flags["stat_groups"])
+
+        was_not_fixed = not self.flags.get("fixed_phase", False)
+        if "WGS" in self.flags["method"] and self.iter > 0:
+            self._update_weights()
+            self._kim_decision_host()
+        if was_not_fixed or self._phase_ff_folded is None:
+            self._phase_ff_folded = theta_host
+
+        # Backward.
+        weights = jnp.asarray(np.nan_to_num(np.asarray(self.weights, np.float32)))
+        phase_ff = jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
+        f2n = _comp._get_transforms(config)[0]
+        nfp_re, nfp_im = f2n(
+            weights * jnp.cos(phase_ff),
+            weights * jnp.sin(phase_ff),
+            consts["coeffs"],
+            consts["basis"],
+            config.n_spots,
+        )
+        psi = jnp.arctan2(nfp_im, nfp_re)
+
+        return _comp.CompressedGSState(
+            psi=psi,
+            weights=weights,
+            phase_ff=phase_ff,
+            fixed_phase=jnp.asarray(bool(self.flags.get("fixed_phase", False))),
+            unfixed_streak=state.unfixed_streak,
+            iteration=state.iteration + 1,
+        )
+
+    def _sync_compressed_state(self, state):
+        self.phase = np.asarray(state.psi).reshape(self.slm_shape)
+        self.weights = np.asarray(state.weights)
+        self._phase_ff_folded = np.asarray(state.phase_ff)
+        self.flags["fixed_phase"] = bool(state.fixed_phase)
+        self.iter = int(state.iteration)
+
+    # The compressed hologram's phase is stored directly (no fold).
+    @property
+    def phase(self):
+        return self._raw_phase
+
+    @phase.setter
+    def phase(self, value):
+        self._raw_phase = (
+            None if value is None else np.asarray(value, dtype=self.dtype)
+        )
+        self._psi = self._raw_phase  # Alias for shared code paths.
+
+    @property
+    def phase_ff(self):
+        """(N,) farfield spot phases."""
+        return self._phase_ff_folded
+
+    @phase_ff.setter
+    def phase_ff(self, value):
+        self._phase_ff_folded = None if value is None else np.asarray(value)
+
+    def _populate_results(self):
+        """Compute the (N,) farfield from the current phase."""
+        from slmsuite_tpu.ops import compressed as _comp
+
+        config = self._compressed_config() if "method" in self.flags else None
+        consts = self._compressed_consts()
+        psi = jnp.asarray(np.asarray(self.phase, np.float32).ravel())
+        nf_re = consts["amp"] * jnp.cos(psi)
+        nf_im = consts["amp"] * jnp.sin(psi)
+        ff_re, ff_im = _comp.nearfield_to_farfield(
+            nf_re, nf_im, consts["coeffs"], consts["basis"], len(self)
+        )
+        ff_re = np.asarray(ff_re)
+        ff_im = np.asarray(ff_im)
+        self._farfield_folded = None
+        self.amp_ff = np.sqrt(ff_re**2 + ff_im**2)
+        self._phase_ff_folded = np.arctan2(ff_im, ff_re)
+
+    @property
+    def farfield(self):
+        """(N,) complex spot farfield."""
+        if self.amp_ff is None:
+            return None
+        return self.amp_ff * np.exp(1j * self._phase_ff_folded)
+
+    def get_farfield(self, *args, **kwargs):
+        """(N,) complex spot farfield from the current phase."""
+        self._populate_results()
+        return self.farfield
+
+    # ------------------------------------------------------------------
+    # Weighting and stats (ref :949-1045).
+    # ------------------------------------------------------------------
+
+    def _update_weights(self):
+        feedback = self.flags["feedback"]
+
+        if feedback == "computational":
+            feedback = self.flags["feedback"] = "computational_spot"
+        if feedback == "experimental":
+            feedback = self.flags["feedback"] = "experimental_spot"
+
+        if feedback == "computational_spot":
+            amp_feedback = self.amp_ff
+        elif feedback == "experimental_spot":
+            self.measure(basis="ij")
+            amp_feedback = np.sqrt(
+                analysis.take(
+                    np.square(np.asarray(self.img_ij, dtype=self.dtype)),
+                    self.spot_ij,
+                    self.spot_integration_width_ij,
+                    centered=True,
+                    integrate=True,
+                )
+            )
+        elif feedback == "external_spot":
+            amp_feedback = self.external_spot_amp
+        else:
+            raise ValueError(f"Feedback '{feedback}' not recognized.")
+
+        self.weights = np.asarray(
+            update_weights_generic(
+                jnp.asarray(np.nan_to_num(self.weights), dtype=jnp.float32),
+                jnp.asarray(np.asarray(amp_feedback, np.float32)),
+                jnp.asarray(np.nan_to_num(np.asarray(self.target, np.float32))),
+                self.flags["method"],
+                self.flags.get("feedback_exponent", 0.8),
+                self.flags.get("feedback_factor", 0.1),
+            )
+        )
+
+    def _populate_stats(self, stats, stat_groups):
+        if "computational_spot" in stat_groups and self.amp_ff is not None:
+            stats["computational_spot"] = self._calculate_stats(
+                self.amp_ff,
+                np.nan_to_num(np.asarray(self.target)),
+                efficiency_compensation=False,
+                raw=bool(self.flags.get("raw_stats")),
+            )
+        # Experimental/external spot groups from the shared abstract class.
+        _AbstractSpotHologram._populate_stats(self, stats, stat_groups)
+
+
+def dataclasses_replace_stats(config):
+    """Stepwise path computes stats host-side; strip device stat groups."""
+    import dataclasses as _dc
+
+    return _dc.replace(config, stat_groups=())

@@ -1,0 +1,301 @@
+r"""
+Compressed (grid-free) spot transforms and the compressed GS engine.
+
+Replaces the reference's custom CUDA kernels
+(``cuda.cu:95-288``: ``compressed_farfield2nearfield`` /
+``compressed_nearfield2farfield``) with TPU-native pipelines. The
+transform pair is
+
+.. math::
+    \text{nf}[p] = \sum_n \text{ff}[n]\,
+        e^{i \sum_d B[d,p]\, c[d,n]} / \sqrt{P}
+    \qquad
+    \text{ff}[n] = \sum_p \overline{K}[n,p]\, \text{nf}[p]
+
+where :math:`B` is the Zernike basis stack evaluated once on the scaled
+SLM grid and :math:`c` are per-spot Zernike coefficients. The phase
+matrix :math:`B^T c` is an MXU matmul; the kernel is never materialized
+globally — a ``lax.scan`` over pixel tiles (and spot tiles for large N)
+bounds memory, mirroring the reference's ``N_BATCH_MAX`` batching
+(``_spots.py:175``). A fused Pallas kernel
+(:mod:`slmsuite_tpu.ops.pallas_compressed`) removes even the tile
+round-trips to HBM where available.
+"""
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slmsuite_tpu.ops.stats import calculate_stats
+from slmsuite_tpu.ops.weights import update_weights_generic
+
+#: Pixel-tile length for the scan (flattened SLM pixels per step).
+PIXEL_TILE = 8192
+#: Maximum spot count processed in one tile.
+SPOT_TILE = 1024
+
+
+def build_zernike_basis(indices, slm, dtype=np.float32):
+    """
+    Evaluate the Zernike basis stack ``(D, H*W)`` on the SLM's scaled grid
+    (host-side, once per hologram). ``indices`` are ANSI (with ``-1`` the
+    vortex special case); scaling comes from the SLM's measured source
+    (``get_source_zernike_scaling``), matching the reference
+    (``_spots.py:595-636``).
+    """
+    from slmsuite_tpu.holography.toolbox import _process_grid
+    from slmsuite_tpu.holography.toolbox.phase import zernike_aperture, zernike_sum
+
+    indices = np.ravel(indices)
+    x_grid, y_grid = _process_grid(slm)
+    x_scale, y_scale = zernike_aperture(slm, aperture=None)
+
+    basis = zernike_sum(
+        (np.asarray(x_grid) * x_scale, np.asarray(y_grid) * y_scale),
+        indices,
+        np.eye(len(indices)),
+        aperture=1,
+        use_mask=False,
+    )
+    return np.asarray(basis, dtype=dtype).reshape(len(indices), -1)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("n_spots",))
+def farfield_to_nearfield(ff_re, ff_im, coeffs, basis, n_spots):
+    """
+    Expand ``(N,)`` spot amplitudes into the ``(P,)`` complex nearfield
+    (returned as a re/im pair). ``coeffs (D, N)``, ``basis (D, P)``.
+    """
+    D, P = basis.shape
+    n_tiles = -(-P // PIXEL_TILE)
+    P_pad = n_tiles * PIXEL_TILE
+
+    basis_tiles = _pad_to(basis, P_pad, 1).reshape(D, n_tiles, PIXEL_TILE)
+    basis_tiles = jnp.moveaxis(basis_tiles, 1, 0)  # (tiles, D, T)
+
+    scale = 1.0 / np.sqrt(P)
+
+    def tile_fn(_, basis_tile):
+        # (N, D) @ (D, T) on the MXU -> phases, then fused sincos + matvec.
+        phases = jnp.einsum(
+            "dn,dt->nt", coeffs, basis_tile,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cos = jnp.cos(phases)
+        sin = jnp.sin(phases)
+        re = ff_re @ cos - ff_im @ sin
+        im = ff_re @ sin + ff_im @ cos
+        return None, (re * scale, im * scale)
+
+    _, (nf_re, nf_im) = jax.lax.scan(tile_fn, None, basis_tiles)
+    return nf_re.reshape(-1)[:P], nf_im.reshape(-1)[:P]
+
+
+@functools.partial(jax.jit, static_argnames=("n_spots",))
+def nearfield_to_farfield(nf_re, nf_im, coeffs, basis, n_spots):
+    """
+    Conjugate-overlap reduction of the ``(P,)`` nearfield onto ``(N,)``
+    spot amplitudes (normalized to unit norm, as the reference's kernels).
+    """
+    D, P = basis.shape
+    n_tiles = -(-P // PIXEL_TILE)
+    P_pad = n_tiles * PIXEL_TILE
+
+    basis_tiles = jnp.moveaxis(
+        _pad_to(basis, P_pad, 1).reshape(D, n_tiles, PIXEL_TILE), 1, 0
+    )
+    nf_re_t = _pad_to(nf_re, P_pad, 0).reshape(n_tiles, PIXEL_TILE)
+    nf_im_t = _pad_to(nf_im, P_pad, 0).reshape(n_tiles, PIXEL_TILE)
+
+    scale = 1.0 / np.sqrt(P)
+
+    def tile_fn(carry, tile):
+        acc_re, acc_im = carry
+        basis_tile, re_t, im_t = tile
+        phases = jnp.einsum(
+            "dn,dt->nt", coeffs, basis_tile,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cos = jnp.cos(phases)
+        sin = jnp.sin(phases)
+        # conj(kernel) * nf summed over the tile's pixels.
+        acc_re = acc_re + cos @ re_t + sin @ im_t
+        acc_im = acc_im + cos @ im_t - sin @ re_t
+        return (acc_re, acc_im), None
+
+    init = (jnp.zeros(coeffs.shape[1], jnp.float32), jnp.zeros(coeffs.shape[1], jnp.float32))
+    (ff_re, ff_im), _ = jax.lax.scan(tile_fn, init, (basis_tiles, nf_re_t, nf_im_t))
+
+    ff_re = ff_re * scale
+    ff_im = ff_im * scale
+    norm = jnp.sqrt(jnp.sum(jnp.square(ff_re) + jnp.square(ff_im)))
+    return ff_re / norm, ff_im / norm
+
+
+# --------------------------------------------------------------------------
+# Compressed GS engine.
+# --------------------------------------------------------------------------
+
+
+class CompressedGSState(NamedTuple):
+    """Scan carry for compressed-spot GS (all real-valued leaves)."""
+
+    psi: jnp.ndarray            # (P,) nearfield phase (flattened)
+    weights: jnp.ndarray        # (N,) spot weights
+    phase_ff: jnp.ndarray       # (N,) stored farfield phase
+    fixed_phase: jnp.ndarray    # bool
+    unfixed_streak: jnp.ndarray  # int32
+    iteration: jnp.ndarray      # int32
+
+
+@dataclasses.dataclass(frozen=True)
+class CompressedGSConfig:
+    """Static configuration for the compressed engine."""
+
+    method: str
+    n_pixels: int
+    n_spots: int
+    stat_groups: tuple = ()
+    kim_efficiency_trigger: bool = False
+    use_pallas: bool = False
+
+    @property
+    def is_wgs(self):
+        return self.method.startswith("WGS")
+
+    @property
+    def is_kim(self):
+        return "Kim" in self.method
+
+
+def _get_transforms(config):
+    if config.use_pallas:
+        from slmsuite_tpu.ops.pallas_compressed import (
+            farfield_to_nearfield as f2n,
+            nearfield_to_farfield as n2f,
+        )
+
+        return f2n, n2f
+    return farfield_to_nearfield, nearfield_to_farfield
+
+
+def make_compressed_gs_step(config: CompressedGSConfig):
+    """Pure per-iteration step: ``step(state, consts) -> (state, stats)``."""
+    f2n, n2f = _get_transforms(config)
+
+    def step(state, consts):
+        amp = consts["amp"]  # (P,) or scalar
+        nf_re = amp * jnp.cos(state.psi)
+        nf_im = amp * jnp.sin(state.psi)
+
+        ff_re, ff_im = n2f(nf_re, nf_im, consts["coeffs"], consts["basis"], config.n_spots)
+        amp_ff = jnp.sqrt(jnp.square(ff_re) + jnp.square(ff_im))
+        theta = jnp.arctan2(ff_im, ff_re)
+
+        stats_rows = []
+        if "computational_spot" in config.stat_groups:
+            stats_rows.append(
+                calculate_stats(
+                    amp_ff,
+                    consts["target"],
+                    mask=consts["stat_mask"],
+                    efficiency_compensation=False,
+                )
+            )
+
+        weights = state.weights
+        if config.is_wgs:
+            updated = update_weights_generic(
+                weights,
+                amp_ff,
+                consts["target"],
+                config.method,
+                consts["feedback_exponent"],
+                consts["feedback_factor"],
+            )
+            weights = jnp.where(state.iteration > 0, updated, weights)
+
+        was_not_fixed = jnp.logical_not(state.fixed_phase)
+        if config.is_kim:
+            fixed = state.fixed_phase
+            if config.kim_efficiency_trigger:
+                fixed = jnp.logical_or(
+                    fixed, stats_rows[-1][0] > consts["fix_phase_efficiency"]
+                )
+            streak = jnp.where(was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak)
+            fixed = jnp.logical_or(
+                fixed,
+                jnp.logical_and(
+                    jnp.logical_and(
+                        was_not_fixed,
+                        state.iteration >= consts["fix_phase_iteration"] - 1,
+                    ),
+                    streak >= consts["fix_phase_iteration"],
+                ),
+            )
+            fixed = jnp.logical_and(fixed, state.iteration > 0)
+            phase_ff = jnp.where(was_not_fixed, theta, state.phase_ff)
+        else:
+            fixed = jnp.zeros((), bool)
+            streak = state.unfixed_streak
+            phase_ff = theta
+
+        ffp_re = weights * jnp.cos(phase_ff)
+        ffp_im = weights * jnp.sin(phase_ff)
+
+        nfp_re, nfp_im = f2n(ffp_re, ffp_im, consts["coeffs"], consts["basis"], config.n_spots)
+        psi = jnp.arctan2(nfp_im, nfp_re)
+
+        new_state = CompressedGSState(
+            psi=psi,
+            weights=weights,
+            phase_ff=phase_ff,
+            fixed_phase=fixed,
+            unfixed_streak=streak,
+            iteration=state.iteration + 1,
+        )
+
+        internal = jnp.stack(
+            [
+                stats_rows[-1][0] if stats_rows else jnp.float32(jnp.nan),
+                state.fixed_phase.astype(jnp.float32),
+                jnp.float32(0),
+                jnp.float32(0),
+            ]
+        )
+        return new_state, jnp.stack(stats_rows + [internal])
+
+    return step
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_run(config, n_iterations):
+    step = make_compressed_gs_step(config)
+
+    def run(state, consts):
+        def body(carry, _):
+            return step(carry, consts)
+
+        return jax.lax.scan(body, state, None, length=n_iterations)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def run_compressed_gs(config, state, consts, n_iterations):
+    """Run ``n_iterations`` of compressed-spot GS; returns ``(state, stats)``."""
+    return _compiled_run(config, int(n_iterations))(state, consts)

@@ -1,0 +1,195 @@
+"""Tests for CompressedSpotHologram and MultiplaneHologram."""
+
+import numpy as np
+import pytest
+
+from slmsuite_tpu.holography.algorithms import (
+    CompressedSpotHologram,
+    Hologram,
+    MultiplaneHologram,
+    SpotHologram,
+)
+
+
+class TestSpotHologramFeedback:
+    def test_computational_spot_converges(self, rng):
+        shape = (128, 128)
+        holo = SpotHologram.make_rectangular_array(shape, (4, 4), (16, 16), basis="knm")
+        holo.reset_phase(rng.uniform(-np.pi, np.pi, shape).astype(np.float32))
+        holo.optimize(
+            "WGS-Kim",
+            maxiter=20,
+            verbose=False,
+            feedback="computational_spot",
+            stat_groups=["computational_spot"],
+        )
+        stats = holo.stats["stats"]["computational_spot"]
+        assert stats["uniformity"][-1] > 0.9
+        assert stats["efficiency"][-1] > 0.5
+
+    def test_external_spot_feedback(self, rng):
+        shape = (64, 64)
+        holo = SpotHologram.make_rectangular_array(shape, (3, 3), (12, 12), basis="knm")
+        # Pretend the measurement shows one dim spot: weights should boost it.
+        external = np.full(9, 1.0)
+        external[4] = 0.2
+        holo.external_spot_amp = external
+        holo.optimize(
+            "WGS-Leonardo", maxiter=3, verbose=False, feedback="external_spot"
+        )
+        weights = holo.weights[
+            holo.spot_knm_rounded[1, :], holo.spot_knm_rounded[0, :]
+        ]
+        assert weights[4] == np.max(weights)
+
+    def test_refine_offset_on_sim(self, fourierslm_calibrated, rng):
+        fs = fourierslm_calibrated
+        holo = SpotHologram(
+            SpotHologram.get_padded_shape(fs),
+            np.array([[300.0, 220.0], [220.0, 300.0]]),
+            basis="ij",
+            cameraslm=fs,
+        )
+        holo.optimize("WGS-Leonardo", maxiter=10, verbose=False)
+        shifts = holo.refine_offset(basis="kxy")
+        assert shifts.shape == (2, 2)
+        assert np.all(np.abs(shifts) < 5)  # Sim is near-perfect already.
+
+
+class TestCompressedSpotHologram:
+    def test_construct_and_optimize(self, fourierslm_calibrated, rng):
+        fs = fourierslm_calibrated
+        spots_kxy = np.vstack(
+            [rng.uniform(-0.01, 0.01, 5), rng.uniform(-0.01, 0.01, 5)]
+        )
+        holo = CompressedSpotHologram(spots_kxy, basis="kxy", cameraslm=fs)
+        assert len(holo) == 5
+        assert holo.spot_zernike.shape[1] == 5
+
+        holo.optimize("WGS-Kim", maxiter=15, verbose=False)
+        # Uniform targets: converged amplitudes should be near-uniform.
+        assert np.std(holo.amp_ff) / np.mean(holo.amp_ff) < 0.05
+
+    def test_3d_spots(self, fourierslm_calibrated, rng):
+        fs = fourierslm_calibrated
+        spots = np.vstack(
+            [
+                rng.uniform(-0.01, 0.01, 4),
+                rng.uniform(-0.01, 0.01, 4),
+                rng.uniform(-1e-6, 1e-6, 4),
+            ]
+        )
+        holo = CompressedSpotHologram(spots, basis="kxy", cameraslm=fs)
+        assert holo.zernike_basis.tolist() == [2, 1, 4]
+        holo.optimize("GS", maxiter=5, verbose=False)
+        assert np.all(np.isfinite(holo.amp_ff))
+
+    def test_custom_zernike_basis(self, fourierslm_calibrated, rng):
+        fs = fourierslm_calibrated
+        # x, y, focus, astig
+        spots = np.vstack(
+            [
+                rng.uniform(-5, 5, 3),
+                rng.uniform(-5, 5, 3),
+                rng.uniform(-0.1, 0.1, 3),
+                rng.uniform(-0.1, 0.1, 3),
+            ]
+        )
+        holo = CompressedSpotHologram(
+            spots, basis=[2, 1, 4, 3], cameraslm=fs
+        )
+        assert len(holo) == 3
+        holo.optimize("GS", maxiter=3, verbose=False)
+
+    def test_requires_cameraslm(self):
+        with pytest.raises(ValueError):
+            CompressedSpotHologram(np.zeros((2, 3)))
+
+    def test_basis_must_include_xy(self, fourierslm_calibrated):
+        with pytest.raises(ValueError):
+            CompressedSpotHologram(
+                np.zeros((2, 3)), basis=[4, 3], cameraslm=fourierslm_calibrated
+            )
+
+    def test_no_padded_shape(self, fourierslm_calibrated, rng):
+        spots = np.vstack([rng.uniform(-0.01, 0.01, 2)] * 2)
+        holo = CompressedSpotHologram(spots, basis="kxy", cameraslm=fourierslm_calibrated)
+        with pytest.raises(NameError):
+            holo.get_padded_shape()
+
+
+class TestMultiplaneHologram:
+    def _children(self, rng, B=3, shape=(64, 64)):
+        amp = np.ones(shape, np.float32)
+        children = []
+        for b in range(B):
+            target = np.zeros(shape, np.float32)
+            target[20 + 8 * b, 24 + 6 * b] = 1
+            kernel = np.full(shape, 0.2 * b, np.float32)
+            children.append(
+                Hologram(target, amp=amp.copy(), slm_shape=shape, propagation_kernel=kernel)
+            )
+        return children
+
+    def test_optimize(self, rng):
+        holo = MultiplaneHologram(self._children(rng))
+        holo.optimize(
+            "WGS-Leonardo", maxiter=15, verbose=False, stat_groups=["computational"]
+        )
+        for child in holo.holograms:
+            eff = child.stats["stats"]["computational"]["efficiency"]
+            assert eff[-1] > 0.1
+            assert eff[-1] > eff[0]
+
+    def test_shared_phase(self, rng):
+        holo = MultiplaneHologram(self._children(rng))
+        holo.optimize("GS", maxiter=3, verbose=False)
+        assert holo.phase.shape == (64, 64)
+
+    def test_rejects_recursion(self, rng):
+        inner = MultiplaneHologram(self._children(rng))
+        with pytest.raises(ValueError):
+            MultiplaneHologram([inner])
+
+    def test_set_target_raises(self, rng):
+        holo = MultiplaneHologram(self._children(rng))
+        with pytest.raises(RuntimeError):
+            holo.set_target(None)
+
+    def test_weights_normalized(self, rng):
+        holo = MultiplaneHologram(self._children(rng), weights=[1, 2, 3])
+        assert np.isclose(np.sum(np.square(holo.weights)), 1)
+
+
+@pytest.mark.slow
+class TestWavefrontZernike:
+    def test_zernike_calibration_smoke(self, fourierslm_calibrated):
+        fs = fourierslm_calibrated
+        cal = fs.wavefront_calibrate_zernike(
+            calibration_points=9,
+            zernike_indices=5,
+            perturbation=np.linspace(-0.5, 0.5, 5),
+            optimize_weights=2,
+            plot=-1,
+        )
+        assert "corrected_spots" in cal
+        assert cal["corrected_spots"].shape[0] == 5
+
+
+@pytest.mark.slow
+class TestWavefrontSuperpixel:
+    def test_superpixel_calibration_smoke(self, fourierslm_calibrated):
+        fs = fourierslm_calibrated
+        cal = fs.wavefront_calibrate_superpixel(
+            calibration_points=np.array([[330.0], [220.0]]),
+            superpixel_size=128,
+            phase_steps=4,
+            plot=-1,
+        )
+        assert "phase" in cal
+        processed = fs.wavefront_calibration_superpixel_process(
+            apply=True, smooth=2, plot=False
+        )
+        assert processed["phase"].shape == fs.slm.shape
+        assert processed["amplitude"].shape == fs.slm.shape
+        assert "phase" in fs.slm.source
