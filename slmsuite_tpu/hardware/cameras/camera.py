@@ -605,6 +605,41 @@ class Camera(_Picklable, ABC):
         return z_opt
 
     # ------------------------------------------------------------------
+    # Live viewer (ref camera.py:1106-1174, 1461+).
+    # ------------------------------------------------------------------
+
+    def live(self, activate=None, widgets=True, backend="ipython", **kwargs):
+        """
+        Toggle a Jupyter live viewer that displays every frame produced
+        by :meth:`get_image` / :meth:`get_images`, with a *Live* button
+        that polls the camera on the notebook's asyncio loop.
+
+        Parameters
+        ----------
+        activate : bool OR None
+            True creates a viewer (replacing any existing one), False
+            destroys it, None toggles.
+        widgets : bool
+            Show color-scale / colormap / zoom / live controls.
+        backend : str
+            Only ``"ipython"`` is supported.
+        **kwargs
+            Passed to the viewer (``cmap=``, ``cmap_options=``,
+            ``scale=``, ``poll_s=``).
+        """
+        if backend != "ipython":
+            raise ValueError(f"Unsupported live() backend '{backend}'.")
+        from slmsuite_tpu.hardware.cameras._viewer import _CameraViewer
+
+        if (self.viewer is None and activate is None) or activate:
+            if self.viewer is not None:
+                self.viewer.close()
+            self.viewer = _CameraViewer(self, widgets, backend, **kwargs)
+        elif self.viewer is not None and not activate:
+            self.viewer.close()
+            self.viewer = None
+
+    # ------------------------------------------------------------------
     # Self-test (ref :920-1032).
     # ------------------------------------------------------------------
 

@@ -1,0 +1,181 @@
+"""
+Hamamatsu LCOS-SLM heads via ``hpkSLMdaLV.dll`` / ``hpkSLMda.dll``.
+
+These USB-controlled heads expose frame-memory slots: a frame is uploaded
+to a slot with ``Write_FMemArray`` and the displayed slot is selected with
+``Change_DispSlot``. The DLLs are Windows-only and loaded lazily with
+:mod:`ctypes`; this module imports cleanly without them.
+
+Parity: reference ``slmsuite/hardware/slms/hamamatsu.py`` (``Hamamatsu``).
+"""
+
+import ctypes
+import os
+import warnings
+
+import numpy as np
+
+from slmsuite_tpu.hardware.slms.slm import SLM
+
+_LIB = None
+
+
+def _load_dll(dll_path=None):
+    """Load hpkSLMdaLV.dll (searching ``dll_path``, cwd, and this dir)."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    name = "hpkSLMdaLV.dll"
+    candidates = []
+    if dll_path:
+        candidates.append(os.path.join(dll_path, name))
+    candidates += [name, os.path.join(os.path.dirname(os.path.abspath(__file__)), name)]
+    for candidate in candidates:
+        try:
+            if hasattr(os, "add_dll_directory") and os.path.dirname(candidate):
+                os.add_dll_directory(os.path.dirname(candidate))
+            _LIB = ctypes.WinDLL(candidate)
+            return _LIB
+        except (OSError, AttributeError):
+            continue
+    raise FileNotFoundError(
+        "Hamamatsu DLLs (hpkSLMdaLV.dll, hpkSLMda.dll) not found; place them "
+        "in the working directory or pass dll_path."
+    )
+
+
+class Hamamatsu(SLM):
+    """
+    Hamamatsu LCOS-SLM head over USB frame-memory control.
+
+    Attributes
+    ----------
+    board_id : int
+        USB board handle returned by ``Open_Dev``.
+    slot_number : int
+        Frame-memory slot currently used for display.
+    """
+
+    def __init__(
+        self,
+        board_id=None,
+        slot_number=0,
+        resolution=(1272, 1024),
+        verbose=True,
+        dll_path=None,
+        wav_um=1,
+        pitch_um=(12.5, 12.5),
+        **kwargs,
+    ):
+        """
+        Parameters
+        ----------
+        board_id : int OR None
+            USB board to open; None opens the first found.
+        slot_number : int
+            Frame-memory slot used by :meth:`_set_phase_hw`.
+        resolution : (int, int)
+            ``(width, height)`` of the head (the DLL does not report it).
+        dll_path : str OR None
+            Directory containing the Hamamatsu DLLs.
+        wav_um, pitch_um, **kwargs
+            See :meth:`.SLM.__init__`.
+        """
+        self._lib = _load_dll(dll_path)
+        if verbose:
+            print("Hamamatsu SLM initializing... ", end="")
+
+        ids = (ctypes.c_uint8 * 16)()
+        n = self._lib.Open_Dev(ctypes.byref(ids), ctypes.c_int32(16))
+        if n <= 0:
+            raise RuntimeError("No Hamamatsu SLM heads found (Open_Dev).")
+        available = [int(ids[i]) for i in range(n)]
+        self.board_id = int(board_id) if board_id is not None else available[0]
+        if self.board_id not in available:
+            raise RuntimeError(
+                f"Board {board_id} not in detected boards {available}."
+            )
+        self.slot_number = int(slot_number)
+
+        serial = ctypes.c_uint32(0)
+        self._lib.Check_HeadSerial(
+            ctypes.c_uint8(self.board_id), ctypes.byref(serial), ctypes.c_int32(4)
+        )
+        self.serial = int(serial.value)
+        if verbose:
+            print(f"success (serial {self.serial})")
+
+        super().__init__(
+            tuple(int(x) for x in resolution),
+            bitdepth=8,
+            name=kwargs.pop("name", f"Hamamatsu_{self.serial}"),
+            wav_um=wav_um,
+            pitch_um=pitch_um,
+            **kwargs,
+        )
+        self.set_phase(None)
+
+    def _set_phase_hw(self, display, slot_number=None):
+        """Upload to the active frame-memory slot and display it."""
+        slot = self.slot_number if slot_number is None else int(slot_number)
+        data = np.ascontiguousarray(display, dtype=np.uint8)
+        h, w = data.shape
+        status = self._lib.Write_FMemArray(
+            ctypes.c_uint8(self.board_id),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(data.size),
+            ctypes.c_uint32(w), ctypes.c_uint32(h),
+            ctypes.c_uint32(slot),
+        )
+        if status != 1:
+            warnings.warn(f"Write_FMemArray returned {status}.")
+        self._lib.Change_DispSlot(
+            ctypes.c_uint8(self.board_id), ctypes.c_uint32(slot)
+        )
+
+    def set_slot_number(self, slot_number=0):
+        """Select which frame-memory slot future writes use."""
+        self.slot_number = int(slot_number)
+        self._lib.Change_DispSlot(
+            ctypes.c_uint8(self.board_id), ctypes.c_uint32(self.slot_number)
+        )
+
+    def get_temperature(self):
+        """Return ``(head_C, board_C)`` temperatures."""
+        head = ctypes.c_double(0)
+        board = ctypes.c_double(0)
+        self._lib.Check_Temp(
+            ctypes.c_uint8(self.board_id), ctypes.byref(head), ctypes.byref(board)
+        )
+        return (float(head.value), float(board.value))
+
+    def get_led_status(self):
+        """Return the raw front-panel LED status word."""
+        led = ctypes.c_uint32(0)
+        self._lib.Check_LED(ctypes.c_uint8(self.board_id), ctypes.byref(led))
+        return int(led.value)
+
+    def reboot(self):
+        """Reboot the head."""
+        self._lib.Reboot(ctypes.c_uint8(self.board_id))
+
+    def close(self):
+        """Close the USB device."""
+        if getattr(self, "_lib", None) is None:
+            return
+        ids = (ctypes.c_uint8 * 1)(self.board_id)
+        self._lib.Close_Dev(ctypes.byref(ids), ctypes.c_int32(1))
+        self._lib = None
+
+    @staticmethod
+    def info(verbose=True, dll_path=None):
+        """Enumerate attached boards (board IDs)."""
+        lib = _load_dll(dll_path)
+        ids = (ctypes.c_uint8 * 16)()
+        n = lib.Open_Dev(ctypes.byref(ids), ctypes.c_int32(16))
+        found = [int(ids[i]) for i in range(max(n, 0))]
+        if n > 0:
+            lib.Close_Dev(ctypes.byref(ids), ctypes.c_int32(n))
+        if verbose:
+            print("Hamamatsu boards:", found)
+        return found

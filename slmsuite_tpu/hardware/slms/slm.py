@@ -237,6 +237,13 @@ class SLM(_Picklable, ABC):
             out = np.zeros(self.shape, dtype=self.dtype)
 
         if self.phase_scaling == 1:
+            # Native single-pass conversion (C via ctypes) when available;
+            # unlike the numpy path it leaves ``phase`` untouched.
+            from slmsuite_tpu.native import phase2gray_native
+
+            if phase2gray_native(np.ascontiguousarray(phase), out, self.bitresolution):
+                return out
+
             factor = -(self.bitresolution / 2 / np.pi)
             phase *= factor
 

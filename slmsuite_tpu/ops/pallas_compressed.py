@@ -45,13 +45,14 @@ def _f2n_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, scale_ref, outr_ref, ou
     ffr = ffr_ref[:, :]  # (1, S)
     ffi = ffi_ref[:, :]
 
-    # Reduction dots: HIGH (3-pass bf16, ~1e-5 relative) — the phase
-    # matmul above stays HIGHEST since phases are many radians.
-    re = jnp.dot(ffr, cos, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH) - jnp.dot(
-        ffi, sin, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
+    # All dots HIGHEST: phases are many radians so the basis matmul needs
+    # full f32, and Mosaic only lowers DEFAULT/HIGHEST — the reduction
+    # matvecs are a small fraction of the FLOPs, so HIGHEST costs little.
+    re = jnp.dot(ffr, cos, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.dot(
+        ffi, sin, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
-    im = jnp.dot(ffr, sin, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH) + jnp.dot(
-        ffi, cos, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
+    im = jnp.dot(ffr, sin, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.dot(
+        ffi, cos, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
 
     # Grid is (pixel_tiles, spot_tiles) with spots innermost: the output
@@ -82,11 +83,11 @@ def _n2f_kernel(coeffs_ref, nfr_ref, nfi_ref, basis_ref, scale_ref, outr_ref, ou
     nfi = nfi_ref[:, :]
 
     # conj(kernel) . nf accumulated over pixels: (S, T) @ (T, 1).
-    re = jnp.dot(cos, nfr.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH) + jnp.dot(
-        sin, nfi.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
+    re = jnp.dot(cos, nfr.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.dot(
+        sin, nfi.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
-    im = jnp.dot(cos, nfi.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH) - jnp.dot(
-        sin, nfr.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
+    im = jnp.dot(cos, nfi.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.dot(
+        sin, nfr.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
 
     scale = scale_ref[0]
