@@ -533,11 +533,13 @@ class Hologram(_HologramStats):
             grid[0].astype(self.dtype) / self.slm_shape[1],
             grid[1].astype(self.dtype) / self.slm_shape[0],
         ]
+        # Degenerate (collinear/single-spot) targets have zero extent along
+        # an axis; the focal power is zero there (flat phase), not inf.
+        with np.errstate(divide="ignore"):
+            focal = np.reciprocal(scaling * slm_shape * std_knm_norm / std_amp)
         return (
             tphase.blaze(grid, slm_shape * center_knm_norm)
-            + tphase.lens(
-                grid, np.reciprocal(scaling * slm_shape * std_knm_norm / std_amp)
-            )
+            + tphase.lens(grid, focal)
         ).astype(self.dtype)
 
     # ------------------------------------------------------------------

@@ -260,3 +260,86 @@ class MultiplaneHologram(Hologram):
                 break
 
         self._populate_results()
+
+    # ------------------------------------------------------------------
+    # Conjugate gradient: summed child losses (ref _multiplane.py:246-253).
+    # ------------------------------------------------------------------
+
+    def optimize_cg(self, iterations, callback):
+        """
+        Gradient descent on the shared phase: the total loss is the
+        plane-weighted sum of each child's loss (each child forward runs
+        with its own propagation kernel and target), differentiated in
+        one :func:`jax.value_and_grad` through all planes.
+        """
+        import optax
+
+        children = self.holograms
+        amp = (
+            jnp.float32(self.amp)
+            if np.isscalar(self.amp)
+            else jnp.asarray(self.amp, dtype=jnp.float32)
+        )
+        shapes = [tuple(h.shape) for h in children]
+        kernels = [
+            None
+            if h.propagation_kernel is None
+            else jnp.asarray(h.propagation_kernel, dtype=jnp.float32)
+            for h in children
+        ]
+        targets = [
+            jnp.asarray(np.nan_to_num(np.asarray(h.target, np.float32)))
+            for h in children
+        ]
+        plane_weights = [jnp.float32(w) for w in self.weights]
+
+        loss = self.flags.get("loss")
+        if loss is None:
+            def loss(farfield, target):
+                amp_ff = jnp.abs(farfield)
+                amp_ff = amp_ff / jnp.sqrt(jnp.sum(jnp.square(amp_ff)))
+                return jnp.mean(jnp.square(amp_ff - target))
+
+        def loss_from_psi(psi):
+            total = 0.0
+            for shape, kernel, target, weight in zip(
+                shapes, kernels, targets, plane_weights
+            ):
+                nearfield = _prop.build_folded_nearfield(psi, amp, shape, kernel)
+                farfield = _prop.unfold_farfield(
+                    _prop.nearfield_to_farfield(nearfield)
+                )
+                total = total + weight * loss(farfield, target)
+            return total
+
+        optimizer_name = str(self.flags.get("optimizer", "adam")).lower()
+        kwargs = dict(self.flags.get("optimizer_kwargs", {"learning_rate": 0.1}))
+        if "lr" in kwargs:
+            kwargs["learning_rate"] = kwargs.pop("lr")
+        optimizer = getattr(optax, optimizer_name)(**kwargs)
+
+        @jax.jit
+        def cg_step(psi, opt_state):
+            value, grads = jax.value_and_grad(loss_from_psi)(psi)
+            updates, opt_state = optimizer.update(grads, opt_state, psi)
+            return optax.apply_updates(psi, updates), opt_state, value
+
+        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        opt_state = optimizer.init(psi)
+
+        for _ in iterations:
+            psi, opt_state, value = cg_step(psi, opt_state)
+            self.flags["loss_result"] = float(value)
+            if hasattr(iterations, "set_description"):
+                iterations.set_description(f"loss={float(value):.3e}")
+            if callback is not None:
+                self._psi = np.asarray(psi)
+                if callback(self):
+                    break
+            self.iter += 1
+
+        self._psi = np.asarray(psi)
+        for h in children:
+            h._psi = self._psi
+            h.iter = self.iter
+        self._populate_results()

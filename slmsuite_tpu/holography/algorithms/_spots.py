@@ -9,7 +9,7 @@ SpotHologram :1090-1697).
 TPU-native notes: spot-integrated feedback inside the computational loop
 runs as a precomputed gather inside the scanned engine
 (:meth:`ops.engine.spot_gather_indices`); the compressed near/farfield
-transforms are MXU matmul pipelines (:mod:`slmsuite_tpu.ops.zernike`)
+transforms are MXU matmul pipelines (:mod:`slmsuite_tpu.ops.compressed`)
 replacing the reference's CUDA kernels (``cuda.cu:95-288``).
 """
 
@@ -975,6 +975,109 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         """(N,) complex spot farfield from the current phase."""
         self._populate_results()
         return self.farfield
+
+    # ------------------------------------------------------------------
+    # Quadratic initial-phase support (ref _spots.py:566-592): the target
+    # is a spot list, so moments are taken over spot positions in
+    # normalized knm space instead of over a 2D grid.
+    # ------------------------------------------------------------------
+
+    def _get_target_moments_knm_norm(self):
+        """First/second moments of the spot ensemble in normalized knm."""
+        target = np.nan_to_num(np.asarray(self.target, dtype=float))
+        target = target.reshape(1, -1, 1)
+
+        spot_knm_norm = toolbox.convert_vector(
+            self.spot_kxy[:2, :],
+            from_units="kxy",
+            to_units="knm",
+            hardware=self.cameraslm,
+            shape=(1, 1),
+        )
+        grid = (
+            spot_knm_norm[0, :].reshape(-1, 1) - 0.5,
+            spot_knm_norm[1, :].reshape(-1, 1) - 0.5,
+        )
+        center = analysis.image_positions(target, grid=grid, nansum=True)
+        std = np.sqrt(
+            analysis.image_variances(
+                target, centers=center, grid=grid, nansum=True
+            )[:2, 0]
+        )
+        return np.squeeze(center), np.squeeze(std)
+
+    # ------------------------------------------------------------------
+    # Conjugate gradient (ref _hologram.py:1664-1740 applied to the
+    # compressed transform; jax.grad flows through the Zernike kernel).
+    # ------------------------------------------------------------------
+
+    def optimize_cg(self, iterations, callback):
+        """
+        Gradient descent on the SLM phase through the compressed
+        near->far transform with :func:`jax.value_and_grad` and an optax
+        optimizer; flags mirror :meth:`Hologram.optimize_cg` (``loss``,
+        ``optimizer``, ``optimizer_kwargs``).
+        """
+        import optax
+
+        from slmsuite_tpu.ops import compressed as _comp
+
+        config = self._compressed_config()
+        consts = self._compressed_consts()
+        n2f = _comp._get_transforms(config)[1]
+
+        amp = consts["amp"]
+        coeffs = consts["coeffs"]
+        basis = consts["basis"]
+        n_spots = len(self)
+        target = jnp.asarray(self.target, dtype=jnp.float32)
+        target = target / jnp.sqrt(jnp.sum(jnp.square(target)))
+
+        loss = self.flags.get("loss")
+        if loss is None:
+            def loss(farfield, target):
+                amp_ff = jnp.abs(farfield)
+                amp_ff = amp_ff / jnp.sqrt(jnp.sum(jnp.square(amp_ff)))
+                return jnp.mean(jnp.square(amp_ff - target))
+
+        def loss_from_psi(psi):
+            nf_re = amp * jnp.cos(psi)
+            nf_im = amp * jnp.sin(psi)
+            ff_re, ff_im = n2f(nf_re, nf_im, coeffs, basis, n_spots)
+            return loss(ff_re + 1j * ff_im, target)
+
+        optimizer_name = str(self.flags.get("optimizer", "adam")).lower()
+        kwargs = dict(self.flags.get("optimizer_kwargs", {"learning_rate": 0.1}))
+        if "lr" in kwargs:
+            kwargs["learning_rate"] = kwargs.pop("lr")
+        optimizer = getattr(optax, optimizer_name)(**kwargs)
+
+        @jax.jit
+        def cg_step(psi, opt_state):
+            value, grads = jax.value_and_grad(loss_from_psi)(psi)
+            updates, opt_state = optimizer.update(grads, opt_state, psi)
+            return optax.apply_updates(psi, updates), opt_state, value
+
+        psi = jnp.asarray(np.asarray(self.phase, np.float32).ravel())
+        opt_state = optimizer.init(psi)
+
+        for _ in iterations:
+            psi, opt_state, value = cg_step(psi, opt_state)
+            self.flags["loss_result"] = float(value)
+            if hasattr(iterations, "set_description"):
+                iterations.set_description(f"loss={float(value):.3e}")
+            if callback is not None:
+                self.phase = np.asarray(psi).reshape(self.slm_shape)
+                if callback(self):
+                    break
+            if self.flags.get("stat_groups"):
+                self.phase = np.asarray(psi).reshape(self.slm_shape)
+                self._populate_results()
+                self._update_stats(self.flags["stat_groups"])
+            self.iter += 1
+
+        self.phase = np.asarray(psi).reshape(self.slm_shape)
+        self._populate_results()
 
     # ------------------------------------------------------------------
     # Weighting and stats (ref :949-1045).

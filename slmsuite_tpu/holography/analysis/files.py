@@ -5,12 +5,15 @@ File I/O re-exports for API parity with the reference's
 """
 
 from slmsuite_tpu.misc.files import (  # noqa: F401
+    _gray2rgb,
+    _load_image,
     generate_path,
     latest_path,
     load_h5,
     read_h5,
     save_h5,
+    save_image,
     write_h5,
 )
 
-__all__ = ["generate_path", "latest_path", "load_h5", "read_h5", "save_h5", "write_h5"]
+__all__ = ["generate_path", "latest_path", "load_h5", "read_h5", "save_h5", "save_image", "write_h5"]

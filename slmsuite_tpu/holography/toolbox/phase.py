@@ -5,7 +5,7 @@ structured light.
 These functions evaluate on normalized :math:`x/\lambda` coordinate
 meshgrids (``(x_grid, y_grid)``; an SLM object may be passed instead).
 Host-side evaluation is numpy; the device-side (jit) Zernike basis used by
-compressed holograms lives in :mod:`slmsuite_tpu.ops.zernike` and shares
+compressed holograms lives in :mod:`slmsuite_tpu.ops.compressed` and shares
 the coefficient machinery defined here.
 
 Parity: reference ``slmsuite/holography/toolbox/phase.py`` (analytic

@@ -161,6 +161,65 @@ class TestMultiplaneHologram:
         assert np.isclose(np.sum(np.square(holo.weights)), 1)
 
 
+class TestCGVariants:
+    """optimize_cg overrides for compressed and multiplane holograms."""
+
+    def test_compressed_cg(self, fourierslm_calibrated, rng):
+        fs = fourierslm_calibrated
+        spots_kxy = rng.uniform(-0.01, 0.01, size=(2, 10))
+        holo = CompressedSpotHologram(spots_kxy, basis="kxy", cameraslm=fs)
+        holo.optimize("CG", maxiter=60, verbose=False,
+                      optimizer_kwargs={"learning_rate": 0.3})
+        assert holo.flags["loss_result"] < 2e-4
+        amps = holo.amp_ff / np.sqrt(np.sum(holo.amp_ff**2))
+        target = holo.target / np.sqrt(np.sum(holo.target**2))
+        # Spot amplitudes approach the uniform target.
+        assert np.max(np.abs(amps - target)) < 0.15
+
+    def test_compressed_cg_matches_gs_quality(self, fourierslm_calibrated, rng):
+        fs = fourierslm_calibrated
+        spots_kxy = rng.uniform(-0.008, 0.008, size=(2, 6))
+        cg = CompressedSpotHologram(spots_kxy.copy(), basis="kxy", cameraslm=fs)
+        cg.optimize("CG", maxiter=120, verbose=False,
+                    optimizer_kwargs={"learning_rate": 0.3})
+        gs = CompressedSpotHologram(spots_kxy.copy(), basis="kxy", cameraslm=fs)
+        gs.optimize("GS", maxiter=10, verbose=False)
+
+        def uniformity(h):
+            a = h.amp_ff / np.sqrt(np.sum(h.amp_ff**2))
+            return 1 - (np.max(a) - np.min(a)) / (np.max(a) + np.min(a))
+
+        assert uniformity(cg) > 0.7
+
+    def test_multiplane_cg(self, rng):
+        holo = MultiplaneHologram(self._mp_children(rng))
+        holo.optimize("CG", maxiter=80, verbose=False,
+                      optimizer_kwargs={"learning_rate": 0.2})
+        first_loss = holo.flags["loss_result"]
+        # Each plane should concentrate power on its target spot.
+        for child in holo.holograms:
+            child._populate_results()
+            amp_ff = np.asarray(child.amp_ff)
+            i, j = np.unravel_index(np.argmax(np.nan_to_num(child.target)),
+                                    child.target.shape)
+            window = amp_ff[i - 2:i + 3, j - 2:j + 3]
+            frac = np.sum(window**2) / np.sum(amp_ff**2)
+            assert frac > 0.05, frac
+
+    def _mp_children(self, rng, B=2, shape=(64, 64)):
+        amp = np.ones(shape, np.float32)
+        children = []
+        for b in range(B):
+            target = np.zeros(shape, np.float32)
+            target[20 + 10 * b, 24 + 8 * b] = 1
+            kernel = np.full(shape, 0.2 * b, np.float32)
+            children.append(
+                Hologram(target, amp=amp.copy(), slm_shape=shape,
+                         propagation_kernel=kernel)
+            )
+        return children
+
+
 @pytest.mark.slow
 class TestWavefrontZernike:
     def test_zernike_calibration_smoke(self, fourierslm_calibrated):
