@@ -727,7 +727,7 @@ class Hologram(_HologramStats):
     def _sync_from_state(self, state):
         """Write device scan state back into the host-facing attributes."""
         self._psi = np.asarray(state.psi)
-        self.weights = np.asarray(state.weights)
+        self.weights = np.array(state.weights)
         self._phase_ff_folded = np.asarray(state.phase_ff)
         if state.zero_weights.size:
             self.zero_weights = np.asarray(state.zero_weights)

@@ -881,7 +881,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         self.amp_ff = np.sqrt(np.asarray(ff_re) ** 2 + np.asarray(ff_im) ** 2)
         theta_host = np.arctan2(np.asarray(ff_im), np.asarray(ff_re))
         self._midloop_cleaning()
-        self.weights = np.asarray(state.weights)
+        self.weights = np.array(state.weights)
         self.iter = int(state.iteration)
 
         if callback is not None and callback(self):
@@ -920,7 +920,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
 
     def _sync_compressed_state(self, state):
         self.phase = np.asarray(state.psi).reshape(self.slm_shape)
-        self.weights = np.asarray(state.weights)
+        self.weights = np.array(state.weights)
         self._phase_ff_folded = np.asarray(state.phase_ff)
         self.flags["fixed_phase"] = bool(state.fixed_phase)
         self.iter = int(state.iteration)

@@ -89,14 +89,17 @@ def _plan(n, inverse):
 
 
 #: Matmul precision for the FFT stages. HIGHEST = full f32 (6 bf16
-#: passes, default); HIGH = 3 passes (~f24 mantissa) measured only
-#: marginally faster on bandwidth-limited hardware and ~100x less
-#: accurate. Settable via :meth:`set_fft_precision`.
+#: passes, default); HIGH = 3 passes, measured only marginally faster and
+#: ~100x less accurate; DEFAULT = single bf16 pass, measured ~2x faster
+#: per fft2 but degrades converged WGS quality (2048^2 32x32 WGS-Kim:
+#: uniformity 0.9977 -> 0.9819, std_err 1.0e-3 -> 5.3e-3) — a speed knob
+#: for quality-tolerant workloads. Settable via :meth:`set_fft_precision`;
+#: note engines jit-compiled before the change keep their old precision.
 _PRECISION = "HIGHEST"
 
 
 def set_fft_precision(precision):
-    """Set the matmul-FFT precision: ``"HIGH"`` (default) or ``"HIGHEST"``."""
+    """Set the matmul-FFT precision: ``"HIGHEST"`` (default), ``"HIGH"``, or ``"DEFAULT"``."""
     global _PRECISION
     if precision not in ("HIGH", "HIGHEST", "DEFAULT"):
         raise ValueError(f"Unknown precision '{precision}'.")
