@@ -1,18 +1,27 @@
 #!/usr/bin/env python
 """
-Headline benchmark: WGS-Kim iterations/sec on a 2048x2048 SLM with a
-32x32 spot array (BASELINE.json config 2; north star = 1000 iter/s on a
-full v5p chip).
+Benchmarks for the BASELINE.json configs.
 
-Prints ONE JSON line:
+Default (no args): the headline metric — WGS-Kim iterations/sec on a
+2048x2048 SLM with a 32x32 spot array (config 2; north star = 1000
+iter/s on a full v5p chip). Prints ONE JSON line:
+
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
+Other configs (``python bench.py --config N [size] [iters]``):
+  1  GS, 1024^2, 10x10 SpotHologram grid, 50 iters
+  2  WGS-Kim, 2048^2, 32x32 spots (default; ``python bench.py [N] [iters]``)
+  3  MRAF image hologram (ring target, nan noise region)
+  4  Camera-in-the-loop: experimental-feedback WGS on the simulated rig
+  5  Zernike 3D compressed spot array (grid-free transform)
+
 Methodology notes for this environment:
-- The work is a single jitted `lax.scan` of dependent iterations, so a
-  caching runtime cannot skip it; timing brackets a full value fetch
+- Device work is a single jitted `lax.scan` of dependent iterations, so
+  a caching runtime cannot skip it; timing brackets a full value fetch
   (block_until_ready is unreliable over the axon tunnel).
 - The available dev slice is severely bandwidth-limited (~4-23 GB/s
-  measured vs 819 GB/s for a full v5e); the loop is at that roofline.
+  measured vs 819 GB/s for a full v5e) and its throughput varies by
+  >10x between sessions; compare numbers only within a session.
 """
 
 import json
@@ -22,63 +31,207 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _emit(metric, value, unit, baseline, **extra):
+    result = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 4),
+    }
+    result.update(extra)
+    print(json.dumps(result))
+
+
+def _spot_target(N, n_spots_side, spacing_div):
+    target = np.zeros((N, N), dtype=np.float32)
+    idx = (
+        (np.arange(n_spots_side) - (n_spots_side - 1) / 2) * (N // spacing_div)
+        + N / 2
+    ).astype(int)
+    xs, ys = np.meshgrid(idx, idx)
+    target[ys.ravel(), xs.ravel()] = 1.0
+    return target / np.sqrt((target**2).sum())
+
+
+def bench_engine(N, iters, method, target, mraf=False, mraf_factor=None):
+    """Time the scanned engine on a prebuilt target; returns (iter/s, stats)."""
     import jax.numpy as jnp
 
     from slmsuite_tpu.ops.engine import GSConfig, init_gs_state, run_gs
     from slmsuite_tpu.ops.propagation import fold_phase
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-
     shape = (N, N)
-    # 32x32 spot grid.
-    target = np.zeros(shape, dtype=np.float32)
-    idx = ((np.arange(32) - 15.5) * (N // 70) + N / 2).astype(int)
-    xs, ys = np.meshgrid(idx, idx)
-    target[ys.ravel(), xs.ravel()] = 1.0
-    target /= np.sqrt((target**2).sum())
-
     rng = np.random.default_rng(0)
     phase0 = rng.uniform(-np.pi, np.pi, shape).astype(np.float32)
 
     config = GSConfig(
-        method="WGS-Kim", shape=shape, slm_shape=shape, stat_groups=("computational",)
+        method=method, shape=shape, slm_shape=shape,
+        stat_groups=("computational",), mraf=mraf,
+        mraf_factor=mraf_factor is not None,
     )
+    clean = np.nan_to_num(target)
     consts = {
         "amp": jnp.float32(1.0 / N),
-        "target": jnp.asarray(target),
-        "stat_mask": jnp.asarray(target != 0),
+        "target": jnp.asarray(clean),
+        "stat_mask": jnp.asarray(clean != 0),
         "feedback_exponent": jnp.float32(0.8),
         "feedback_factor": jnp.float32(0.1),
         "fix_phase_iteration": jnp.int32(10),
         "fix_phase_efficiency": jnp.float32(np.nan),
     }
+    if mraf:
+        nan_mask = np.isnan(target)
+        consts["signal_mask"] = jnp.asarray(~nan_mask & (clean > 0))
+        consts["noise_mask"] = jnp.asarray(nan_mask)
+        consts["zero_mask"] = jnp.asarray(~nan_mask & (clean == 0))
+        consts["mraf_factor"] = jnp.float32(
+            mraf_factor if mraf_factor is not None else 0.5
+        )
 
-    # Warmup (compile + run).
-    state = init_gs_state(config, fold_phase(phase0, shape), target.copy())
-    state, stats = run_gs(config, state, consts, iters)
-    np.asarray(stats)
+    def once():
+        state = init_gs_state(config, fold_phase(phase0, shape), clean.copy())
+        t0 = time.time()
+        out_state, stats = run_gs(config, state, consts, iters)
+        stats = np.asarray(stats)
+        return time.time() - t0, stats
 
-    # Timed run (fresh state; fetch forces completion).
-    state = init_gs_state(config, fold_phase(phase0, shape), target.copy())
+    once()  # Warmup: compile + run.
+    dt, stats = once()
+    return iters / dt, stats
+
+
+def config_2(argv):
+    """Headline: WGS-Kim 2048^2, 32x32 spots."""
+    import jax
+
+    N = int(argv[0]) if argv else 2048
+    iters = int(argv[1]) if len(argv) > 1 else 100
+    rate, stats = bench_engine(N, iters, "WGS-Kim", _spot_target(N, 32, 70))
+    _emit(
+        f"WGS-Kim iterations/sec at {N}x{N} (32x32 spots, device stats on)",
+        rate, "iter/s", 1000.0,
+        final_efficiency=round(float(stats[-1, 0, 0]), 4),
+        final_uniformity=round(float(stats[-1, 0, 1]), 4),
+        device=str(jax.devices()[0]),
+    )
+
+
+def config_1(argv):
+    """GS, 1024^2, 10x10 grid, 50 iters."""
+    N = int(argv[0]) if argv else 1024
+    iters = int(argv[1]) if len(argv) > 1 else 50
+    rate, stats = bench_engine(N, iters, "GS", _spot_target(N, 10, 24))
+    _emit(
+        f"GS iterations/sec at {N}x{N} (10x10 spots)",
+        rate, "iter/s", 1000.0,
+        final_efficiency=round(float(stats[-1, 0, 0]), 4),
+    )
+
+
+def config_3(argv):
+    """MRAF ring-image hologram with nan noise region."""
+    N = int(argv[0]) if argv else 2048
+    iters = int(argv[1]) if len(argv) > 1 else 100
+    yy, xx = np.meshgrid(*(np.arange(N) - N / 2 for _ in range(2)), indexing="ij")
+    radius = np.sqrt(xx**2 + yy**2)
+    target = np.where(np.abs(radius - N / 8) < N / 80, 1.0, 0.0).astype(np.float32)
+    target /= np.sqrt(np.nansum(target**2))
+    target[radius > N / 4] = np.nan  # Noise region: amplitude freedom.
+    rate, stats = bench_engine(
+        N, iters, "WGS-Leonardo", target, mraf=True, mraf_factor=0.5
+    )
+    _emit(
+        f"MRAF WGS-Leonardo iterations/sec at {N}x{N} (ring target)",
+        rate, "iter/s", 1000.0,
+        final_efficiency=round(float(stats[-1, 0, 0]), 4),
+    )
+
+
+def config_4(argv):
+    """Camera-in-the-loop WGS on the simulated rig (host-paced)."""
+    iters = int(argv[0]) if argv else 10
+
+    from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+    from slmsuite_tpu.hardware.cameraslms import FourierSLM
+    from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+    from slmsuite_tpu.holography.algorithms import SpotHologram
+
+    slm = SimulatedSLM(resolution=(512, 512), pitch_um=(8, 8), wav_um=0.78)
+    slm.set_source_analytic(
+        "gaussian2d", sim=True, x0=0, y0=0, a=1, c=0,
+        wx=0.35 * 512 * slm.pitch[0], wy=0.35 * 512 * slm.pitch[1],
+    )
+    cam = SimulatedCamera(
+        slm, resolution=(512, 512), pitch_um=(5.5, 5.5),
+        M=np.array([[8.0e3, 200.0], [-200.0, 8.0e3]]),
+        b=np.array([[256.0], [256.0]]),
+    )
+    cam.set_exposure(1.0)
+    fs = FourierSLM(cam, slm)
+    fs.fourier_calibrate(array_shape=5, array_pitch=16, verbose=False)
+
+    spot_ij = np.array(
+        [[160.0, 256, 352, 256], [256.0, 160, 256, 352]]
+    )
+    holo = SpotHologram((1024, 1024), spot_ij, basis="ij", cameraslm=fs)
+    holo.optimize("WGS-Kim", maxiter=5, verbose=False)  # Warm caches.
+
     t0 = time.time()
-    state, stats = run_gs(config, state, consts, iters)
-    stats = np.asarray(stats)
+    holo.optimize(
+        "WGS-Kim", maxiter=iters, verbose=False,
+        feedback="experimental_spot", stat_groups=["experimental_spot"],
+    )
     dt = time.time() - t0
+    unif = holo.stats["stats"]["experimental_spot"]["uniformity"][-1]
+    _emit(
+        "closed-loop WGS iterations/sec (simulated camera feedback, 1024^2)",
+        iters / dt, "iter/s", 100.0,
+        measured_uniformity=round(float(unif), 4),
+    )
 
-    value = iters / dt
-    result = {
-        "metric": f"WGS-Kim iterations/sec at {N}x{N} (32x32 spots, device stats on)",
-        "value": round(value, 2),
-        "unit": "iter/s",
-        "vs_baseline": round(value / 1000.0, 4),
-        "final_efficiency": round(float(stats[-1, 0, 0]), 4),
-        "final_uniformity": round(float(stats[-1, 0, 1]), 4),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+
+def config_5(argv):
+    """Zernike 3D compressed spot array."""
+    n_spots = int(argv[0]) if argv else 256
+    iters = int(argv[1]) if len(argv) > 1 else 30
+
+    from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+    from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+
+    slm = SimulatedSLM(resolution=(1024, 1024), pitch_um=(8, 8), wav_um=0.78)
+    rng = np.random.default_rng(0)
+    side = int(np.sqrt(n_spots))
+    kx, ky = np.meshgrid(
+        np.linspace(-8e-3, 8e-3, side), np.linspace(-8e-3, 8e-3, side)
+    )
+    focus = rng.uniform(-2e-6, 2e-6, kx.size)
+    spots = np.vstack([kx.ravel(), ky.ravel(), focus])
+
+    holo = CompressedSpotHologram(spots, basis="kxy", cameraslm=slm)
+    holo.optimize("WGS-Kim", maxiter=5, verbose=False)  # Warmup.
+    t0 = time.time()
+    holo.optimize("WGS-Kim", maxiter=iters, verbose=False)
+    dt = time.time() - t0
+    cv = float(np.std(holo.amp_ff) / np.mean(holo.amp_ff))
+    _emit(
+        f"compressed 3D-spot WGS iterations/sec ({kx.size} spots, 1024^2 SLM)",
+        iters / dt, "iter/s", 100.0,
+        amp_cv=round(cv, 5),
+    )
+
+
+def main():
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--config":
+        configs = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
+        try:
+            config = configs[int(argv[1])]
+        except (KeyError, ValueError, IndexError):
+            sys.exit(f"Usage: bench.py [--config {{1..5}}] [size] [iters] "
+                     f"(got {argv[1:2]})")
+        config(argv[2:])
+    else:
+        config_2(argv)
 
 
 if __name__ == "__main__":
