@@ -111,6 +111,16 @@ def nearfield_to_farfield(nf_re, nf_im, coeffs, basis, n_spots):
     Conjugate-overlap reduction of the ``(P,)`` nearfield onto ``(N,)``
     spot amplitudes (normalized to unit norm, as the reference's kernels).
     """
+    ff_re, ff_im = nearfield_to_farfield_raw(nf_re, nf_im, coeffs, basis, n_spots)
+    norm = jnp.sqrt(jnp.sum(jnp.square(ff_re) + jnp.square(ff_im)))
+    return ff_re / norm, ff_im / norm
+
+
+def nearfield_to_farfield_raw(nf_re, nf_im, coeffs, basis, n_spots):
+    """
+    Unnormalized overlap reduction — the pixel-sharded engine psums these
+    partial sums across devices *before* normalizing.
+    """
     D, P = basis.shape
     n_tiles = -(-P // PIXEL_TILE)
     P_pad = n_tiles * PIXEL_TILE
@@ -141,10 +151,7 @@ def nearfield_to_farfield(nf_re, nf_im, coeffs, basis, n_spots):
     init = (jnp.zeros(coeffs.shape[1], jnp.float32), jnp.zeros(coeffs.shape[1], jnp.float32))
     (ff_re, ff_im), _ = jax.lax.scan(tile_fn, init, (basis_tiles, nf_re_t, nf_im_t))
 
-    ff_re = ff_re * scale
-    ff_im = ff_im * scale
-    norm = jnp.sqrt(jnp.sum(jnp.square(ff_re) + jnp.square(ff_im)))
-    return ff_re / norm, ff_im / norm
+    return ff_re * scale, ff_im * scale
 
 
 # --------------------------------------------------------------------------
@@ -194,9 +201,14 @@ def _get_transforms(config):
     return farfield_to_nearfield, nearfield_to_farfield
 
 
-def make_compressed_gs_step(config: CompressedGSConfig):
-    """Pure per-iteration step: ``step(state, consts) -> (state, stats)``."""
-    f2n, n2f = _get_transforms(config)
+def make_compressed_gs_step(config: CompressedGSConfig, transforms=None):
+    """
+    Pure per-iteration step: ``step(state, consts) -> (state, stats)``.
+    ``transforms`` overrides the ``(f2n, n2f)`` pair — used by the
+    pixel-sharded engine (:mod:`slmsuite_tpu.parallel.compressed`) to
+    inject collective-aware variants.
+    """
+    f2n, n2f = _get_transforms(config) if transforms is None else transforms
 
     def step(state, consts):
         amp = consts["amp"]  # (P,) or scalar

@@ -94,3 +94,118 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(len(jax.devices()))
+
+
+class TestShardedCompressed:
+    """Pixel-sharded compressed GS matches the single-device engine."""
+
+    def _setup(self, n_pixels=4096, n_spots=24, method="WGS-Kim"):
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops.compressed import (
+            CompressedGSConfig,
+            CompressedGSState,
+        )
+
+        rng = np.random.default_rng(7)
+        D = 4
+        basis = rng.normal(size=(D, n_pixels)).astype(np.float32) * 2
+        coeffs = rng.normal(size=(D, n_spots)).astype(np.float32) * 10
+        target = np.full(n_spots, 1 / np.sqrt(n_spots), np.float32)
+        amp = np.full(n_pixels, 1 / np.sqrt(n_pixels), np.float32)
+        psi0 = rng.uniform(-np.pi, np.pi, n_pixels).astype(np.float32)
+
+        config = CompressedGSConfig(
+            method=method,
+            n_pixels=n_pixels,
+            n_spots=n_spots,
+            stat_groups=("computational_spot",),
+            kim_efficiency_trigger=False,
+            use_pallas=False,
+        )
+        consts = {
+            "amp": jnp.asarray(amp),
+            "coeffs": jnp.asarray(coeffs),
+            "basis": jnp.asarray(basis),
+            "target": jnp.asarray(target),
+            "stat_mask": jnp.asarray(target != 0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.1),
+            "fix_phase_iteration": jnp.int32(5),
+            "fix_phase_efficiency": jnp.float32(np.nan),
+        }
+        state = CompressedGSState(
+            psi=jnp.asarray(psi0),
+            weights=jnp.asarray(target.copy()),
+            phase_ff=jnp.zeros(n_spots, jnp.float32),
+            fixed_phase=jnp.asarray(False),
+            unfixed_streak=jnp.zeros((), jnp.int32),
+            iteration=jnp.zeros((), jnp.int32),
+        )
+        return config, state, consts
+
+    def test_matches_single_device(self):
+        from slmsuite_tpu.ops.compressed import run_compressed_gs
+        from slmsuite_tpu.parallel.compressed import (
+            run_sharded_compressed_gs,
+            shard_compressed_consts,
+        )
+        from slmsuite_tpu.parallel.mesh import make_mesh
+
+        config, state, consts = self._setup()
+        ref_state, ref_stats = run_compressed_gs(config, state, consts, 12)
+
+        mesh = make_mesh(axis_sizes=(8,), axis_names=("pixels",))
+        config2, state2, consts2 = self._setup()
+        placed = shard_compressed_consts(consts2, mesh, "pixels")
+        sh_state, sh_stats = run_sharded_compressed_gs(
+            config2, state2, placed, mesh, 12, "pixels"
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(sh_state.psi), np.asarray(ref_state.psi),
+            rtol=0, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_state.weights), np.asarray(ref_state.weights),
+            rtol=2e-5, atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_stats), np.asarray(ref_stats), rtol=0, atol=2e-5
+        )
+        assert int(sh_state.iteration) == 12
+
+    def test_gs_plain(self):
+        from slmsuite_tpu.ops.compressed import run_compressed_gs
+        from slmsuite_tpu.parallel.compressed import (
+            run_sharded_compressed_gs,
+            shard_compressed_consts,
+        )
+        from slmsuite_tpu.parallel.mesh import make_mesh
+
+        config, state, consts = self._setup(method="GS")
+        ref_state, _ = run_compressed_gs(config, state, consts, 6)
+
+        import jax
+
+        mesh = make_mesh(
+            axis_sizes=(4,), axis_names=("pixels",), devices=jax.devices()[:4]
+        )
+        config2, state2, consts2 = self._setup(method="GS")
+        placed = shard_compressed_consts(consts2, mesh, "pixels")
+        sh_state, _ = run_sharded_compressed_gs(
+            config2, state2, placed, mesh, 6, "pixels"
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_state.psi), np.asarray(ref_state.psi),
+            rtol=0, atol=2e-4,
+        )
+
+    def test_rejects_indivisible(self):
+        from slmsuite_tpu.parallel.compressed import shard_compressed_consts
+        from slmsuite_tpu.parallel.mesh import make_mesh
+
+        config, state, consts = self._setup(n_pixels=4100)
+        mesh = make_mesh(axis_sizes=(8,), axis_names=("pixels",))
+        with pytest.raises(ValueError):
+            shard_compressed_consts(consts, mesh, "pixels")
