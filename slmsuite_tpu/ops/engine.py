@@ -75,6 +75,7 @@ class GSConfig:
     spot_count: int = 0
     spot_window: int = 0             # integration width for *_spot feedback
     spot_single_px: bool = False     # stats skip integration (shape == slm_shape)
+    scrambled: bool = False          # farfield in four-step (k1,k2) layout
 
     @property
     def is_wgs(self):
@@ -136,13 +137,32 @@ def make_gs_step(config: GSConfig):
         or "computational_spot" in config.stat_groups
     )
 
+    if config.scrambled:
+        # Transpose-free hot loop: the farfield lives in the four-step
+        # (k1, k2) layout; consts/state were permuted by scramble_consts/
+        # _scramble_state. Elementwise constraint + sum-stats are
+        # order-independent, so only the FFT pair changes.
+        from slmsuite_tpu.ops import fft as _fft
+
+        def _forward(nearfield):
+            re, im = _fft.fft2_scrambled_pair(nearfield.real, nearfield.imag)
+            return (re + 1j * im).astype(jnp.complex64)
+
+        def _backward(farfield):
+            re, im = _fft.ifft2_scrambled_pair(farfield.real, farfield.imag)
+            return (re + 1j * im).astype(jnp.complex64)
+
+    else:
+        _forward = nearfield_to_farfield
+        _backward = farfield_to_nearfield
+
     def step(state, consts):
         # --- (A) Nearfield -> farfield. ---
         kernel = consts.get("kernel") if config.has_kernel else None
         nearfield = build_folded_nearfield(
             state.psi, consts["amp"], config.shape, kernel
         )
-        farfield = nearfield_to_farfield(nearfield)
+        farfield = _forward(nearfield)
         amp_ff = jnp.abs(farfield)
         theta = jnp.arctan2(farfield.imag, farfield.real)
 
@@ -263,7 +283,7 @@ def make_gs_step(config: GSConfig):
             zero_weights = state.zero_weights
 
         # --- (C) Farfield -> nearfield. ---
-        new_nearfield = farfield_to_nearfield(new_farfield)
+        new_nearfield = _backward(new_farfield)
         psi = extract_folded_phase(new_nearfield, config.slm_shape, kernel)
 
         new_state = GSState(
@@ -305,13 +325,115 @@ def _compiled_run(config: GSConfig, n_iterations: int):
     return jax.jit(run, donate_argnums=(0,))
 
 
+#: Opt-in for the scrambled (transpose-free) loop. Measured on this
+#: XLA (jax 0.9 / TPU v5e): the natural path's explicit transposes fold
+#: into dot_general operand layouts for free, while the scrambled
+#: leading-axis contractions force internal relayouts — cost analysis
+#: shows +19% bytes accessed (3463 vs 2904 MB per 2048^2 WGS step), so
+#: scrambling is NOT a win under XLA today. The layout remains the right
+#: substrate for a hand-written Pallas FFT (which controls its own
+#: layouts), hence kept and tested, default off.
+_SCRAMBLED_MODE = False
+
+
+def set_scrambled_mode(enable):
+    """Opt into the scrambled farfield loop (see :data:`_SCRAMBLED_MODE`)."""
+    global _SCRAMBLED_MODE
+    _SCRAMBLED_MODE = bool(enable)
+
+
+def _can_scramble(config: GSConfig):
+    """Scrambled loop: opted in + matmul FFT + power-of-two shape."""
+    from slmsuite_tpu.ops import fft as _fft
+
+    H, W = config.shape
+    return (
+        _SCRAMBLED_MODE
+        and not config.scrambled
+        and _fft.get_fft_backend() == "matmul"
+        and H & (H - 1) == 0
+        and W & (W - 1) == 0
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _scramble_maps(shape):
+    """(perm_h, perm_w, flat position map natural->scrambled) for ``shape``."""
+    from slmsuite_tpu.ops import fft as _fft
+
+    perm_h, perm_w = _fft.scramble_permutation_2d(shape)
+    inv_h = np.empty_like(perm_h)
+    inv_w = np.empty_like(perm_w)
+    inv_h[perm_h] = np.arange(shape[0])
+    inv_w[perm_w] = np.arange(shape[1])
+    flat_map = (inv_h[:, None] * shape[1] + inv_w[None, :]).astype(np.int64)
+    return perm_h, perm_w, flat_map
+
+
+_FARFIELD_CONSTS = ("target", "stat_mask", "signal_mask", "noise_mask", "zero_mask")
+_SPOT_IDX_CONSTS = ("spot_flat_idx", "spot_weight_flat_idx", "spot_center_idx")
+
+
+def scramble_consts(consts, shape):
+    """Permute farfield-resident consts into the scrambled layout."""
+    perm_h, perm_w, flat_map = _scramble_maps(tuple(shape))
+    out = dict(consts)
+    for key in _FARFIELD_CONSTS:
+        if key in out:
+            out[key] = jnp.take(
+                jnp.take(out[key], jnp.asarray(perm_h), axis=0),
+                jnp.asarray(perm_w), axis=1,
+            )
+    for key in _SPOT_IDX_CONSTS:
+        if key in out:
+            out[key] = jnp.asarray(
+                flat_map.ravel()[np.asarray(out[key])], dtype=jnp.int32
+            )
+    return out
+
+
+def _permute_state(state: GSState, shape, unscramble=False):
+    perm_h, perm_w, _ = _scramble_maps(tuple(shape))
+    if unscramble:
+        inv_h = np.empty_like(perm_h); inv_h[perm_h] = np.arange(shape[0])
+        inv_w = np.empty_like(perm_w); inv_w[perm_w] = np.arange(shape[1])
+        perm_h, perm_w = inv_h, inv_w
+    ph = jnp.asarray(perm_h)
+    pw = jnp.asarray(perm_w)
+
+    def permute2d(x, axis0):
+        return jnp.take(jnp.take(x, ph, axis=axis0), pw, axis=axis0 + 1)
+
+    return state._replace(
+        weights=permute2d(state.weights, 0),
+        phase_ff=permute2d(state.phase_ff, 0),
+        zero_weights=(
+            permute2d(state.zero_weights, 1)
+            if state.zero_weights.size
+            else state.zero_weights
+        ),
+    )
+
+
 def run_gs(config: GSConfig, state: GSState, consts: dict, n_iterations: int):
     """
     Run ``n_iterations`` of GS/WGS on device.
 
+    When the matmul FFT is active and the farfield is power-of-two, the
+    loop transparently runs in the four-step scrambled layout (no
+    transposes inside the scan; see :mod:`slmsuite_tpu.ops.fft`) —
+    state/consts are permuted on entry and the state is restored to
+    natural order on exit, so callers never see the scrambled basis.
+
     Returns ``(state, stats)`` where stats has shape
     ``(n_iterations, len(stat_groups) + 1, 4)``.
     """
+    if _can_scramble(config):
+        sconfig = dataclasses.replace(config, scrambled=True)
+        state = _permute_state(state, config.shape)
+        consts = scramble_consts(consts, config.shape)
+        state, stats = _compiled_run(sconfig, int(n_iterations))(state, consts)
+        return _permute_state(state, config.shape, unscramble=True), stats
     return _compiled_run(config, int(n_iterations))(state, consts)
 
 

@@ -186,3 +186,121 @@ def ifft2(x, norm="ortho"):
         return jnp.fft.ifft2(x, norm=norm)
     xr, xi = _fft2_pair(x.real, x.imag, inverse=True, norm=norm)
     return (xr + 1j * xi).astype(jnp.complex64)
+
+
+# --------------------------------------------------------------------------
+# Scrambled-layout 2D FFT: transpose-free hot loop.
+#
+# The four-step FFT naturally produces output index k = k1 + k2*n1 at
+# array position (k1, k2); restoring natural order costs a full
+# transpose+copy per axis. A GS/WGS loop never needs natural order
+# inside the iteration: the farfield constraint is elementwise and the
+# statistics are sums, so the loop can run entirely in the scrambled
+# basis — targets/weights/masks are permuted ONCE on the host with
+# :meth:`scramble_permutation`, and the matching inverse consumes the
+# scrambled layout directly and emits the natural nearfield (the
+# conjugate four-step with factor roles exchanged — no transpose on
+# either side). This removes ~4 full-array copies per iteration from a
+# bandwidth-bound loop.
+# --------------------------------------------------------------------------
+
+
+def scramble_permutation(n):
+    """
+    Permutation ``perm`` (length ``n``) with ``perm[pos] = natural_index``:
+    scrambled position ``pos = k1 * n2 + k2`` holds natural frequency
+    ``k = k1 + k2 * n1``. ``natural[k] == scrambled.ravel()[pos]`` i.e.
+    ``scrambled_array = natural_array[perm]``.
+    """
+    n1, n2 = _split(n)
+    k1 = np.arange(n1).reshape(-1, 1)
+    k2 = np.arange(n2).reshape(1, -1)
+    return (k1 + k2 * n1).ravel()
+
+
+def scramble_permutation_2d(shape):
+    """Row/column permutations for a 2D scrambled farfield ``(H, W)``."""
+    return scramble_permutation(shape[0]), scramble_permutation(shape[1])
+
+
+def _fft_last_axis_scrambled(xr, xi, n):
+    """Forward four-step along the last axis; output left in (k1, k2) order."""
+    n1, n2, w1, tw, w2 = _plan(n, False)
+    batch = xr.shape[:-1]
+    xr = xr.reshape(batch + (n1, n2))
+    xi = xi.reshape(batch + (n1, n2))
+    ar, ai = _cmatmul(w1.real, w1.imag, xr, xi, "ka,...an->...kn")
+    ar, ai = ar * tw.real - ai * tw.imag, ar * tw.imag + ai * tw.real
+    br, bi = _cmatmul(ar, ai, w2.real, w2.imag, "...kn,nm->...km")
+    return br.reshape(batch + (n,)), bi.reshape(batch + (n,))  # (k1, k2) flat.
+
+
+def _ifft_last_axis_scrambled(xr, xi, n):
+    """
+    Inverse four-step along the last axis *consuming* (k1, k2) order and
+    emitting natural order:
+
+    .. math::
+        x[m_1 n_2 + m_2] = \\sum_{k_1} \\bar W_1[m_1, k_1]\\,
+            \\bar{tw}[k_1, m_2] \\sum_{k_2} S[k_1, k_2] \\bar W_2[k_2, m_2]
+    """
+    n1, n2, w1, tw, w2 = _plan(n, True)  # Conjugate (inverse-sign) matrices.
+    batch = xr.shape[:-1]
+    xr = xr.reshape(batch + (n1, n2))
+    xi = xi.reshape(batch + (n1, n2))
+    ar, ai = _cmatmul(xr, xi, w2.real, w2.imag, "...kn,nm->...km")  # (k1, m2)
+    ar, ai = ar * tw.real - ai * tw.imag, ar * tw.imag + ai * tw.real
+    br, bi = _cmatmul(w1.real, w1.imag, ar, ai, "mk,...kn->...mn")  # (m1, m2)
+    return br.reshape(batch + (n,)), bi.reshape(batch + (n,))
+
+
+def _fft_first_axis_scrambled(xr, xi, n):
+    """Forward four-step along axis 0 of an (n, W)-shaped pair, no transpose."""
+    n1, n2, w1, tw, w2 = _plan(n, False)
+    rest = xr.shape[1:]
+    xr = xr.reshape((n1, n2) + rest)
+    xi = xi.reshape((n1, n2) + rest)
+    ar, ai = _cmatmul(w1.real, w1.imag, xr, xi, "ka,an...->kn...")
+    twr = tw.real.reshape(tw.shape + (1,) * len(rest))
+    twi = tw.imag.reshape(tw.shape + (1,) * len(rest))
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+    br, bi = _cmatmul(ar, ai, w2.real, w2.imag, "kn...,nm->km...")
+    return br.reshape((n,) + rest), bi.reshape((n,) + rest)
+
+
+def _ifft_first_axis_scrambled(xr, xi, n):
+    """Inverse four-step along axis 0 consuming (k1, k2), emitting natural."""
+    n1, n2, w1, tw, w2 = _plan(n, True)
+    rest = xr.shape[1:]
+    xr = xr.reshape((n1, n2) + rest)
+    xi = xi.reshape((n1, n2) + rest)
+    ar, ai = _cmatmul(xr, xi, w2.real, w2.imag, "kn...,nm->km...")
+    twr = tw.real.reshape(tw.shape + (1,) * len(rest))
+    twi = tw.imag.reshape(tw.shape + (1,) * len(rest))
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+    br, bi = _cmatmul(w1.real, w1.imag, ar, ai, "mk,kn...->mn...")
+    return br.reshape((n,) + rest), bi.reshape((n,) + rest)
+
+
+def fft2_scrambled_pair(xr, xi):
+    """
+    Forward 2D FFT (ortho) of a natural-order real/imag pair; the result
+    rows/cols are in the scrambled order of :meth:`scramble_permutation_2d`.
+    """
+    H, W = xr.shape[-2:]
+    xr, xi = _fft_last_axis_scrambled(xr, xi, W)
+    xr, xi = _fft_first_axis_scrambled(xr, xi, H)
+    scale = 1.0 / np.sqrt(H * W)
+    return xr * scale, xi * scale
+
+
+def ifft2_scrambled_pair(xr, xi):
+    """
+    Inverse 2D FFT (ortho) consuming the scrambled layout produced by
+    :meth:`fft2_scrambled_pair`; output is in natural order.
+    """
+    H, W = xr.shape[-2:]
+    xr, xi = _ifft_last_axis_scrambled(xr, xi, W)
+    xr, xi = _ifft_first_axis_scrambled(xr, xi, H)
+    scale = 1.0 / np.sqrt(H * W)
+    return xr * scale, xi * scale

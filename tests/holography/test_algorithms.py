@@ -269,3 +269,132 @@ class TestStatsPersistence:
             holo.stats["stats"]["computational"]["efficiency"],
         )
         assert np.allclose(holo2.phase, holo.phase, atol=1e-6)
+
+
+class TestScrambledEngine:
+    """The transpose-free scrambled loop matches the natural engine."""
+
+    @pytest.fixture(autouse=True)
+    def _matmul_backend(self):
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops import fft as F
+
+        prev = F.get_fft_backend()
+        F.set_fft_backend("matmul")
+        E.set_scrambled_mode(True)
+        yield
+        E.set_scrambled_mode(False)
+        F.set_fft_backend(prev)
+
+    def _run_both(self, config, consts, psi0, weights0, n=15):
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import engine as E
+
+        s0 = E.init_gs_state(config, psi0, weights0.copy())
+        nat_state, nat_stats = E._compiled_run(config, n)(s0, consts)
+        s0 = E.init_gs_state(config, psi0, weights0.copy())
+        assert E._can_scramble(config)
+        scr_state, scr_stats = E.run_gs(config, s0, consts, n)
+        return (nat_state, np.asarray(nat_stats)), (scr_state, np.asarray(scr_stats))
+
+    def _base(self, N=64, method="WGS-Kim", **kwargs):
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops.propagation import fold_phase
+
+        shape = (N, N)
+        target = np.zeros(shape, np.float32)
+        idx = ((np.arange(4) - 1.5) * 12 + N / 2).astype(int)
+        xs, ys = np.meshgrid(idx, idx)
+        target[ys.ravel(), xs.ravel()] = 1.0
+        target /= np.sqrt((target**2).sum())
+        rng = np.random.default_rng(3)
+        psi0 = fold_phase(rng.uniform(-np.pi, np.pi, shape).astype(np.float32), shape)
+        config = E.GSConfig(
+            method=method, shape=shape, slm_shape=shape,
+            stat_groups=("computational",), **kwargs,
+        )
+        consts = {
+            "amp": jnp.float32(1.0 / N),
+            "target": jnp.asarray(target),
+            "stat_mask": jnp.asarray(target != 0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.1),
+            "fix_phase_iteration": jnp.int32(5),
+            "fix_phase_efficiency": jnp.float32(np.nan),
+        }
+        return config, consts, psi0, target
+
+    def test_wgs_kim_parity(self):
+        config, consts, psi0, target = self._base()
+        (ns, nstats), (ss, sstats) = self._run_both(config, consts, psi0, target)
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss.weights), np.asarray(ns.weights), atol=1e-5, rtol=0
+        )
+        np.testing.assert_allclose(sstats, nstats, atol=1e-4, rtol=0)
+
+    def test_spot_feedback_parity(self):
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import engine as E
+
+        config, consts, psi0, target = self._base()
+        spots = np.argwhere(target > 0).T.astype(float)  # (2, N) as (i, j)
+        spot_ij = np.vstack([spots[1], spots[0]])  # (x, y)
+        flat_idx, center_idx = E.spot_gather_indices(spot_ij, 5, config.shape)
+        config = E.GSConfig(
+            method="WGS-Leonardo", shape=config.shape, slm_shape=config.slm_shape,
+            feedback="computational_spot", stat_groups=("computational_spot",),
+            spot_count=spot_ij.shape[1], spot_window=5,
+        )
+        consts = dict(consts)
+        consts["spot_flat_idx"] = jnp.asarray(flat_idx)
+        consts["spot_weight_flat_idx"] = jnp.asarray(flat_idx)
+        consts["spot_center_idx"] = jnp.asarray(center_idx)
+        consts["spot_amp"] = jnp.full(
+            spot_ij.shape[1], 1 / np.sqrt(spot_ij.shape[1]), jnp.float32
+        )
+        (ns, nstats), (ss, sstats) = self._run_both(config, consts, psi0, target)
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+        np.testing.assert_allclose(sstats, nstats, atol=1e-4, rtol=0)
+
+    def test_mraf_parity(self):
+        import jax.numpy as jnp
+
+        config, consts, psi0, target = self._base(method="WGS-Leonardo")
+        import dataclasses
+
+        config = dataclasses.replace(config, mraf=True, mraf_factor=True)
+        nan_region = np.zeros(config.shape, bool)
+        nan_region[: config.shape[0] // 4] = True
+        consts = dict(consts)
+        consts["signal_mask"] = jnp.asarray((target > 0) & ~nan_region)
+        consts["noise_mask"] = jnp.asarray(nan_region)
+        consts["zero_mask"] = jnp.asarray((target == 0) & ~nan_region)
+        consts["mraf_factor"] = jnp.float32(0.4)
+        (ns, _), (ss, _) = self._run_both(config, consts, psi0, target)
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+
+    def test_non_pow2_stays_natural(self):
+        from slmsuite_tpu.ops import engine as E
+
+        config = E.GSConfig(method="GS", shape=(96, 96), slm_shape=(96, 96))
+        assert not E._can_scramble(config)
+
+    def test_off_by_default(self):
+        from slmsuite_tpu.ops import engine as E
+
+        E.set_scrambled_mode(False)
+        config = E.GSConfig(method="GS", shape=(64, 64), slm_shape=(64, 64))
+        assert not E._can_scramble(config)
+        E.set_scrambled_mode(True)
+        assert E._can_scramble(config)
