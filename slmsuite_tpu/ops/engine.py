@@ -145,11 +145,11 @@ def make_gs_step(config: GSConfig):
         from slmsuite_tpu.ops import fft as _fft
 
         def _forward(nearfield):
-            re, im = _fft.fft2_scrambled_pair(nearfield.real, nearfield.imag)
+            re, im = _fft.fft2_scrambled(nearfield.real, nearfield.imag)
             return (re + 1j * im).astype(jnp.complex64)
 
         def _backward(farfield):
-            re, im = _fft.ifft2_scrambled_pair(farfield.real, farfield.imag)
+            re, im = _fft.ifft2_scrambled(farfield.real, farfield.imag)
             return (re + 1j * im).astype(jnp.complex64)
 
     else:
@@ -325,30 +325,35 @@ def _compiled_run(config: GSConfig, n_iterations: int):
     return jax.jit(run, donate_argnums=(0,))
 
 
-#: Opt-in for the scrambled (transpose-free) loop. Measured on this
-#: XLA (jax 0.9 / TPU v5e): the natural path's explicit transposes fold
-#: into dot_general operand layouts for free, while the scrambled
-#: leading-axis contractions force internal relayouts — cost analysis
-#: shows +19% bytes accessed (3463 vs 2904 MB per 2048^2 WGS step), so
-#: scrambling is NOT a win under XLA today. The layout remains the right
-#: substrate for a hand-written Pallas FFT (which controls its own
-#: layouts), hence kept and tested, default off.
-_SCRAMBLED_MODE = False
+#: Scrambled (transpose-free) loop mode: "auto" promotes on TPU, where
+#: the Pallas four-step FFT (ops.pallas_fft) keeps each axis pass to one
+#: HBM round-trip — measured 1192 -> 67 MB bytes-accessed per 2048^2
+#: fft2 vs the einsum path. On CPU (no Pallas TPU kernels) the einsum
+#: scrambled form costs +19% bytes under XLA layout assignment (3463 vs
+#: 2904 MB per WGS step), so "auto" stays natural there. Forcible via
+#: set_scrambled_mode(True/False).
+_SCRAMBLED_MODE = "auto"
 
 
 def set_scrambled_mode(enable):
-    """Opt into the scrambled farfield loop (see :data:`_SCRAMBLED_MODE`)."""
+    """Force the scrambled loop on/off, or ``"auto"`` (TPU only)."""
     global _SCRAMBLED_MODE
-    _SCRAMBLED_MODE = bool(enable)
+    _SCRAMBLED_MODE = enable
 
 
 def _can_scramble(config: GSConfig):
-    """Scrambled loop: opted in + matmul FFT + power-of-two shape."""
+    """Scrambled loop: enabled + matmul FFT + power-of-two shape."""
+    import jax as _jax
+
     from slmsuite_tpu.ops import fft as _fft
 
+    if _SCRAMBLED_MODE == "auto":
+        enabled = _jax.default_backend() not in ("cpu",)
+    else:
+        enabled = bool(_SCRAMBLED_MODE)
     H, W = config.shape
     return (
-        _SCRAMBLED_MODE
+        enabled
         and not config.scrambled
         and _fft.get_fft_backend() == "matmul"
         and H & (H - 1) == 0

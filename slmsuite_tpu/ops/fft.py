@@ -107,7 +107,15 @@ def set_fft_precision(precision):
 
 
 def _cmatmul(ar, ai, br, bi, subscript):
-    """Complex einsum via four real f32 matmuls."""
+    """
+    Complex einsum via four real f32 matmuls.
+
+    Measured alternatives that did NOT help under current XLA (cost
+    analysis, 2048^2 WGS step): stacking the data re/im into one batched
+    operand (2 matmuls) costs +30% bytes — the stack materializes a copy
+    while XLA already fuses the four-einsum reads; a 3-multiply Karatsuba
+    form saves FLOPs the MXU has to spare but adds elementwise passes.
+    """
     kwargs = dict(
         precision=getattr(jax.lax.Precision, _PRECISION),
         preferred_element_type=jnp.float32,
@@ -304,3 +312,30 @@ def ifft2_scrambled_pair(xr, xi):
     xr, xi = _ifft_first_axis_scrambled(xr, xi, H)
     scale = 1.0 / np.sqrt(H * W)
     return xr * scale, xi * scale
+
+
+def _use_pallas_scrambled(shape):
+    """Pallas kernels need >=128 lanes per block (Mosaic layout rule)."""
+    return (
+        jax.default_backend() not in ("cpu",)
+        and shape[-2] >= 128
+        and shape[-1] >= 128
+    )
+
+
+def fft2_scrambled(xr, xi):
+    """Scrambled forward fft2: Pallas kernels on TPU, einsum elsewhere."""
+    if _use_pallas_scrambled(xr.shape):
+        from slmsuite_tpu.ops.pallas_fft import fft2_scrambled_pallas
+
+        return fft2_scrambled_pallas(xr, xi)
+    return fft2_scrambled_pair(xr, xi)
+
+
+def ifft2_scrambled(xr, xi):
+    """Scrambled inverse ifft2: Pallas kernels on TPU, einsum elsewhere."""
+    if _use_pallas_scrambled(xr.shape):
+        from slmsuite_tpu.ops.pallas_fft import ifft2_scrambled_pallas
+
+        return ifft2_scrambled_pallas(xr, xi)
+    return ifft2_scrambled_pair(xr, xi)

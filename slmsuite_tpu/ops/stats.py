@@ -46,45 +46,63 @@ def calculate_stats(
         outside integration regions); replaces the overlap-integral
         efficiency when provided.
     """
+    # Two fused passes over the data instead of materializing normalized
+    # arrays: in the hot loop this function runs on the full farfield
+    # every iteration, and each intermediate array costs a 16 MB+ HBM
+    # round-trip (measured 336 -> ~100 MB accessed per call at 2048^2).
     feedback_amp = jnp.asarray(feedback_amp)
     target_amp = jnp.asarray(target_amp)
 
     if mask is None:
         mask = jnp.logical_and(target_amp != 0, jnp.logical_not(jnp.isnan(target_amp)))
 
+    target_clean = jnp.nan_to_num(target_amp)
+
+    # --- Pass 1: global sums (XLA fuses into one read of f and t). ---
     feedback_pwr = jnp.square(feedback_amp)
-    target_pwr = jnp.square(target_amp)
+    feedback_pwr_sum = jnp.sum(feedback_pwr)
+    target_pwr_sum = jnp.sum(jnp.square(target_clean))
+    overlap = jnp.sum(target_clean * feedback_amp)
 
     if total is not None:
-        efficiency = jnp.nansum(feedback_pwr) / total
+        efficiency = feedback_pwr_sum / total
+        f_norm = feedback_pwr_sum
+    else:
+        efficiency = jnp.square(overlap) / (feedback_pwr_sum * target_pwr_sum)
+        f_norm = (
+            feedback_pwr_sum * efficiency
+            if efficiency_compensation
+            else feedback_pwr_sum
+        )
 
-    feedback_pwr_sum = jnp.sum(feedback_pwr)
-    feedback_pwr = feedback_pwr / feedback_pwr_sum
-    feedback_amp_n = feedback_amp / jnp.sqrt(feedback_pwr_sum)
-
-    target_pwr_sum = jnp.nansum(target_pwr)
-    target_pwr = target_pwr / target_pwr_sum
-    target_amp_n = target_amp / jnp.sqrt(target_pwr_sum)
-
-    if total is None:
-        efficiency = jnp.square(jnp.nansum(target_amp_n * feedback_amp_n))
-        if efficiency_compensation:
-            feedback_pwr = feedback_pwr / efficiency
-
-    # Masked ratio / error statistics.
-    ratio = jnp.where(mask, feedback_pwr / jnp.where(mask, target_pwr, 1.0), jnp.nan)
-    err = jnp.where(mask, target_pwr - feedback_pwr, jnp.nan)
+    # Normalized powers are p = f^2 / f_norm and t_hat = t^2 / t_sum;
+    # every metric below is a scalar-weighted reduction of f^2, f^4,
+    # t^2 f^2 against constant arrays — one more fused pass.
     count = jnp.sum(mask)
+    target_pwr = jnp.square(target_clean)
 
-    rmin = jnp.nanmin(ratio)
-    rmax = jnp.nanmax(ratio)
-    uniformity = 1 - (rmax - rmin) / (rmax + rmin)
+    # --- Pass 2: masked reductions. ---
+    u = jnp.where(mask, feedback_pwr / jnp.where(mask, target_pwr, 1.0), 0.0)
+    err_elem = jnp.where(
+        mask, target_pwr / target_pwr_sum - feedback_pwr / f_norm, 0.0
+    )
 
-    err_mean = jnp.nansum(err) / count
-    err_var = jnp.nansum(jnp.square(jnp.where(mask, err - err_mean, 0.0))) / count
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+    umin = jnp.min(jnp.where(mask, u, pos_inf))
+    umax = jnp.max(jnp.where(mask, u, neg_inf))
+    err_sum = jnp.sum(err_elem)
+    err_sq_sum = jnp.sum(jnp.square(err_elem))
+    err_min = jnp.min(jnp.where(mask, err_elem, pos_inf))
+    err_max = jnp.max(jnp.where(mask, err_elem, neg_inf))
 
-    pkpk_err = count * (jnp.nanmax(err) - jnp.nanmin(err))
-    std_err = count * jnp.sqrt(err_var)
+    # ratio = u * (t_sum / f_norm); the scale cancels in uniformity.
+    uniformity = 1 - (umax - umin) / (umax + umin)
+
+    err_mean = err_sum / count
+    err_var = err_sq_sum / count - jnp.square(err_mean)
+    pkpk_err = count * (err_max - err_min)
+    std_err = count * jnp.sqrt(jnp.maximum(err_var, 0.0))
 
     return jnp.stack(
         [efficiency, uniformity, pkpk_err, std_err]
