@@ -604,6 +604,39 @@ class Camera(_Picklable, ABC):
 
         return z_opt
 
+    def plot(self, image=None, limits=None, title="Image", ax=None, cbar=True):
+        """
+        Plot an image: ``None`` grabs a fresh frame, ``False`` uses
+        :attr:`last_image`. Ref ``camera.py:1033``.
+        """
+        import matplotlib.pyplot as plt
+
+        if image is None:
+            self.flush()
+            image = self.get_image()
+        elif image is False:
+            image = self.last_image
+        image = np.asarray(image)
+
+        if ax is None:
+            _, ax = plt.subplots()
+        im = ax.imshow(image)
+        if cbar:
+            plt.colorbar(im, ax=ax)
+        ax.set_title(title)
+        if limits is not None and limits != 1:
+            limits = np.asarray(limits, dtype=float)
+            if limits.ndim == 0:
+                center = np.flip(np.array(image.shape)) / 2
+                half = np.flip(np.array(image.shape)) / 2 * float(limits)
+                ax.set_xlim(center[0] - half[0], center[0] + half[0])
+                ax.set_ylim(center[1] + half[1], center[1] - half[1])
+            else:
+                ax.set_xlim(*limits[0])
+                ax.set_ylim(*np.flip(limits[1]))
+        plt.sca(ax)
+        return ax
+
     # ------------------------------------------------------------------
     # Live viewer (ref camera.py:1106-1174, 1461+).
     # ------------------------------------------------------------------

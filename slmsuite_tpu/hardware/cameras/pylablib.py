@@ -7,7 +7,7 @@ pylablib wraps dozens of vendor SDKs behind one interface
 this shim forwards to that interface, so every camera pylablib supports
 works here.
 
-Parity: reference ``slmsuite/hardware/cameras/pylablib.py`` (``Pylablib``).
+Parity: reference ``slmsuite/hardware/cameras/pylablib.py`` (``PyLabLib``).
 """
 
 import numpy as np
@@ -21,7 +21,7 @@ except ImportError:
     _PYLABLIB = False
 
 
-class Pylablib(Camera):
+class PyLabLib(Camera):
     """
     Wraps an already-constructed pylablib camera instance.
 
@@ -30,7 +30,7 @@ class Pylablib(Camera):
     .. code-block:: python
 
         from pylablib.devices import DCAM
-        cam = Pylablib(DCAM.DCAMCamera(idx=0))
+        cam = PyLabLib(DCAM.DCAMCamera(idx=0))
     """
 
     def __init__(self, cam, verbose=True, **kwargs):
@@ -48,7 +48,7 @@ class Pylablib(Camera):
         self.cam = cam
 
         if verbose:
-            print(f"Pylablib camera {type(cam).__name__} initializing... ", end="")
+            print(f"PyLabLib camera {type(cam).__name__} initializing... ", end="")
         # (width, height) from pylablib's detector size.
         width, height = self.cam.get_detector_size()
 
@@ -63,7 +63,7 @@ class Pylablib(Camera):
         super().__init__(
             (int(width), int(height)),
             bitdepth=int(bitdepth),
-            name=kwargs.pop("name", f"Pylablib_{type(cam).__name__}"),
+            name=kwargs.pop("name", f"PyLabLib_{type(cam).__name__}"),
             **kwargs,
         )
 

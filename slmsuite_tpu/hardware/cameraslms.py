@@ -447,6 +447,23 @@ class FourierSLM(CameraSLM):
         self.calibrations["pixel"].update(self._get_calibration_metadata())
         return self.calibrations["pixel"]
 
+    @staticmethod
+    def pixel_kernel(x, a1_pix=0.1, a2_pix=0.1, n1=1, n2=1):
+        r"""
+        Asymmetric-exponential pixel-crosstalk blurring kernel
+        :math:`K(x) = \exp(-|x/\alpha|^{n})` with separate
+        :math:`(\alpha, n)` per side, normalized to unit sum.
+        Ref ``cameraslms.py:878``.
+        """
+        x = np.asarray(x, dtype=float)
+        kernel = np.where(
+            x >= 0,
+            np.exp(-np.power(np.abs(x) / a1_pix, n1)),
+            np.exp(-np.power(np.abs(x) / a2_pix, n2)),
+        )
+        kernel[len(kernel) // 2] = 1
+        return kernel / np.sum(kernel)
+
     def pixel_calibration_process(self, plot=True):
         """Debug plots of the raw pixel-calibration data (fitting is future work)."""
         cal = self.calibrations["pixel"]

