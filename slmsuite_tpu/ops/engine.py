@@ -141,19 +141,23 @@ def make_gs_step(config: GSConfig):
         # Transpose-free hot loop: the farfield lives in the four-step
         # (k1, k2) layout; consts/state were permuted by scramble_consts/
         # _scramble_state. Elementwise constraint + sum-stats are
-        # order-independent, so only the FFT pair changes.
+        # order-independent. The forward FFT emits (amplitude, phase)
+        # directly — on TPU the polar conversion is fused into the last
+        # Pallas kernel, so the complex farfield never touches HBM.
         from slmsuite_tpu.ops import fft as _fft
 
-        def _forward(nearfield):
-            re, im = _fft.fft2_scrambled(nearfield.real, nearfield.imag)
-            return (re + 1j * im).astype(jnp.complex64)
+        def _forward_polar(nearfield):
+            return _fft.fft2_scrambled_polar(nearfield.real, nearfield.imag)
 
         def _backward(farfield):
             re, im = _fft.ifft2_scrambled(farfield.real, farfield.imag)
             return (re + 1j * im).astype(jnp.complex64)
 
     else:
-        _forward = nearfield_to_farfield
+        def _forward_polar(nearfield):
+            farfield = nearfield_to_farfield(nearfield)
+            return jnp.abs(farfield), jnp.arctan2(farfield.imag, farfield.real)
+
         _backward = farfield_to_nearfield
 
     def step(state, consts):
@@ -162,9 +166,7 @@ def make_gs_step(config: GSConfig):
         nearfield = build_folded_nearfield(
             state.psi, consts["amp"], config.shape, kernel
         )
-        farfield = _forward(nearfield)
-        amp_ff = jnp.abs(farfield)
-        theta = jnp.arctan2(farfield.imag, farfield.real)
+        amp_ff, theta = _forward_polar(nearfield)
 
         spot_feedback = (
             _spot_feedback_amp(jnp.square(amp_ff), consts)
@@ -260,6 +262,9 @@ def make_gs_step(config: GSConfig):
         # iteration that fixes), stored phase once fixed (ref :1589-1605).
         constrained = weights * jnp.exp(1j * phase_ff)
         if config.mraf:
+            # Reconstruct the free-evolution farfield from polar form
+            # (the complex array was never materialized).
+            farfield = (amp_ff * jnp.exp(1j * theta)).astype(jnp.complex64)
             new_farfield = jnp.where(consts["signal_mask"], constrained, farfield)
             if config.mraf_factor:
                 new_farfield = jnp.where(

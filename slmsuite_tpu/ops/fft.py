@@ -339,3 +339,17 @@ def ifft2_scrambled(xr, xi):
 
         return ifft2_scrambled_pallas(xr, xi)
     return ifft2_scrambled_pair(xr, xi)
+
+
+def fft2_scrambled_polar(xr, xi):
+    """
+    Scrambled forward fft2 returning ``(amplitude, phase)``: on TPU the
+    polar conversion is fused into the final Pallas kernel's epilogue
+    (the complex farfield never hits HBM); einsum + abs/arctan2 elsewhere.
+    """
+    if _use_pallas_scrambled(xr.shape):
+        from slmsuite_tpu.ops.pallas_fft import fft2_scrambled_polar_pallas
+
+        return fft2_scrambled_polar_pallas(xr, xi)
+    re, im = fft2_scrambled_pair(xr, xi)
+    return jnp.sqrt(jnp.square(re) + jnp.square(im)), jnp.arctan2(im, re)

@@ -128,24 +128,62 @@ def _rows_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
     outi_ref[...] = bi.T
 
 
+def _atan2(y, x):
+    """
+    Elementwise atan2 built from supported Mosaic ops (no atan/atan2
+    lowering exists): octant reduction + Cephes-style single-precision
+    arctan polynomial with the (t-1)/(t+1) fold at tan(pi/8) — accuracy
+    ~1e-7 rad, far below the FFT's own f32 noise floor.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    t = num / jnp.maximum(den, jnp.float32(1e-37))
+
+    hi = t > jnp.float32(0.41421356)
+    u = jnp.where(hi, (t - 1.0) / (t + 1.0), t)
+    z = u * u
+    p = (
+        (jnp.float32(8.05374449538e-2) * z - jnp.float32(1.38776856032e-1)) * z
+        + jnp.float32(1.99777106478e-1)
+    ) * z - jnp.float32(3.33329491539e-1)
+    r = u + u * z * p
+    r = jnp.where(hi, r + jnp.float32(0.78539816), r)
+
+    r = jnp.where(swap, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 def _cols_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-                 w2tr_ref, w2ti_ref, outr_ref, outi_ref, *, n1, n2, inverse):
+                 w2tr_ref, w2ti_ref, outr_ref, outi_ref, *, n1, n2, inverse,
+                 polar_out=False, scale=1.0):
     """FFT along the FIRST axis of an (n, BLOCK) block: already
-    sublane-major, no transposes at all."""
+    sublane-major, no transposes at all. With ``polar_out`` the epilogue
+    emits (amplitude, phase) instead of (re, im) — fusing the GS loop's
+    abs/arctan2 into the FFT so the complex farfield never hits HBM."""
     br, bi = _fft_core(
         xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
         twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
         n1, n2, inverse,
     )
-    outr_ref[...] = br
-    outi_ref[...] = bi
+    if polar_out:
+        br = br * scale
+        bi = bi * scale
+        outr_ref[...] = jnp.sqrt(br * br + bi * bi)
+        outi_ref[...] = _atan2(bi, br)
+    else:
+        outr_ref[...] = br
+        outi_ref[...] = bi
 
 
-def _call(kernel, grid, data_spec, mats, xr, xi, n1, n2, inverse):
+def _call(kernel, grid, data_spec, mats, xr, xi, n1, n2, inverse, **kw):
     H, W = xr.shape
     const_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
     out = pl.pallas_call(
-        functools.partial(kernel, n1=n1, n2=n2, inverse=inverse),
+        functools.partial(kernel, n1=n1, n2=n2, inverse=inverse, **kw),
         grid=grid,
         in_specs=[data_spec, data_spec] + const_specs,
         out_specs=[data_spec, data_spec],
@@ -191,6 +229,25 @@ def fft2_scrambled_pallas(xr, xi):
     xr, xi = _fft_cols(xr, xi, False)
     scale = 1.0 / np.sqrt(H * W)
     return xr * scale, xi * scale
+
+
+@jax.jit
+def fft2_scrambled_polar_pallas(xr, xi):
+    """
+    Forward ortho 2D FFT returning ``(amplitude, phase)`` in the
+    scrambled layout; the polar conversion happens in the final kernel's
+    epilogue, so the complex farfield never materializes in HBM.
+    """
+    H, W = xr.shape[-2:]
+    xr, xi = _fft_rows(xr, xi, False)
+    n1, n2, *mats = _plan_f32(H, False)
+    block = min(BLOCK, W)
+    return _call(
+        _cols_kernel, (W // block,),
+        pl.BlockSpec((H, block), lambda i: (0, i)),
+        mats, xr, xi, n1, n2, False,
+        polar_out=True, scale=1.0 / np.sqrt(H * W),
+    )
 
 
 def ifft2_scrambled_pallas(xr, xi):

@@ -384,6 +384,34 @@ class TestScrambledEngine:
             np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
         )
 
+
+    def test_zero_factor_parity(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        config, consts, psi0, target = self._base(method="WGS-Leonardo")
+        config = dataclasses.replace(
+            config, mraf=True, mraf_factor=True, zero_factor=True
+        )
+        nan_region = np.zeros(config.shape, bool)
+        nan_region[: config.shape[0] // 4] = True
+        consts = dict(consts)
+        consts["signal_mask"] = jnp.asarray((target > 0) & ~nan_region)
+        consts["noise_mask"] = jnp.asarray(nan_region)
+        consts["zero_mask"] = jnp.asarray((target == 0) & ~nan_region)
+        consts["mraf_factor"] = jnp.float32(0.4)
+        consts["zero_factor"] = jnp.float32(0.1)
+        (ns, _), (ss, _) = self._run_both(config, consts, psi0, target)
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+        # The evolving zero-region weights unscramble back correctly.
+        np.testing.assert_allclose(
+            np.asarray(ss.zero_weights), np.asarray(ns.zero_weights),
+            atol=1e-5, rtol=0,
+        )
+
     def test_non_pow2_stays_natural(self):
         from slmsuite_tpu.ops import engine as E
 
