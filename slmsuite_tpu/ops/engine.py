@@ -137,6 +137,16 @@ def make_gs_step(config: GSConfig):
         or "computational_spot" in config.stat_groups
     )
 
+    # Fully-fused phase-in/phase-out loop: valid when the computational
+    # farfield equals the SLM shape with no propagation kernel — then
+    # nearfield == amp * e^{i psi} exactly and no complex array needs to
+    # exist in HBM on either side of the constraint.
+    full_fuse = (
+        config.scrambled
+        and tuple(config.shape) == tuple(config.slm_shape)
+        and not config.has_kernel
+    )
+
     if config.scrambled:
         # Transpose-free hot loop: the farfield lives in the four-step
         # (k1, k2) layout; consts/state were permuted by scramble_consts/
@@ -163,10 +173,17 @@ def make_gs_step(config: GSConfig):
     def step(state, consts):
         # --- (A) Nearfield -> farfield. ---
         kernel = consts.get("kernel") if config.has_kernel else None
-        nearfield = build_folded_nearfield(
-            state.psi, consts["amp"], config.shape, kernel
-        )
-        amp_ff, theta = _forward_polar(nearfield)
+        if full_fuse:
+            from slmsuite_tpu.ops import fft as _fft
+
+            amp_ff, theta = _fft.fft2_scrambled_polar_from_phase(
+                state.psi, consts["amp"]
+            )
+        else:
+            nearfield = build_folded_nearfield(
+                state.psi, consts["amp"], config.shape, kernel
+            )
+            amp_ff, theta = _forward_polar(nearfield)
 
         spot_feedback = (
             _spot_feedback_amp(jnp.square(amp_ff), consts)
@@ -288,8 +305,15 @@ def make_gs_step(config: GSConfig):
             zero_weights = state.zero_weights
 
         # --- (C) Farfield -> nearfield. ---
-        new_nearfield = _backward(new_farfield)
-        psi = extract_folded_phase(new_nearfield, config.slm_shape, kernel)
+        if full_fuse:
+            from slmsuite_tpu.ops import fft as _fft
+
+            psi = _fft.ifft2_scrambled_phase(
+                new_farfield.real, new_farfield.imag
+            )
+        else:
+            new_nearfield = _backward(new_farfield)
+            psi = extract_folded_phase(new_nearfield, config.slm_shape, kernel)
 
         new_state = GSState(
             psi=psi,

@@ -353,3 +353,30 @@ def fft2_scrambled_polar(xr, xi):
         return fft2_scrambled_polar_pallas(xr, xi)
     re, im = fft2_scrambled_pair(xr, xi)
     return jnp.sqrt(jnp.square(re) + jnp.square(im)), jnp.arctan2(im, re)
+
+
+def fft2_scrambled_polar_from_phase(psi, amp):
+    """
+    Scrambled forward polar FFT of ``amp * exp(i psi)``: fully fused on
+    TPU (no complex nearfield or farfield in HBM); composed einsum path
+    elsewhere.
+    """
+    if _use_pallas_scrambled(psi.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.fft2_scrambled_polar_from_phase(psi, amp)
+    re, im = fft2_scrambled_pair(amp * jnp.cos(psi), amp * jnp.sin(psi))
+    return jnp.sqrt(jnp.square(re) + jnp.square(im)), jnp.arctan2(im, re)
+
+
+def ifft2_scrambled_phase(xr, xi):
+    """
+    Scrambled inverse FFT returning only the result's phase (the GS psi
+    update): fused on TPU, composed einsum elsewhere.
+    """
+    if _use_pallas_scrambled(xr.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.ifft2_scrambled_phase(xr, xi)
+    re, im = ifft2_scrambled_pair(xr, xi)
+    return jnp.arctan2(im, re)

@@ -257,3 +257,142 @@ def ifft2_scrambled_pallas(xr, xi):
     xr, xi = _fft_cols(xr, xi, True)
     scale = 1.0 / np.sqrt(H * W)
     return xr * scale, xi * scale
+
+
+# --------------------------------------------------------------------------
+# GS-loop end fusions: phase in, phase out.
+#
+# When the computational farfield equals the SLM shape with no
+# propagation kernel (the common spot-holography case), the nearfield is
+# exactly amp * exp(i psi): the forward rows kernel can synthesize it in
+# its prologue (the complex nearfield never hits HBM), and the inverse
+# cols kernel can emit the new psi = atan2(im, re) directly (the complex
+# back-propagated nearfield never hits HBM either).
+# --------------------------------------------------------------------------
+
+
+def _rows_phase_kernel(psi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                       w2tr_ref, w2ti_ref, outr_ref, outi_ref,
+                       *, n1, n2):
+    """Forward rows FFT whose input is synthesized as e^{i psi}
+    (scalar amplitudes fold into the output scale by linearity)."""
+    psi = psi_ref[...].T                                # (n, R)
+    xr = jnp.cos(psi)
+    xi = jnp.sin(psi)
+    br, bi = _fft_core(
+        xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
+        w2tr_ref[...], w2ti_ref[...], n1, n2, False,
+    )
+    outr_ref[...] = br.T
+    outi_ref[...] = bi.T
+
+
+def _rows_phase_amp_kernel(psi_ref, amp_ref, w1r_ref, w1i_ref, twr_ref,
+                           twi_ref, w2tr_ref, w2ti_ref, outr_ref, outi_ref,
+                           *, n1, n2):
+    """Like :meth:`_rows_phase_kernel` with a per-pixel amplitude array."""
+    psi = psi_ref[...].T
+    amp = amp_ref[...].T
+    xr = amp * jnp.cos(psi)
+    xi = amp * jnp.sin(psi)
+    br, bi = _fft_core(
+        xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
+        w2tr_ref[...], w2ti_ref[...], n1, n2, False,
+    )
+    outr_ref[...] = br.T
+    outi_ref[...] = bi.T
+
+
+def _cols_phase_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                       w2tr_ref, w2ti_ref, out_ref, *, n1, n2):
+    """Inverse cols FFT emitting only the phase of the result."""
+    br, bi = _fft_core(
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
+        n1, n2, True,
+    )
+    out_ref[...] = _atan2(bi, br)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fft2_scrambled_polar_from_phase(psi, amp):
+    """
+    Forward ortho 2D FFT of ``amp * exp(i psi)`` returning scrambled
+    ``(amplitude, phase)``; neither the complex nearfield nor the complex
+    farfield ever materializes. ``amp`` may be a scalar or an (H, W) array.
+    """
+    H, W = psi.shape
+    n1, n2, *mats = _plan_f32(W, False)
+    block = min(BLOCK, H)
+    data_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    const_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
+    out_shape = [
+        jax.ShapeDtypeStruct((H, W), jnp.float32),
+        jax.ShapeDtypeStruct((H, W), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    scalar_amp = jnp.ndim(amp) == 0
+    if scalar_amp:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[data_spec] + const_specs,
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape,
+            compiler_params=params,
+        )(psi, *[jnp.asarray(m) for m in mats])
+    else:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_amp_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[data_spec, data_spec] + const_specs,
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape,
+            compiler_params=params,
+        )(psi, amp, *[jnp.asarray(m) for m in mats])
+
+    # Columns pass with fused polar epilogue.
+    n1c, n2c, *cmats = _plan_f32(H, False)
+    blockc = min(BLOCK, W)
+    data_specc = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    cconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in cmats]
+    amp_ff, theta = pl.pallas_call(
+        functools.partial(
+            _cols_kernel, n1=n1c, n2=n2c, inverse=False,
+            polar_out=True, scale=1.0 / np.sqrt(H * W),
+        ),
+        grid=(W // blockc,),
+        in_specs=[data_specc, data_specc] + cconst,
+        out_specs=[data_specc, data_specc],
+        out_shape=out_shape,
+        compiler_params=params,
+    )(xr, xi, *[jnp.asarray(m) for m in cmats])
+    if scalar_amp:
+        # Linearity: the scalar amplitude scales |F| only (fuses into
+        # the next consumer of amp_ff under jit).
+        amp_ff = amp_ff * amp
+    return amp_ff, theta
+
+
+@jax.jit
+def ifft2_scrambled_phase(xr, xi):
+    """
+    Inverse ortho 2D FFT consuming the scrambled layout and returning
+    only the phase of the natural-order result (the GS psi update);
+    the complex nearfield never materializes.
+    """
+    H, W = xr.shape
+    xr, xi = _fft_rows(xr, xi, True)
+    n1, n2, *mats = _plan_f32(H, True)
+    block = min(BLOCK, W)
+    data_spec = pl.BlockSpec((H, block), lambda i: (0, i))
+    const_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
+    return pl.pallas_call(
+        functools.partial(_cols_phase_kernel, n1=n1, n2=n2),
+        grid=(W // block,),
+        in_specs=[data_spec, data_spec] + const_specs,
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(xr, xi, *[jnp.asarray(m) for m in mats])
