@@ -40,6 +40,7 @@ class BatchedGSConfig:
     n_planes: int
     has_kernel: bool = True
     stats: bool = True
+    scrambled: bool = False  # farfield in four-step (k1,k2) layout
 
     @property
     def is_wgs(self):
@@ -57,17 +58,21 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
     """
     y0, y1, x0, x1 = pad_window_slices(config.shape, config.slm_shape)
 
+    if config.scrambled:
+        from slmsuite_tpu.ops import fft as _fft
+
     def plane_forward(psi, kernel, amp):
+        """Returns (amp_ff, theta); complex farfield never materializes
+        in the scrambled (Pallas) mode."""
         nearfield = build_folded_nearfield(
             psi, amp, config.shape, kernel if config.has_kernel else None
         )
+        if config.scrambled:
+            return _fft.fft2_scrambled_polar(nearfield.real, nearfield.imag)
         farfield = nearfield_to_farfield(nearfield)
-        return farfield
+        return jnp.abs(farfield), jnp.arctan2(farfield.imag, farfield.real)
 
-    def plane_constrain(farfield, weights, target, feedback_exponent, feedback_factor, iteration):
-        amp_ff = jnp.abs(farfield)
-        theta = jnp.arctan2(farfield.imag, farfield.real)
-
+    def plane_constrain(amp_ff, theta, weights, target, feedback_exponent, feedback_factor, iteration):
         if config.stats:
             stats = calculate_stats(
                 amp_ff, target, mask=target != 0, efficiency_compensation=False
@@ -84,7 +89,11 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
         return weights * jnp.exp(1j * theta), weights, stats
 
     def plane_backward(constrained, kernel, plane_weight):
-        nearfield = farfield_to_nearfield(constrained)
+        if config.scrambled:
+            re, im = _fft.ifft2_scrambled(constrained.real, constrained.imag)
+            nearfield = (re + 1j * im).astype(jnp.complex64)
+        else:
+            nearfield = farfield_to_nearfield(constrained)
         window = jax.lax.dynamic_slice(
             nearfield, (y0, x0), tuple(config.slm_shape)
         )
@@ -98,12 +107,14 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
         plane_weights = consts["plane_weights"]  # (B_local,)
         iteration = consts["iteration"]
 
-        farfields = jax.vmap(lambda k: plane_forward(psi, k, consts["amp"]))(kernels)
+        amps_ff, thetas = jax.vmap(
+            lambda k: plane_forward(psi, k, consts["amp"])
+        )(kernels)
         constrained, weights, stats = jax.vmap(
-            lambda ff, w, t: plane_constrain(
-                ff, w, t, consts["feedback_exponent"], consts["feedback_factor"], iteration
+            lambda a, th, w, t: plane_constrain(
+                a, th, w, t, consts["feedback_exponent"], consts["feedback_factor"], iteration
             )
-        )(farfields, weights, targets)
+        )(amps_ff, thetas, weights, targets)
 
         contributions = jax.vmap(plane_backward)(constrained, kernels, plane_weights)
         combined = jnp.sum(contributions, axis=0)
@@ -116,15 +127,60 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
     return step
 
 
+def _batched_can_scramble(config):
+    from slmsuite_tpu.ops import engine as _engine
+    from slmsuite_tpu.ops import fft as _fft
+
+    H, W = config.shape
+    return (
+        not config.scrambled
+        and _engine._SCRAMBLED_MODE in ("auto", True)
+        and jax.default_backend() not in ("cpu",)
+        and _fft.get_fft_backend() == "matmul"
+        and H & (H - 1) == 0 and W & (W - 1) == 0
+        and H >= 128 and W >= 128
+    )
+
+
+def _permute_planes(arrays, shape, unscramble=False):
+    """Permute (B, H, W) farfield-resident arrays into/out of the
+    scrambled layout."""
+    from slmsuite_tpu.ops import engine as _engine
+
+    perm_h, perm_w, _ = _engine._scramble_maps(tuple(shape))
+    if unscramble:
+        inv_h = np.empty_like(perm_h); inv_h[perm_h] = np.arange(shape[0])
+        inv_w = np.empty_like(perm_w); inv_w[perm_w] = np.arange(shape[1])
+        perm_h, perm_w = inv_h, inv_w
+    ph, pw = jnp.asarray(perm_h), jnp.asarray(perm_w)
+    return [
+        jnp.take(jnp.take(a, ph, axis=-2), pw, axis=-1) for a in arrays
+    ]
+
+
 def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_name="data"):
     """
     Run ``n_iterations`` of the batched multiplane loop.
 
     Single-device when ``mesh`` is ``None``; otherwise planes shard over
-    ``axis_name`` with the nearfield sum as a ``psum`` collective.
+    ``axis_name`` with the nearfield sum as a ``psum`` collective. On TPU
+    the per-plane FFTs auto-promote to the scrambled Pallas path
+    (targets/weights permuted here, transparently to the caller).
 
     Returns ``(psi, weights, stats (n, B, 4))``.
     """
+    if _batched_can_scramble(config):
+        config = dataclasses.replace(config, scrambled=True)
+        weights, targets = _permute_planes(
+            [weights, consts["targets"]], config.shape
+        )
+        consts = dict(consts, targets=targets)
+        psi, weights, stats = run_batched_gs(
+            config, psi, weights, consts, n_iterations, mesh, axis_name
+        )
+        (weights,) = _permute_planes([weights], config.shape, unscramble=True)
+        return psi, weights, stats
+
     if mesh is None:
         step = make_batched_gs_step(config)
 
@@ -176,7 +232,7 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
         return psi, weights, stats
 
     fn = jax.jit(
-        shard_map(sharded_run, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        shard_map(sharded_run, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
     )
 
     # Place inputs on the mesh.

@@ -211,3 +211,60 @@ class TestShardedCompressed:
         mesh = make_mesh(axis_sizes=(8,), axis_names=("pixels",))
         with pytest.raises(ValueError):
             shard_compressed_consts(consts, mesh, "pixels")
+
+
+class TestBatchedScrambled:
+    """The batched multiplane scrambled path matches the natural one."""
+
+    def test_scrambled_matches_natural(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops.propagation import fold_phase
+        from slmsuite_tpu.parallel.multiplane import (
+            BatchedGSConfig,
+            _permute_planes,
+            make_multiplane_consts,
+            run_batched_gs,
+        )
+
+        B, N = 3, 128
+        rng = np.random.default_rng(0)
+        targets = np.zeros((B, N, N), np.float32)
+        for b in range(B):
+            targets[b, 30 + 10 * b, 40 + 8 * b] = 1
+            targets[b] /= np.sqrt((targets[b] ** 2).sum())
+        kernels = np.stack(
+            [np.full((N, N), 0.1 * b, np.float32) for b in range(B)]
+        )
+        config = BatchedGSConfig(
+            method="WGS-Kim", shape=(N, N), slm_shape=(N, N), n_planes=B
+        )
+        consts = make_multiplane_consts(
+            targets, kernels, np.full(B, 1 / np.sqrt(B), np.float32), 1.0 / N
+        )
+        psi0 = jnp.asarray(
+            fold_phase(rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32), (N, N))
+        )
+        w0 = jnp.asarray(targets.copy())
+
+        p_nat, w_nat, s_nat = run_batched_gs(config, psi0, w0, consts, 10)
+
+        # Manually promote (CPU never auto-promotes): permute in, run the
+        # scrambled einsum path, unpermute out.
+        sconfig = dataclasses.replace(config, scrambled=True)
+        w_in, t_in = _permute_planes([w0, consts["targets"]], config.shape)
+        p_s, w_s, s_s = run_batched_gs(
+            sconfig, psi0, w_in, dict(consts, targets=t_in), 10
+        )
+        (w_s,) = _permute_planes([w_s], config.shape, unscramble=True)
+
+        wrapped = np.abs(np.angle(np.exp(1j * (np.asarray(p_nat) - np.asarray(p_s)))))
+        assert wrapped.max() < 5e-4
+        np.testing.assert_allclose(
+            np.asarray(w_s), np.asarray(w_nat), atol=1e-5, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_s), np.asarray(s_nat), atol=1e-3, rtol=0
+        )
