@@ -24,10 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm.auto import tqdm
 
-from slmsuite_tpu.holography import analysis, toolbox
+from slmsuite_tpu.holography import analysis
 from slmsuite_tpu.holography.algorithms._header import (
     ALGORITHM_DEFAULTS,
-    ALGORITHM_INDEX,
     FEEDBACK_OPTIONS,
 )
 from slmsuite_tpu.holography.algorithms._stats import _HologramStats

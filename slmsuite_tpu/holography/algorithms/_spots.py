@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from slmsuite_tpu.holography import analysis, toolbox
 from slmsuite_tpu.holography.algorithms._feedback import FeedbackHologram
 from slmsuite_tpu.holography.algorithms._hologram import Hologram
-from slmsuite_tpu.misc.math import INTEGER_TYPES, REAL_TYPES
+from slmsuite_tpu.misc.math import REAL_TYPES
 from slmsuite_tpu.ops import engine as _engine
 from slmsuite_tpu.ops.weights import update_weights_generic
 

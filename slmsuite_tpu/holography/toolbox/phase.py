@@ -22,7 +22,7 @@ from slmsuite_tpu.holography.toolbox import (
     format_2vectors,
     imprint,
 )
-from slmsuite_tpu.misc.math import INTEGER_TYPES, REAL_TYPES
+from slmsuite_tpu.misc.math import REAL_TYPES
 
 __all__ = [
     "blaze",
