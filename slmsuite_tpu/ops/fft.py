@@ -176,13 +176,20 @@ def _fft2_pair(xr, xi, inverse, norm):
     return xr, xi
 
 
+def _pow2_shape(shape):
+    H, W = shape[-2:]
+    return (H & (H - 1) == 0) and (W & (W - 1) == 0) and H > 0 and W > 0
+
+
 def fft2(x, norm="ortho"):
     """
     2D FFT over the last two axes. Uses the MXU four-step algorithm on TPU
-    (``"matmul"`` backend) or ``jnp.fft.fft2`` (``"xla"``). Complex in/out;
-    call inside jit.
+    (``"matmul"`` backend, power-of-two sizes) or ``jnp.fft.fft2``
+    (``"xla"``, any size — also the automatic fallback for non-pow2
+    shapes, which the reference supports with a speed warning).
+    Complex in/out; call inside jit.
     """
-    if get_fft_backend() == "xla":
+    if get_fft_backend() == "xla" or not _pow2_shape(x.shape):
         return jnp.fft.fft2(x, norm=norm)
     xr, xi = _fft2_pair(x.real, x.imag, inverse=False, norm=norm)
     return (xr + 1j * xi).astype(jnp.complex64)
@@ -190,7 +197,7 @@ def fft2(x, norm="ortho"):
 
 def ifft2(x, norm="ortho"):
     """Inverse 2D FFT over the last two axes (see :meth:`fft2`)."""
-    if get_fft_backend() == "xla":
+    if get_fft_backend() == "xla" or not _pow2_shape(x.shape):
         return jnp.fft.ifft2(x, norm=norm)
     xr, xi = _fft2_pair(x.real, x.imag, inverse=True, norm=norm)
     return (xr + 1j * xi).astype(jnp.complex64)

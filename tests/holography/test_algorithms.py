@@ -426,3 +426,25 @@ class TestScrambledEngine:
         assert not E._can_scramble(config)
         E.set_scrambled_mode(True)
         assert E._can_scramble(config)
+
+
+def test_non_pow2_shapes_fall_back():
+    """Non-power-of-two farfields route to the XLA FFT (ref supports any
+    shape with a speed warning), never crashing the matmul path."""
+    import warnings
+
+    from slmsuite_tpu.ops import fft as F
+
+    prev = F.get_fft_backend()
+    F.set_fft_backend("matmul")
+    try:
+        target = np.zeros((100, 100), np.float32)
+        target[30, 40] = 1
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            holo = Hologram(target, slm_shape=(100, 100))
+            holo.optimize("WGS-Leonardo", maxiter=5, verbose=False,
+                          stat_groups=["computational"])
+        assert holo.stats["stats"]["computational"]["efficiency"][-1] > 0.5
+    finally:
+        F.set_fft_backend(prev)
