@@ -75,3 +75,32 @@ class TestH5:
         path = str(tmp_path / "bad.h5")
         with pytest.raises(ValueError):
             mfiles.save_h5(path, {"bad": [np.zeros(2), np.zeros(3)]})
+
+
+class TestProfile:
+    def test_time_scan(self):
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.misc.profile import time_scan
+
+        rate = time_scan(lambda x: x * 1.0001 + 1e-6, jnp.ones((64, 64)), n_iterations=20)
+        assert rate > 0
+
+    def test_bytes_accessed(self):
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.misc.profile import bytes_accessed
+
+        n = bytes_accessed(lambda x: x * 2.0, jnp.ones((128, 128)))
+        assert n is None or n >= 128 * 128 * 4
+
+    def test_trace(self, tmp_path):
+        import jax.numpy as jnp
+        import jax
+
+        from slmsuite_tpu.misc.profile import trace
+
+        with trace(str(tmp_path)):
+            jnp.sum(jnp.ones((32, 32))).block_until_ready()
+        # A trace directory should have been produced.
+        assert any(tmp_path.iterdir())
