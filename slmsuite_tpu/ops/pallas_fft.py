@@ -262,6 +262,15 @@ def ifft2_scrambled_pallas(xr, xi):
 # --------------------------------------------------------------------------
 # GS-loop end fusions: phase in, phase out.
 #
+# Future work (analyzed, deferred): fusing the WGS weight update +
+# constraint into the inverse rows kernel's prologue would save another
+# ~60-90 MB/step, but the update renormalizes by a global norm. The fix
+# is deferred-by-one normalization (all weight rules are w-scale-
+# covariant and the extracted phase is scale-invariant, so applying the
+# previous iteration's norm as an SMEM scalar preserves the exact
+# trajectory) — correct but subtle; revisit if the remaining ~530 MB
+# step budget ever matters on real hardware.
+#
 # When the computational farfield equals the SLM shape with no
 # propagation kernel (the common spot-holography case), the nearfield is
 # exactly amp * exp(i psi): the forward rows kernel can synthesize it in
