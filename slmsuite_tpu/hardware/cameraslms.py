@@ -1249,6 +1249,15 @@ class FourierSLM(CameraSLM):
                 calibration_points, distance < field_exclusion**2, axis=1
             )
 
+        if calibration_points.shape[1] == 0:
+            raise ValueError(
+                f"No calibration points survive the exclusion rules at "
+                f"pitch={pitch:.0f} (field_exclusion={field_exclusion:.0f} "
+                f"removes everything near the 0th/field orders on a "
+                f"{tuple(self.cam.shape)} camera). Use a smaller pitch (more "
+                f"points) or pass a smaller field_exclusion."
+            )
+
         if plot:
             import matplotlib.pyplot as plt
 

@@ -592,6 +592,8 @@ class CompressedSpotHologram(_AbstractSpotHologram):
 
         spot_vectors = toolbox.format_vectors(spot_vectors, handle_dimension="pass")
         D, N = spot_vectors.shape
+        if N == 0:
+            raise ValueError("CompressedSpotHologram requires at least one spot.")
 
         if spot_amp is not None:
             self.spot_amp = np.asarray(spot_amp).ravel()

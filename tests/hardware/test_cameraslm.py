@@ -141,3 +141,24 @@ class TestSettleCalibration:
         fs = fourierslm_calibrated
         cal = fs.settle_calibrate(times=5, settle_time_s=0)
         assert "data" in cal
+
+
+def test_calibration_points_exclusion_guard(fourierslm_calibrated):
+    """Coarse pitch + default exclusion can eliminate every candidate;
+    the error must say so instead of crashing deep in the engine."""
+    fs = fourierslm_calibrated
+    coarse = float(np.sqrt(np.prod(fs.cam.shape) / 4))
+    with pytest.raises(ValueError, match="exclusion"):
+        fs.wavefront_calibration_points(coarse)
+    # An explicit smaller exclusion yields points at the same pitch.
+    points = fs.wavefront_calibration_points(coarse, field_exclusion=60)
+    assert points.shape[0] == 2 and points.shape[1] > 0
+
+
+def test_compressed_rejects_zero_spots(fourierslm_calibrated):
+    from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+
+    with pytest.raises(ValueError, match="at least one spot"):
+        CompressedSpotHologram(
+            np.zeros((2, 0)), basis="kxy", cameraslm=fourierslm_calibrated
+        )
