@@ -73,13 +73,24 @@ def update_weights_generic(
         raise ValueError("Weighting is only for WGS methods.")
     rule = method_lower[4:]
 
-    feedback = feedback_amp / _norm(feedback_amp)
-
+    # HBM-traffic note: for Leonardo/Kim the feedback pre-normalization
+    # (divide by the global norm s) is a pure scalar factor:
+    # (s f/t)^-p = s^-p (f/t)^-p, and s^-p is removed exactly by the
+    # final renormalization (masked pixels pin to factor 1, but their
+    # weights are identically zero, so the trajectory is unchanged).
+    # The normalized feedback array is therefore never materialized for
+    # those rules — one fewer full-plane pass in the hot loop. Nogrette's
+    # nanmean mixes the masked 1.0 entries (scale does NOT factor out)
+    # and the additive Wu/tanh rules need the normalized values, so they
+    # keep the eager normalization like the reference.
     if "wu" in rule or "tanh" in rule:
-        # Additive comparison.
+        feedback = feedback_amp / _norm(feedback_amp)
         corrected = target_amp - feedback_exponent * feedback
     else:
-        # Multiplicative comparison.
+        if "nogrette" in rule:
+            feedback = feedback_amp / _norm(feedback_amp)
+        else:
+            feedback = feedback_amp
         corrected = feedback / target_amp
         if nan_checks:
             corrected = jnp.where(

@@ -448,3 +448,47 @@ def test_non_pow2_shapes_fall_back():
         assert holo.stats["stats"]["computational"]["efficiency"][-1] > 0.5
     finally:
         F.set_fft_backend(prev)
+
+
+def test_weight_rules_match_eager_normalization():
+    """The lazy-normalization optimization (Leonardo/Kim skip the eager
+    feedback normalization; the scalar cancels post-renorm because masked
+    pixels carry zero weight) must match the reference's eager formula
+    for every rule."""
+    from slmsuite_tpu.ops.weights import update_weights_generic
+
+    rng = np.random.default_rng(0)
+    t = np.abs(rng.normal(size=(128,))).astype(np.float32)
+    t[40:] = 0
+    f = np.abs(rng.normal(size=(128,))).astype(np.float32)
+    w = t.copy()  # Weights are zero wherever the target is zero.
+
+    def eager(w, f, t, method, p, fac):
+        fb = f / np.sqrt(np.sum(f**2))
+        if method == "WGS-Wu":
+            c = np.exp(p * (t - p * fb))
+        elif method == "WGS-tanh":
+            c = 1 + fac * np.tanh(p * (t - p * fb))
+        elif method == "WGS-Nogrette":
+            c = np.where((t != 0), fb / np.where(t != 0, t, 1), 1.0)
+            c = c * (-1 / np.nanmean(c)) + 1
+            c = 1 / (1 - fac * c)
+        else:
+            c = np.where((t != 0), fb / np.where(t != 0, t, 1), 1.0)
+            c = np.power(c, -p)
+        c = np.where(np.isinf(c), 1.0, c)
+        new = np.nan_to_num(w * c, nan=1e-4)
+        return new / np.sqrt(np.sum(new**2))
+
+    import jax.numpy as jnp
+
+    for method in ("WGS-Leonardo", "WGS-Kim", "WGS-Nogrette", "WGS-Wu", "WGS-tanh"):
+        mine = np.asarray(
+            update_weights_generic(
+                jnp.asarray(w), jnp.asarray(f), jnp.asarray(t), method, 0.8, 0.1
+            )
+        )
+        np.testing.assert_allclose(
+            mine, eager(w, f, t, method, 0.8, 0.1), atol=2e-7,
+            err_msg=method,
+        )
