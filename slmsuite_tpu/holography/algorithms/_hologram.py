@@ -763,20 +763,17 @@ class Hologram(_HologramStats):
         start_iter = self.iter
 
         if not host_loop:
-            # Fast path: chunked scans (progress updates between chunks).
+            # Fast path: chunked scans (progress updates between chunks);
+            # the engine promotes to the scrambled layout once across
+            # all chunks.
             chunk = maxiter if not verbose else max(1, int(np.ceil(maxiter / 10)))
             progress = (
                 tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
             )
-            remaining = maxiter
-            all_stats = []
-            while remaining > 0:
-                n = min(chunk, remaining)
-                state, stats = _engine.run_gs(config, state, consts, n)
-                all_stats.append(stats)
-                remaining -= n
-                if progress is not None:
-                    progress.update(n)
+            state, all_stats = _engine.run_gs_chunked(
+                config, state, consts, maxiter, chunk=chunk,
+                on_chunk=(progress.update if progress is not None else None),
+            )
             if progress is not None:
                 progress.close()
 

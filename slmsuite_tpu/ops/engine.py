@@ -471,6 +471,39 @@ def run_gs(config: GSConfig, state: GSState, consts: dict, n_iterations: int):
     return _compiled_run(config, int(n_iterations))(state, consts)
 
 
+def run_gs_chunked(config, state, consts, n_iterations, chunk=None, on_chunk=None):
+    """
+    Like :meth:`run_gs` but split into ``chunk``-sized scans with
+    ``on_chunk(n)`` called between them (progress reporting). The
+    scrambled promotion happens ONCE across all chunks — per-chunk
+    permutes would otherwise cost ~100 MB of HBM traffic each.
+
+    Returns ``(state, [stats_chunk, ...])``.
+    """
+    chunk = int(n_iterations) if chunk is None else max(1, int(chunk))
+    promoted = _can_scramble(config)
+    if promoted:
+        run_config = dataclasses.replace(config, scrambled=True)
+        state = _permute_state(state, config.shape)
+        consts = scramble_consts(consts, config.shape)
+    else:
+        run_config = config
+
+    all_stats = []
+    remaining = int(n_iterations)
+    while remaining > 0:
+        n = min(chunk, remaining)
+        state, stats = _compiled_run(run_config, n)(state, consts)
+        all_stats.append(stats)
+        remaining -= n
+        if on_chunk is not None:
+            on_chunk(n)
+
+    if promoted:
+        state = _permute_state(state, config.shape, unscramble=True)
+    return state, all_stats
+
+
 def init_gs_state(config: GSConfig, psi, weights, phase_ff=None):
     """Fresh scan state from initial folded phase and weights."""
     return GSState(
