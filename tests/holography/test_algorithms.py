@@ -412,6 +412,26 @@ class TestScrambledEngine:
             atol=1e-5, rtol=0,
         )
 
+
+    def test_kim_efficiency_trigger_parity(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        config, consts, psi0, target = self._base(method="WGS-Kim")
+        config = dataclasses.replace(config, kim_efficiency_trigger=True)
+        consts = dict(consts)
+        # Low threshold: the trigger fires mid-run (fixing the phase).
+        consts["fix_phase_efficiency"] = jnp.float32(0.5)
+        consts["fix_phase_iteration"] = jnp.int32(1000)  # Iteration path off.
+        (ns, nstats), (ss, sstats) = self._run_both(config, consts, psi0, target)
+        # The fixed-phase flag history (internal stats row, col 1) matches.
+        np.testing.assert_array_equal(nstats[:, -1, 1], sstats[:, -1, 1])
+        assert nstats[:, -1, 1].max() == 1.0  # It actually fired.
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+
     def test_non_pow2_stays_natural(self):
         from slmsuite_tpu.ops import engine as E
 
