@@ -100,19 +100,186 @@ def bench_engine(N, iters, method, target, mraf=False, mraf_factor=None):
     return iters / dt, stats
 
 
+def _per_iter_seconds(make_run, n_small, n_large, repeats=7):
+    """
+    Median per-iteration wall time of a chained scan, from the
+    *difference* between a long and a short run — cancelling the fixed
+    dispatch/transfer overhead that dominates short runs on a tunneled
+    device. Each timed call gets a fresh "salt" scalar so a
+    result-caching runtime cannot serve a repeat dispatch from cache.
+
+    Returns ``(median_seconds, noise)`` where ``noise`` is the relative
+    interquartile spread of the repeats — on a shared/preempted dev slice
+    this routinely exceeds 1, flagging the estimate as unreliable.
+    """
+    run_small = make_run(n_small)
+    run_large = make_run(n_large)
+    salt = iter(range(1, 10_000))
+    np.asarray(run_small(next(salt)))  # Compile both.
+    np.asarray(run_large(next(salt)))
+
+    def timed(run):
+        t0 = time.perf_counter()
+        np.asarray(run(next(salt)))
+        return time.perf_counter() - t0
+
+    diffs = sorted(
+        (timed(run_large) - timed(run_small)) / (n_large - n_small)
+        for _ in range(repeats)
+    )
+    median = diffs[len(diffs) // 2]
+    quart = max(1, len(diffs) // 4)
+    spread = diffs[-1 - quart + 1] - diffs[quart - 1] if len(diffs) > 2 else 0.0
+    noise = abs(spread) / max(abs(median), 1e-12)
+    return max(median, 1e-9), round(noise, 2)
+
+
+def measure_copy_pass_seconds(N=2048):
+    """Per-iteration wall time of a full-plane copy pass (read + write one
+    (N, N) f32 plane): the unit of the bandwidth roofline."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((N, N), jnp.float32)
+
+    def make_run(iters):
+        @jax.jit
+        def run(x, salt):
+            def body(c, _):
+                return c * jnp.float32(1.0000001) + salt, None
+
+            return jax.lax.scan(body, x, None, length=iters)[0]
+
+        return lambda k: run(x, jnp.float32(k * 1e-12))
+
+    return _per_iter_seconds(make_run, 400, 2400)
+
+
+def measure_matmul_seconds(N=2048):
+    """Per-iteration wall time of an (N, N) @ (N, N) f32 HIGHEST-precision
+    matmul — the same dot flavor the four-step FFT uses (MXU roofline)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(
+        np.random.default_rng(1).normal(size=(N, N)).astype(np.float32) / N
+    )
+    c = jnp.ones((N, N), jnp.float32)
+
+    def make_run(iters):
+        @jax.jit
+        def run(c, salt):
+            def body(x, _):
+                return (
+                    jax.lax.dot(
+                        a, x + salt,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    ),
+                    None,
+                )
+
+            return jax.lax.scan(body, c, None, length=iters)[0]
+
+        return lambda k: run(c, jnp.float32(k * 1e-12))
+
+    return _per_iter_seconds(make_run, 100, 600)
+
+
+def step_model(N, fused, stats_on=True):
+    """
+    Analytic per-iteration HBM bytes and f32 FLOPs of the scrambled
+    WGS-Kim loop at ``N x N`` (Pallas four-step path).
+
+    Bytes: one (N, N) f32 plane crossing HBM = one "tile". Fully fused
+    (weights+constraint+stats inside the FFT kernels): forward rows
+    (psi in, re/im out = 3) + fused cols (re/im + weights/target/mask/
+    phase_ff in, constrained re/im + weights' + phase_ff' out = 10) +
+    inverse rows (4) + inverse cols (re/im in, psi out = 3) = 20 tiles.
+    Unfused scrambled adds the XLA elementwise pass (amp_ff/theta
+    written+read, weights/phase_ff round-trip, constrained re/im
+    written) ~= 9 more tiles.
+
+    FLOPs: the four-step FFT with n = n1*n2 costs N*(n1+n2) complex MACs
+    per line per axis; 4 real-mult + 2 add ~= 6 flops per complex MAC,
+    x 2 axes x 2 directions.
+    """
+    tile = N * N * 4
+    n1 = 2 ** ((int(np.log2(N)) + 1) // 2)
+    n2 = N // n1
+    fft_flops = 2 * 2 * N * N * (n1 + n2) * 6  # Both axes, fwd + inv.
+    tiles = 20 if fused else 29
+    if not stats_on:
+        tiles -= 1  # No mask read.
+    return tiles * tile, fft_flops
+
+
 def config_2(argv):
-    """Headline: WGS-Kim 2048^2, 32x32 spots."""
+    """Headline: WGS-Kim 2048^2, 32x32 spots, with roofline evidence."""
     import jax
 
     N = int(argv[0]) if argv else 2048
     iters = int(argv[1]) if len(argv) > 1 else 100
     rate, stats = bench_engine(N, iters, "WGS-Kim", _spot_target(N, 32, 70))
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    extra = {}
+    if on_tpu:
+        from slmsuite_tpu.ops import engine as E
+        import dataclasses
+
+        fused = E._fused_active(
+            dataclasses.replace(
+                E.GSConfig(
+                    method="WGS-Kim", shape=(N, N), slm_shape=(N, N),
+                    stat_groups=("computational",),
+                ),
+                scrambled=True,
+            )
+        )
+        step_bytes, step_flops = step_model(N, fused)
+        t_copy, copy_noise = measure_copy_pass_seconds(N)
+        t_mm, mm_noise = measure_matmul_seconds(N)
+        t_step = 1.0 / rate
+        tile = N * N * 4
+        # The tunneled dev slice's absolute throughput varies >30x
+        # between sessions, so the defensible evidence is the
+        # *dimensionless* step cost in same-session roofline units:
+        # a step that costs ~model-tiles copy passes is at its
+        # bandwidth roofline; one that costs ~model-matmuls matmul
+        # times is at its MXU roofline.
+        model_tiles = step_bytes / tile
+        # FFT matmul work per step, in units of one N^3 dense matmul.
+        model_matmuls = step_flops / (2 * N**3)
+        extra = {
+            "fused_step": fused,
+            "bytes_per_step_mb": round(step_bytes / 1e6, 1),
+            "flops_per_step_g": round(step_flops / 1e9, 1),
+            "est_copy_bw_gbs": round(2 * tile / t_copy / 1e9, 1),
+            "est_matmul_tflops": round(2 * N**3 / t_mm / 1e12, 2),
+            # Relative interquartile spread of the roofline timing
+            # repeats; >0.5 means the shared dev slice was too noisy for
+            # the est_*/utilization fields to be trusted this session.
+            "roofline_noise": max(copy_noise, mm_noise),
+            "step_cost_copy_passes": round(t_step / t_copy, 1),
+            "model_tiles": round(model_tiles, 1),
+            "step_cost_matmuls": round(t_step / t_mm, 1),
+            "model_matmuls": round(model_matmuls, 1),
+            # Roofline fractions vs the same-session measured units; the
+            # larger is the binding constraint on this device.
+            "bandwidth_utilization": round(
+                (model_tiles / 2) * t_copy / t_step, 3
+            ),
+            "mxu_utilization": round(model_matmuls * t_mm / t_step, 3),
+        }
+
     _emit(
         f"WGS-Kim iterations/sec at {N}x{N} (32x32 spots, device stats on)",
         rate, "iter/s", 1000.0,
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
         final_uniformity=round(float(stats[-1, 0, 1]), 4),
         device=str(jax.devices()[0]),
+        **extra,
     )
 
 

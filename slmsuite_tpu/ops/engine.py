@@ -55,6 +55,10 @@ class GSState(NamedTuple):
     fixed_phase: jnp.ndarray    # bool scalar
     unfixed_streak: jnp.ndarray  # int32: consecutive unfixed iterations
     iteration: jnp.ndarray      # int32: global iteration counter
+    #: f32 scalar: the current weights' norm under the fused loop's
+    #: deferred-by-one normalization (weights are stored unnormalized and
+    #: renormalized once on exit); None on non-fused paths.
+    w_norm: jnp.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +127,168 @@ def _compute_group_stats(group, config, consts, amp_ff, spot_feedback):
     return jnp.full((4,), jnp.nan, dtype=jnp.float32)
 
 
+#: WGS rules whose weight correction is purely elementwise (no global
+#: reduction mid-update) once the Parseval feedback norm is substituted —
+#: the set the fully-fused step supports. Nogrette needs a nanmean of the
+#: correction and stays on the standard path.
+_FUSABLE_METHODS = ("WGS-Leonardo", "WGS-Kim", "WGS-Wu", "WGS-tanh")
+
+
+def _fused_active(config: GSConfig):
+    """True when the fully-fused scrambled WGS step applies to ``config``.
+
+    Requires the phase-in/phase-out geometry (farfield == SLM shape, no
+    propagation kernel), plain computational feedback, a fusable weight
+    rule, and no couplings that need a reduction before the constraint
+    (Kim's efficiency trigger, MRAF masks, spot integration).
+    """
+    needs_spot = (
+        config.feedback == "computational_spot"
+        or "computational_spot" in config.stat_groups
+    )
+    return (
+        config.scrambled
+        and tuple(config.shape) == tuple(config.slm_shape)
+        and not config.has_kernel
+        and config.is_wgs
+        and config.feedback == "computational"
+        and not needs_spot
+        and not config.mraf
+        and config.method in _FUSABLE_METHODS
+        and not config.kim_efficiency_trigger
+        and config.nan_checks
+        and all(g == "computational" for g in config.stat_groups)
+    )
+
+
+def _augment_fused_consts(config: GSConfig, consts):
+    """Loop-invariant scalars for the fused step (computed once per run,
+    before the scan — XLA does not hoist these out of the loop itself)."""
+    consts = dict(consts)
+    amp = consts["amp"]
+    H, W = config.shape
+    if jnp.ndim(amp) == 0:
+        # Parseval: sum |F|^2 == sum amp^2 exactly for the ortho pair.
+        fsum = jnp.square(amp) * (H * W)
+    else:
+        fsum = jnp.sum(jnp.square(amp))
+    consts["_inv_fsum"] = 1.0 / fsum
+    consts["_inv_fnorm"] = 1.0 / jnp.sqrt(fsum)
+    if config.stat_groups:
+        mask_f = consts["stat_mask"].astype(jnp.float32)
+        consts["_stat_mask_f32"] = mask_f
+        consts["_stat_count"] = jnp.sum(mask_f)
+        consts["_inv_tsum"] = 1.0 / jnp.sum(jnp.square(consts["target"]))
+    else:
+        consts["_inv_tsum"] = jnp.float32(1.0)
+    return consts
+
+
+def _make_fused_step(config: GSConfig):
+    """Fully-fused WGS step: forward FFT + stats + weight update + Kim
+    select + constraint run inside the FFT kernels (see
+    :meth:`slmsuite_tpu.ops.fft.wgs_fused_forward`); only psi, weights,
+    phase_ff (Kim) and two 4-vectors of partials cross HBM per iteration."""
+    from slmsuite_tpu.ops import fft as _fft
+
+    stats_on = bool(config.stat_groups)
+    rule = config.method[4:].lower()
+
+    def step(state, consts):
+        was_not_fixed = jnp.logical_not(state.fixed_phase)
+        apply_update = state.iteration > 0
+        scalars = {
+            "inv_prev_norm": 1.0 / state.w_norm,
+            "apply_update": apply_update.astype(jnp.float32),
+            "use_theta": was_not_fixed.astype(jnp.float32),
+            "feedback_exponent": consts["feedback_exponent"],
+            "feedback_factor": consts["feedback_factor"],
+            "inv_fnorm": consts["_inv_fnorm"],
+            "inv_tsum": consts["_inv_tsum"],
+            "inv_fsum": consts["_inv_fsum"],
+        }
+        re, im, weights, pff_out, sums, maxs = _fft.wgs_fused_forward(
+            state.psi,
+            consts["amp"],
+            state.weights,
+            state.phase_ff if config.is_kim else None,
+            consts["target"],
+            consts.get("_stat_mask_f32"),
+            scalars,
+            rule=rule,
+            kim=config.is_kim,
+            stats_on=stats_on,
+        )
+        psi = _fft.ifft2_scrambled_phase(re, im)
+
+        # Kim iteration-trigger decision (the efficiency trigger is
+        # excluded from the fused path — it needs stats pre-constraint).
+        if config.is_kim:
+            streak = jnp.where(
+                was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak
+            )
+            iter_trigger = jnp.logical_and(
+                jnp.logical_and(
+                    was_not_fixed,
+                    state.iteration >= consts["fix_phase_iteration"] - 1,
+                ),
+                streak >= consts["fix_phase_iteration"],
+            )
+            fixed = jnp.logical_or(state.fixed_phase, iter_trigger)
+            fixed = jnp.logical_and(fixed, state.iteration > 0)
+            phase_ff = pff_out
+        else:
+            fixed = jnp.zeros((), dtype=bool)
+            streak = state.unfixed_streak
+            # phase_ff is only consumed by Kim; carry it unchanged (the
+            # wrapper repopulates it from the final phase after the run).
+            phase_ff = state.phase_ff
+
+        w_norm = jnp.where(apply_update, jnp.sqrt(sums[3]), state.w_norm)
+
+        if stats_on:
+            count = consts["_stat_count"]
+            efficiency = (
+                jnp.square(sums[0]) * consts["_inv_tsum"] * consts["_inv_fsum"]
+            )
+            u_max, u_min = maxs[1], -maxs[3]
+            uniformity = 1 - (u_max - u_min) / (u_max + u_min)
+            err_mean = sums[1] / count
+            err_var = sums[2] / count - jnp.square(err_mean)
+            pkpk_err = count * (maxs[0] - (-maxs[2]))
+            std_err = count * jnp.sqrt(jnp.maximum(err_var, 0.0))
+            stats_rows = [
+                jnp.stack([efficiency, uniformity, pkpk_err, std_err]).astype(
+                    jnp.float32
+                )
+            ]
+        else:
+            efficiency = jnp.float32(jnp.nan)
+            stats_rows = []
+
+        new_state = GSState(
+            psi=psi,
+            weights=weights,
+            phase_ff=phase_ff,
+            zero_weights=state.zero_weights,
+            fixed_phase=fixed,
+            unfixed_streak=streak,
+            iteration=state.iteration + 1,
+            w_norm=w_norm,
+        )
+        internal = jnp.stack(
+            [
+                efficiency,
+                state.fixed_phase.astype(jnp.float32),
+                jnp.float32(0),
+                jnp.float32(0),
+            ]
+        )
+        return new_state, jnp.stack(stats_rows + [internal])
+
+    return step
+
+
 def make_gs_step(config: GSConfig):
     """
     Build the pure per-iteration step function
@@ -132,6 +298,9 @@ def make_gs_step(config: GSConfig):
     ``[efficiency(computational), fixed_phase, 0, 0]`` for internal use
     (Kim efficiency trigger and flag history).
     """
+    if _fused_active(config):
+        return _make_fused_step(config)
+
     needs_spot_feedback = (
         config.feedback == "computational_spot"
         or "computational_spot" in config.stat_groups
@@ -323,6 +492,7 @@ def make_gs_step(config: GSConfig):
             fixed_phase=fixed,
             unfixed_streak=streak,
             iteration=state.iteration + 1,
+            w_norm=state.w_norm,
         )
 
         # Internal row: current computational efficiency + flag history.
@@ -344,8 +514,12 @@ def make_gs_step(config: GSConfig):
 def _compiled_run(config: GSConfig, n_iterations: int):
     """Compile ``scan(step, state, length=n)`` with donated state."""
     step = make_gs_step(config)
+    fused = _fused_active(config)
 
     def run(state, consts):
+        if fused:
+            consts = _augment_fused_consts(config, consts)
+
         def body(carry, _):
             return step(carry, consts)
 
@@ -466,9 +640,29 @@ def run_gs(config: GSConfig, state: GSState, consts: dict, n_iterations: int):
         sconfig = dataclasses.replace(config, scrambled=True)
         state = _permute_state(state, config.shape)
         consts = scramble_consts(consts, config.shape)
+        state = _provision_fused(sconfig, state)
         state, stats = _compiled_run(sconfig, int(n_iterations))(state, consts)
-        return _permute_state(state, config.shape, unscramble=True), stats
+        state = _permute_state(state, config.shape, unscramble=True)
+        return _finalize_fused(sconfig, state), stats
     return _compiled_run(config, int(n_iterations))(state, consts)
+
+
+def _provision_fused(config: GSConfig, state: GSState):
+    """Give the fused loop its deferred-normalization scalar."""
+    if _fused_active(config) and state.w_norm is None:
+        state = state._replace(w_norm=jnp.ones((), jnp.float32))
+    return state
+
+
+def _finalize_fused(config: GSConfig, state: GSState):
+    """Renormalize the deferred-norm weights once on exit (the in-loop
+    trajectory is weight-scale-invariant; see ``_make_fused_step``)."""
+    if _fused_active(config) and state.w_norm is not None:
+        state = state._replace(
+            weights=state.weights / state.w_norm,
+            w_norm=jnp.ones((), jnp.float32),
+        )
+    return state
 
 
 def run_gs_chunked(config, state, consts, n_iterations, chunk=None, on_chunk=None):
@@ -486,6 +680,7 @@ def run_gs_chunked(config, state, consts, n_iterations, chunk=None, on_chunk=Non
         run_config = dataclasses.replace(config, scrambled=True)
         state = _permute_state(state, config.shape)
         consts = scramble_consts(consts, config.shape)
+        state = _provision_fused(run_config, state)
     else:
         run_config = config
 
@@ -501,6 +696,7 @@ def run_gs_chunked(config, state, consts, n_iterations, chunk=None, on_chunk=Non
 
     if promoted:
         state = _permute_state(state, config.shape, unscramble=True)
+        state = _finalize_fused(run_config, state)
     return state, all_stats
 
 

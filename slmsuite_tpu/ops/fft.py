@@ -387,3 +387,118 @@ def ifft2_scrambled_phase(xr, xi):
         return _pf.ifft2_scrambled_phase(xr, xi)
     re, im = ifft2_scrambled_pair(xr, xi)
     return jnp.arctan2(im, re)
+
+
+# --------------------------------------------------------------------------
+# Fused WGS forward half: FFT + stats partials + weight update + Kim
+# select + amplitude constraint, all in the scrambled layout. The jnp
+# implementation below defines the semantics; the Pallas twin
+# (``pallas_fft.wgs_fused_forward_pallas``) keeps everything on-chip.
+# Both use deferred-by-one weight normalization and the Parseval
+# feedback norm — see the design block in :mod:`ops.pallas_fft`.
+# --------------------------------------------------------------------------
+
+_WGS_NEG_FILL = -3.0e38
+
+
+def _wgs_fused_forward_jnp(psi, amp, weights, phase_ff, target, mask,
+                           scalars, *, rule, kim, stats_on):
+    """Reference (einsum/XLA) implementation of the fused forward half."""
+    re0 = amp * jnp.cos(psi)
+    im0 = amp * jnp.sin(psi)
+    fr, fi = fft2_scrambled_pair(re0, im0)
+    f = jnp.sqrt(jnp.square(fr) + jnp.square(fi))
+    theta = jnp.arctan2(fi, fr)
+
+    p = scalars["feedback_exponent"]
+    if rule in ("leonardo", "kim"):
+        c = f / target
+        c = jnp.where(jnp.isfinite(c) & (target != 0), c, 1.0)
+        c = jnp.exp(-p * jnp.log(c))
+    elif rule == "wu":
+        # Matches update_weights_generic: term = t - p * f_hat.
+        c = jnp.exp(p * (target - p * f * scalars["inv_fnorm"]))
+    elif rule == "tanh":
+        c = 1.0 + scalars["feedback_factor"] * jnp.tanh(
+            p * (target - p * f * scalars["inv_fnorm"])
+        )
+    else:
+        raise ValueError(f"Unfusable rule '{rule}'.")
+    c = jnp.where(jnp.isinf(c), 1.0, c)
+
+    uw = weights * c
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    wout = jnp.where(scalars["apply_update"] > 0, uw * scalars["inv_prev_norm"], weights)
+
+    if kim:
+        phase = jnp.where(scalars["use_theta"] > 0, theta, phase_ff)
+        pff_out = phase
+    else:
+        phase = theta
+        pff_out = None
+    re = wout * jnp.cos(phase)
+    im = wout * jnp.sin(phase)
+
+    norm_sq = jnp.sum(jnp.square(wout))
+    neg = jnp.float32(_WGS_NEG_FILL)
+    if stats_on:
+        fsq = jnp.square(f)
+        tsq = jnp.square(target)
+        overlap = jnp.sum(target * f)
+        err_full = tsq * scalars["inv_tsum"] - fsq * scalars["inv_fsum"]
+        err = err_full * mask
+        on = mask > 0
+        u = fsq / jnp.where(on, tsq, 1.0)
+        sums = jnp.stack(
+            [overlap, jnp.sum(err), jnp.sum(jnp.square(err)), norm_sq]
+        )
+        maxs = jnp.stack(
+            [
+                jnp.max(jnp.where(on, err_full, neg)),
+                jnp.max(jnp.where(on, u, neg)),
+                jnp.max(jnp.where(on, -err_full, neg)),
+                jnp.max(jnp.where(on, -u, neg)),
+            ]
+        )
+    else:
+        zero = jnp.float32(0.0)
+        sums = jnp.stack([zero, zero, zero, norm_sq])
+        maxs = jnp.full((4,), neg)
+    return re, im, wout, pff_out, sums, maxs
+
+
+def wgs_fused_forward(psi, amp, weights, phase_ff, target, mask, scalars,
+                      *, rule, kim, stats_on):
+    """
+    Fused forward half of one WGS iteration (scrambled layout).
+
+    Parameters
+    ----------
+    psi : (Hs, Ws) folded nearfield phase (natural order).
+    amp : scalar or (Hs, Ws) nearfield amplitude.
+    weights, target : (H, W) scrambled-layout arrays.
+    phase_ff : (H, W) stored farfield phase (Kim) or None.
+    mask : (H, W) float32 0/1 stats mask (or None when ``stats_on`` off).
+    scalars : dict of dynamic jnp scalars — ``inv_prev_norm``,
+        ``apply_update``, ``use_theta`` (Kim), ``feedback_exponent``,
+        ``feedback_factor``, ``inv_fnorm``, ``inv_tsum``, ``inv_fsum``.
+    rule : static — "leonardo" | "kim" | "wu" | "tanh".
+
+    Returns
+    -------
+    ``(re, im, weights_out, phase_ff_out | None, sums (4,), maxs (4,))``
+    where the constrained farfield (re, im) feeds
+    :meth:`ifft2_scrambled_phase`, sums = [overlap, err_sum, err_sq_sum,
+    norm_sq] and maxs = [err_max, u_max, -err_min, -u_min].
+    """
+    if _use_pallas_scrambled(psi.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.wgs_fused_forward_pallas(
+            psi, amp, weights, phase_ff, target, mask, scalars,
+            rule=rule, kim=kim, stats_on=stats_on,
+        )
+    return _wgs_fused_forward_jnp(
+        psi, amp, weights, phase_ff, target, mask, scalars,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )

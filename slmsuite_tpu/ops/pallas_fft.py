@@ -262,21 +262,33 @@ def ifft2_scrambled_pallas(xr, xi):
 # --------------------------------------------------------------------------
 # GS-loop end fusions: phase in, phase out.
 #
-# Future work (analyzed, deferred): fusing the WGS weight update +
-# constraint into the inverse rows kernel's prologue would save another
-# ~60-90 MB/step, but the update renormalizes by a global norm. The fix
-# is deferred-by-one normalization (all weight rules are w-scale-
-# covariant and the extracted phase is scale-invariant, so applying the
-# previous iteration's norm as an SMEM scalar preserves the exact
-# trajectory) — correct but subtle; revisit if the remaining ~530 MB
-# step budget ever matters on real hardware.
-#
 # When the computational farfield equals the SLM shape with no
 # propagation kernel (the common spot-holography case), the nearfield is
 # exactly amp * exp(i psi): the forward rows kernel can synthesize it in
 # its prologue (the complex nearfield never hits HBM), and the inverse
 # cols kernel can emit the new psi = atan2(im, re) directly (the complex
 # back-propagated nearfield never hits HBM either).
+#
+# Going further, the WGS weight update + Kim phase select + amplitude
+# constraint + per-iteration statistics all fuse into the forward cols
+# kernel's epilogue (see `_cols_wgs_kernel`): the kernel emits the
+# *constrained* farfield (re, im) directly, so |F| and arg(F) never hit
+# HBM either. Two global couplings are broken to make the update
+# one-pass:
+#
+# - Deferred-by-one weight normalization: every rule's correction factor
+#   is independent of the weight scale and the extracted psi is
+#   scale-invariant, so dividing by the PREVIOUS iteration's norm (an
+#   accumulated scalar carried in the scan state) preserves the exact
+#   trajectory; weights are renormalized once at the end of the run.
+# - Parseval feedback norm: sum(|F|^2) over the full plane equals
+#   sum(amp^2) exactly for the ortho transform, so the feedback
+#   normalization (Wu/tanh) and the stats' feedback power are
+#   precomputed constants instead of a prior reduction pass.
+#
+# Per-iteration statistics reduce to one-pass partials under the same
+# substitution; the kernel accumulates them into two (8, 128) VMEM
+# accumulator tiles revisited across the sequential grid.
 # --------------------------------------------------------------------------
 
 
@@ -382,6 +394,256 @@ def fft2_scrambled_polar_from_phase(psi, amp):
         # the next consumer of amp_ff under jit).
         amp_ff = amp_ff * amp
     return amp_ff, theta
+
+
+#: Test hook: run the fused-WGS pallas_call in interpreter mode (CPU).
+_INTERPRET = False
+
+#: Fill value standing in for -inf in max accumulators (avoids inf-inf).
+_NEG_FILL = -3.0e38
+
+#: Scalar lane layout of the fused kernel's (1, 128) scalars operand.
+_SC_POST_SCALE = 0      # ortho scale (x scalar amp when amp is scalar)
+_SC_INV_PREV_NORM = 1   # 1 / previous iteration's weight norm
+_SC_APPLY_UPDATE = 2    # 0/1: WGS update active (iteration > 0)
+_SC_USE_THETA = 3       # 0/1: Kim — use current farfield phase
+_SC_EXPONENT = 4        # feedback_exponent
+_SC_FACTOR = 5          # feedback_factor
+_SC_INV_FNORM = 6       # 1 / sqrt(Parseval feedback power)
+_SC_INV_TSUM = 7        # 1 / sum(target^2)
+_SC_INV_FSUM = 8        # 1 / Parseval feedback power
+
+
+def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                     w2tr_ref, w2ti_ref, w_ref, t_ref, scal_ref, *refs,
+                     n1, n2, rule, kim, stats_on):
+    """
+    Forward cols FFT + fused WGS epilogue on an (H, block) column tile:
+
+    1. four-step FFT -> (br, bi); f = post_scale * |F|, theta = arg(F)
+    2. weight correction (rule in leonardo/kim/wu/tanh), deferred norm
+    3. Kim phase select (use_theta ? theta : stored phase)
+    4. emit constrained farfield re/im = w_new * (cos, sin)(phase)
+    5. accumulate stats partials + the new weights' norm^2
+
+    Variadic refs: ``[mask], [pff] | re, im, wout, [pffout], accs, accm``.
+    """
+    idx = 0
+    mask_ref = refs[idx] if stats_on else None
+    idx += 1 if stats_on else 0
+    pff_ref = refs[idx] if kim else None
+    idx += 1 if kim else 0
+    re_ref, im_ref, wout_ref = refs[idx:idx + 3]
+    idx += 3
+    pffout_ref = refs[idx] if kim else None
+    idx += 1 if kim else 0
+    accs_ref, accm_ref = refs[idx:idx + 2]
+
+    br, bi = _fft_core(
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
+        n1, n2, False,
+    )
+
+    post = scal_ref[0, _SC_POST_SCALE]
+    inv_prev = scal_ref[0, _SC_INV_PREV_NORM]
+    apply_u = scal_ref[0, _SC_APPLY_UPDATE]
+    p = scal_ref[0, _SC_EXPONENT]
+
+    f = jnp.sqrt(br * br + bi * bi) * post
+    theta = _atan2(bi, br)
+    t = t_ref[...]
+    w = w_ref[...]
+
+    # Weight correction factor (never depends on w: scale-covariant).
+    if rule in ("leonardo", "kim"):
+        # (f/t)^(-p) via exp/log; guards mirror update_weights_generic.
+        c = f / t
+        c = jnp.where(jnp.isfinite(c) & (t != 0), c, 1.0)
+        c = jnp.exp(-p * jnp.log(c))
+    elif rule == "wu":
+        # Matches update_weights_generic: term = t - p * f_hat.
+        term = t - p * f * scal_ref[0, _SC_INV_FNORM]
+        c = jnp.exp(p * term)
+    elif rule == "tanh":
+        term = t - p * f * scal_ref[0, _SC_INV_FNORM]
+        c = 1.0 + scal_ref[0, _SC_FACTOR] * jnp.tanh(p * term)
+    else:
+        raise ValueError(f"Unfusable rule '{rule}'.")
+    c = jnp.where(jnp.isinf(c), 1.0, c)
+
+    uw = w * c
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    wout = jnp.where(apply_u > 0, uw * inv_prev, w)
+    wout_ref[...] = wout
+
+    if kim:
+        phase = jnp.where(scal_ref[0, _SC_USE_THETA] > 0, theta, pff_ref[...])
+        pffout_ref[...] = phase
+    else:
+        phase = theta
+    re_ref[...] = wout * jnp.cos(phase)
+    im_ref[...] = wout * jnp.sin(phase)
+
+    # --- Accumulators (revisited (8, 128) tiles; grid is sequential). ---
+    norm_p = jnp.sum(wout * wout)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def at(j, value, fill=0.0):
+        return jnp.where((rows == j) & (cols == 0), value, jnp.float32(fill))
+
+    if stats_on:
+        mask = mask_ref[...]
+        inv_tsum = scal_ref[0, _SC_INV_TSUM]
+        inv_fsum = scal_ref[0, _SC_INV_FSUM]
+        fsq = f * f
+        tsq = t * t
+        overlap_p = jnp.sum(t * f)
+        err = (tsq * inv_tsum - fsq * inv_fsum) * mask
+        err_sum_p = jnp.sum(err)
+        err_sq_p = jnp.sum(err * err)
+        u = fsq / jnp.where(mask > 0, tsq, 1.0)
+        neg = jnp.float32(_NEG_FILL)
+        on = mask > 0
+        err_full = tsq * inv_tsum - fsq * inv_fsum
+        err_max_p = jnp.max(jnp.where(on, err_full, neg))
+        neg_err_min_p = jnp.max(jnp.where(on, -err_full, neg))
+        u_max_p = jnp.max(jnp.where(on, u, neg))
+        neg_u_min_p = jnp.max(jnp.where(on, -u, neg))
+        sums_tile = (
+            at(0, overlap_p) + at(1, err_sum_p) + at(2, err_sq_p) + at(3, norm_p)
+        )
+        maxs_tile = jnp.maximum(
+            jnp.maximum(at(0, err_max_p, _NEG_FILL), at(1, u_max_p, _NEG_FILL)),
+            jnp.maximum(
+                at(2, neg_err_min_p, _NEG_FILL), at(3, neg_u_min_p, _NEG_FILL)
+            ),
+        )
+    else:
+        sums_tile = at(3, norm_p)
+        maxs_tile = jnp.full((8, 128), jnp.float32(_NEG_FILL))
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        accs_ref[...] = jnp.zeros((8, 128), jnp.float32)
+        accm_ref[...] = jnp.full((8, 128), jnp.float32(_NEG_FILL))
+
+    accs_ref[...] += sums_tile
+    accm_ref[...] = jnp.maximum(accm_ref[...], maxs_tile)
+
+
+def wgs_fused_forward_pallas(psi, amp, weights, phase_ff, target, mask,
+                             scalars, *, rule, kim, stats_on):
+    """
+    Fused forward half of a WGS iteration in the scrambled layout:
+    FFT of ``amp * exp(i psi)`` + stats partials + weight update + Kim
+    select + amplitude constraint. Neither |F|, arg(F), nor the complex
+    nearfield/farfield ever materializes in HBM.
+
+    Parameters mirror :meth:`slmsuite_tpu.ops.fft.wgs_fused_forward`
+    (the jnp twin defines the semantics). Returns
+    ``(re, im, weights_out, phase_ff_out | None, sums (4,), maxs (4,))``
+    where sums = [overlap, err_sum, err_sq_sum, norm_sq] and
+    maxs = [err_max, u_max, -err_min, -u_min].
+    """
+    H, W = psi.shape
+    scalar_amp = jnp.ndim(amp) == 0
+
+    # Rows pass: synthesize the nearfield from phase (+ amplitude).
+    n1, n2, *mats = _plan_f32(W, False)
+    block = min(BLOCK, H)
+    data_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    const_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
+    out_shape2 = [
+        jax.ShapeDtypeStruct((H, W), jnp.float32),
+        jax.ShapeDtypeStruct((H, W), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if scalar_amp:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[data_spec] + const_specs,
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape2,
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(psi, *[jnp.asarray(m) for m in mats])
+        post = jnp.float32(1.0 / np.sqrt(H * W)) * amp
+    else:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_amp_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[data_spec, data_spec] + const_specs,
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape2,
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(psi, amp, *[jnp.asarray(m) for m in mats])
+        post = jnp.float32(1.0 / np.sqrt(H * W))
+
+    # Scalars operand (1, 128).
+    vec = jnp.zeros((128,), jnp.float32)
+    vec = vec.at[_SC_POST_SCALE].set(post)
+    vec = vec.at[_SC_INV_PREV_NORM].set(scalars["inv_prev_norm"])
+    vec = vec.at[_SC_APPLY_UPDATE].set(scalars["apply_update"])
+    vec = vec.at[_SC_USE_THETA].set(scalars.get("use_theta", jnp.float32(1.0)))
+    vec = vec.at[_SC_EXPONENT].set(scalars["feedback_exponent"])
+    vec = vec.at[_SC_FACTOR].set(scalars["feedback_factor"])
+    vec = vec.at[_SC_INV_FNORM].set(scalars["inv_fnorm"])
+    vec = vec.at[_SC_INV_TSUM].set(scalars["inv_tsum"])
+    vec = vec.at[_SC_INV_FSUM].set(scalars["inv_fsum"])
+    vec = vec.reshape(1, 128)
+
+    # Cols pass with the fused WGS epilogue.
+    n1c, n2c, *cmats = _plan_f32(H, False)
+    blockc = min(BLOCK, W)
+    col_spec = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    cconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in cmats]
+    scal_spec = pl.BlockSpec((1, 128), lambda i: (0, 0))
+    acc_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    acc = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+
+    in_specs = [col_spec, col_spec] + cconst + [col_spec, col_spec, scal_spec]
+    operands = [xr, xi] + [jnp.asarray(m) for m in cmats] + [weights, target, vec]
+    if stats_on:
+        in_specs.append(col_spec)
+        operands.append(mask)
+    if kim:
+        in_specs.append(col_spec)
+        operands.append(phase_ff)
+
+    out_specs = [col_spec, col_spec, col_spec]
+    out_shape = [plane, plane, plane]
+    if kim:
+        out_specs.append(col_spec)
+        out_shape.append(plane)
+    out_specs += [acc_spec, acc_spec]
+    out_shape += [acc, acc]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _cols_wgs_kernel, n1=n1c, n2=n2c,
+            rule=rule, kim=kim, stats_on=stats_on,
+        ),
+        grid=(W // blockc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(*operands)
+
+    re, im, wout = outs[0], outs[1], outs[2]
+    pff_out = outs[3] if kim else None
+    accs, accm = outs[-2], outs[-1]
+    return re, im, wout, pff_out, accs[:4, 0], accm[:4, 0]
 
 
 @jax.jit

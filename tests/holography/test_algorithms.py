@@ -432,6 +432,110 @@ class TestScrambledEngine:
             np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
         )
 
+    def test_fused_path_is_active(self):
+        """The fully-fused WGS step engages for the flagship config —
+        guard against silent de-fusion of the hot path."""
+        import dataclasses
+
+        from slmsuite_tpu.ops import engine as E
+
+        config, _, _, _ = self._base()
+        sconfig = dataclasses.replace(config, scrambled=True)
+        assert E._fused_active(sconfig)
+        # Exclusions that must fall back to the standard scrambled step.
+        for change in (
+            dict(mraf=True),
+            dict(kim_efficiency_trigger=True),
+            dict(has_kernel=True),
+            dict(feedback="computational_spot"),
+            dict(method="WGS-Nogrette"),
+            dict(method="GS"),
+            dict(slm_shape=(32, 32)),
+        ):
+            assert not E._fused_active(dataclasses.replace(sconfig, **change))
+
+    @pytest.mark.parametrize("method", ["WGS-Leonardo", "WGS-Wu", "WGS-tanh"])
+    def test_fused_rules_parity(self, method):
+        """Each fusable weight rule matches the natural engine."""
+        config, consts, psi0, target = self._base(method=method)
+        (ns, nstats), (ss, sstats) = self._run_both(config, consts, psi0, target)
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss.weights), np.asarray(ns.weights), atol=1e-5, rtol=0
+        )
+        np.testing.assert_allclose(sstats, nstats, atol=1e-4, rtol=0)
+
+    def test_fused_single_iteration_weights_untouched(self):
+        """Iteration 0 applies no weight update; the exit renormalization
+        must not rescale the caller's initial weights either."""
+        from slmsuite_tpu.ops import engine as E
+
+        config, consts, psi0, target = self._base()
+        w0 = 2.0 * target  # Deliberately NOT unit-norm.
+        s0 = E.init_gs_state(config, psi0, w0.copy())
+        state, _ = E.run_gs(config, s0, consts, 1)
+        np.testing.assert_allclose(
+            np.asarray(state.weights), w0, atol=1e-6, rtol=0
+        )
+
+    def test_fused_pallas_kernel_interpret(self):
+        """The Pallas fused-forward kernel matches the jnp twin
+        (interpreter mode; Mosaic constraints don't apply on CPU)."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import fft as F
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        N = 128
+        rng = np.random.default_rng(7)
+        psi = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        target = np.zeros((N, N), np.float32)
+        target[rng.integers(0, N, 12), rng.integers(0, N, 12)] = 1.0
+        target /= np.sqrt((target**2).sum())
+        weights = target.copy()
+        phase_ff = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        mask = (target != 0).astype(np.float32)
+
+        fsum = 1.0  # amp = 1/N over N^2 pixels.
+        scalars = {
+            "inv_prev_norm": jnp.float32(1.0),
+            "apply_update": jnp.float32(1.0),
+            "use_theta": jnp.float32(1.0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.2),
+            "inv_fnorm": jnp.float32(1.0 / np.sqrt(fsum)),
+            "inv_tsum": jnp.float32(1.0 / (target**2).sum()),
+            "inv_fsum": jnp.float32(1.0 / fsum),
+        }
+        args = (
+            jnp.asarray(psi), jnp.float32(1.0 / N), jnp.asarray(weights),
+            jnp.asarray(phase_ff), jnp.asarray(target), jnp.asarray(mask),
+            scalars,
+        )
+        for rule, kim in (("kim", True), ("leonardo", False),
+                          ("wu", False), ("tanh", False)):
+            ref = F._wgs_fused_forward_jnp(
+                *args, rule=rule, kim=kim, stats_on=True
+            )
+            PF._INTERPRET = True
+            try:
+                got = PF.wgs_fused_forward_pallas(
+                    *args, rule=rule, kim=kim, stats_on=True
+                )
+            finally:
+                PF._INTERPRET = False
+            names = ("re", "im", "weights", "phase_ff", "sums", "maxs")
+            for name, a, b in zip(names, ref, got):
+                if a is None:
+                    assert b is None
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=2e-5, rtol=1e-4,
+                    err_msg=f"{rule}/{name}",
+                )
+
     def test_non_pow2_stays_natural(self):
         from slmsuite_tpu.ops import engine as E
 
