@@ -571,8 +571,24 @@ class Hologram(_HologramStats):
         (``feedback_exponent``, ``feedback_factor``,
         ``fix_phase_iteration``, ``fix_phase_efficiency``, ``mraf_factor``,
         ...).
+
+        Beyond the reference, ``mesh=jax.sharding.Mesh(...)`` runs the
+        optimization sharded over a device mesh where the hologram class
+        supports it (:class:`MultiplaneHologram` — planes data-parallel;
+        :class:`CompressedSpotHologram` — pixels sharded). The mesh
+        persists for subsequent ``optimize`` calls until ``mesh=None`` is
+        passed explicitly.
         """
         name = kwargs.pop("name", None)
+        if "mesh" in kwargs:
+            mesh = kwargs.pop("mesh")
+            if mesh is not None and not self._supports_mesh:
+                raise ValueError(
+                    f"{type(self).__name__} does not support mesh-sharded "
+                    "optimization; use MultiplaneHologram (data-parallel "
+                    "planes) or CompressedSpotHologram (sharded pixels)."
+                )
+            self._mesh = mesh
         self._update_flags(method, verbose, feedback, stat_groups, **kwargs)
 
         if "GS" in method:
@@ -792,6 +808,12 @@ class Hologram(_HologramStats):
         self._populate_results()
 
     _break_requested = False
+
+    #: Mesh-sharded optimization support (overridden by subclasses that
+    #: implement a sharded engine; see ``optimize(mesh=...)``).
+    _supports_mesh = False
+    #: Active jax.sharding.Mesh (set via ``optimize(mesh=...)``).
+    _mesh = None
 
     def _stepwise_iteration(self, config, consts, callback):
         """

@@ -185,14 +185,146 @@ class MultiplaneHologram(Hologram):
     # Optimization: meta GS loop.
     # ------------------------------------------------------------------
 
+    #: ``optimize(mesh=...)`` runs planes data-parallel over the mesh.
+    _supports_mesh = True
+
+    def _mesh_eligible(self, callback):
+        """Whether the data-parallel batched engine covers this problem:
+        homogeneous plain-Hologram children, computational feedback, a
+        weight rule without cross-iteration farfield state (no Kim phase
+        fixing), no MRAF, plane count divisible by the mesh axis."""
+        import warnings
+
+        children = self.holograms
+        reasons = []
+        if callback is not None:
+            reasons.append("callback requires the host meta loop")
+        if any(type(h) is not Hologram for h in children):
+            reasons.append("children must be plain Hologram instances")
+        if "Kim" in self.flags["method"]:
+            reasons.append("WGS-Kim phase fixing is not in the batched engine")
+        if self.flags.get("feedback", "computational") != "computational":
+            reasons.append("only computational feedback is data-parallel")
+        shapes = {tuple(h.shape) for h in children}
+        if len(shapes) != 1:
+            reasons.append("children must share one farfield shape")
+        if any(np.any(np.isnan(np.asarray(h.target))) for h in children):
+            reasons.append("MRAF (nan targets) is not in the batched engine")
+        groups = set(self.flags.get("stat_groups", []))
+        if groups - {"computational"}:
+            reasons.append("only 'computational' stats are device-side here")
+        n_dev = int(np.prod(list(self._mesh.shape.values())))
+        if len(children) % n_dev:
+            reasons.append(
+                f"plane count {len(children)} must divide the mesh ({n_dev})"
+            )
+        if reasons:
+            warnings.warn(
+                "mesh-sharded multiplane optimization unavailable ("
+                + "; ".join(reasons) + "); running the host meta loop."
+            )
+            return False
+        return True
+
+    def _optimize_gs_mesh(self, maxiter, verbose, name):
+        """Data-parallel multiplane GS: planes shard over the mesh, the
+        nearfield accumulation is one psum per iteration
+        (:mod:`slmsuite_tpu.parallel.multiplane`)."""
+        from slmsuite_tpu.parallel.multiplane import (
+            BatchedGSConfig,
+            make_multiplane_consts,
+            run_batched_gs,
+        )
+
+        children = self.holograms
+        start_iter = self.iter
+        shape = tuple(children[0].shape)
+        slm_shape = tuple(self.slm_shape)
+
+        targets = np.stack(
+            [np.nan_to_num(np.asarray(h.target, np.float32)) for h in children]
+        )
+        kernels = np.stack(
+            [
+                np.zeros(slm_shape, np.float32)
+                if h.propagation_kernel is None
+                else np.asarray(h.propagation_kernel, np.float32)
+                for h in children
+            ]
+        )
+        weights0 = jnp.asarray(
+            np.stack(
+                [
+                    np.nan_to_num(np.asarray(h.weights, np.float32))
+                    for h in children
+                ]
+            )
+        )
+        config = BatchedGSConfig(
+            method=self.flags["method"],
+            shape=shape,
+            slm_shape=slm_shape,
+            n_planes=len(children),
+            stats=bool(self.flags.get("stat_groups", [])),
+        )
+        consts = make_multiplane_consts(
+            targets,
+            kernels,
+            np.asarray(self.weights, np.float32),
+            self.amp,
+            feedback_exponent=self.flags.get("feedback_exponent", 0.8),
+            feedback_factor=self.flags.get("feedback_factor", 0.1),
+        )
+        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        axis = self._mesh.axis_names[0]
+
+        progress = tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
+        psi, weights, stats = run_batched_gs(
+            config, psi, weights0, consts, maxiter,
+            mesh=self._mesh, axis_name=axis,
+        )
+        if progress is not None:
+            progress.update(maxiter)
+            progress.close()
+
+        # Scatter the state back into the children (gather across shards).
+        self._psi = np.asarray(psi)
+        stats = np.asarray(stats)  # (n, B, 4)
+        weights = np.asarray(weights)
+        for b, h in enumerate(children):
+            h._psi = self._psi
+            h.weights = weights[b]
+            h.iter = start_iter + maxiter
+            if config.stats and h.flags.get("stat_groups"):
+                h._final_fixed_phase = False
+                # (n, n_groups + 1, 4): the child's computational row plus
+                # the internal flag-history row the recorder expects.
+                n_groups = len(h.flags["stat_groups"])
+                arr = np.full((maxiter, n_groups + 1, 4), np.nan, np.float32)
+                for g, group in enumerate(h.flags["stat_groups"]):
+                    if group == "computational":
+                        arr[:, g, :] = stats[:, b, :]
+                arr[:, -1, 0] = stats[:, b, 0]
+                arr[:, -1, 1] = 0.0
+                h._record_scan_stats(arr, start_iter)
+        self.iter = start_iter + maxiter
+        self._populate_results()
+
     def optimize_gs(self, maxiter, callback, verbose=True, name=None):
         """
         Meta GS: per-iteration, every child runs its jitted forward +
         stats + weight update + constraint; the complex nearfields combine
         through one jitted weighted sum into the shared phase.
+
+        With ``optimize(mesh=...)`` and a homogeneous computational
+        problem, planes run data-parallel over the mesh instead
+        (one psum of the weighted nearfields per iteration).
         """
         if isinstance(maxiter, range):
             maxiter = len(maxiter)
+
+        if self._mesh is not None and self._mesh_eligible(callback):
+            return self._optimize_gs_mesh(maxiter, verbose, name)
 
         children = self.holograms
         configs = [h._build_config() for h in children]

@@ -581,6 +581,9 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         Camera-basis lateral positions.
     """
 
+    #: ``optimize(mesh=...)`` shards the pixel axis over the mesh.
+    _supports_mesh = True
+
     def __init__(self, spot_vectors, basis="kxy", spot_amp=None, cameraslm=None, cuda=False, **kwargs):
         """
         Initialize from ``(D, N)`` spot vectors in basis ``"kxy"``,
@@ -816,6 +819,12 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             or bool(self._stats_pending_groups())
             or feedback in ("experimental_spot", "external_spot")
         )
+        if host_loop and self._mesh is not None:
+            warnings.warn(
+                "mesh-sharded optimization requires the fully-computational "
+                "path (no callback/experimental feedback); running on a "
+                "single device."
+            )
 
         config = self._compressed_config()
         consts = self._compressed_consts()
@@ -835,13 +844,30 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         )
 
         if not host_loop:
+            mesh = self._mesh
+            if mesh is not None:
+                # Pixel-sharded multi-chip path: each device owns a pixel
+                # slab; one (N,) psum per transform direction per
+                # iteration (see slmsuite_tpu.parallel.compressed).
+                from slmsuite_tpu.parallel.compressed import (
+                    run_sharded_compressed_gs,
+                    shard_compressed_consts,
+                )
+
+                axis = mesh.axis_names[0]
+                consts = shard_compressed_consts(consts, mesh, axis)
             iterator = _tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
             chunk = maxiter if not verbose else max(1, int(np.ceil(maxiter / 10)))
             remaining = maxiter
             all_stats = []
             while remaining > 0:
                 n = min(chunk, remaining)
-                state, stats = _comp.run_compressed_gs(config, state, consts, n)
+                if mesh is not None:
+                    state, stats = run_sharded_compressed_gs(
+                        config, state, consts, mesh, n, axis
+                    )
+                else:
+                    state, stats = _comp.run_compressed_gs(config, state, consts, n)
                 all_stats.append(stats)
                 remaining -= n
                 if iterator is not None:

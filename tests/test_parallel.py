@@ -268,3 +268,119 @@ class TestBatchedScrambled:
         np.testing.assert_allclose(
             np.asarray(s_s), np.asarray(s_nat), atol=1e-3, rtol=0
         )
+
+
+class TestPublicMeshAPI:
+    """Mesh-sharded optimization through the *public* hologram classes —
+    a user never imports slmsuite_tpu.parallel to use N chips."""
+
+    def _children(self, B=8, N=64):
+        from slmsuite_tpu.holography.algorithms import Hologram
+
+        rng = np.random.default_rng(5)
+        children = []
+        for b in range(B):
+            target = np.zeros((N, N), np.float32)
+            target[16 + (2 * b) % 32, 20 + (3 * b) % 24] = 1.0
+            h = Hologram(target)
+            h.propagation_kernel = np.full((N, N), 0.03 * b, np.float32)
+            children.append(h)
+        return children, rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+
+    def test_multiplane_mesh_matches_single_device(self):
+        from slmsuite_tpu.holography.algorithms import MultiplaneHologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        children, phi0 = self._children()
+        mesh = make_mesh(axis_names=("data",))
+
+        holo = MultiplaneHologram(children)
+        holo.reset_phase(custom_phase=phi0)
+        holo.optimize(
+            "WGS-Leonardo", maxiter=8, verbose=False, mesh=mesh,
+            stat_groups=["computational"],
+        )
+        psi_mesh = holo.phase.copy()
+        stats_mesh = holo.holograms[0].stats["stats"]["computational"]
+
+        children2, _ = self._children()
+        holo2 = MultiplaneHologram(children2)
+        holo2.reset_phase(custom_phase=phi0)
+        holo2.optimize(
+            "WGS-Leonardo", maxiter=8, verbose=False,
+            stat_groups=["computational"],
+        )
+        psi_single = holo2.phase.copy()
+        stats_single = holo2.holograms[0].stats["stats"]["computational"]
+
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 5e-4
+        # Per-child stats recorded by the mesh path match the meta loop.
+        assert len(stats_mesh["efficiency"]) == 8
+        np.testing.assert_allclose(
+            stats_mesh["efficiency"], stats_single["efficiency"],
+            atol=1e-4, rtol=0,
+        )
+
+    def test_multiplane_mesh_fallback_warns(self):
+        from slmsuite_tpu.holography.algorithms import MultiplaneHologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        children, phi0 = self._children(B=3)  # 3 planes don't divide 8.
+        holo = MultiplaneHologram(children)
+        holo.reset_phase(custom_phase=phi0)
+        with pytest.warns(UserWarning, match="mesh-sharded"):
+            holo.optimize(
+                "WGS-Leonardo", maxiter=3, verbose=False,
+                mesh=make_mesh(axis_names=("data",)),
+            )
+        assert holo.iter == 3  # Host meta loop still ran.
+
+    def test_mesh_rejected_on_plain_hologram(self):
+        from slmsuite_tpu.holography.algorithms import Hologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        target = np.zeros((64, 64), np.float32)
+        target[20, 30] = 1
+        holo = Hologram(target)
+        with pytest.raises(ValueError, match="does not support mesh"):
+            holo.optimize("GS", maxiter=2, verbose=False,
+                          mesh=make_mesh(axis_names=("data",)))
+
+    def test_compressed_mesh_matches_single_device(self):
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+        from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        slm = SimulatedSLM(resolution=(64, 64), pitch_um=(8, 8), wav_um=0.78)
+        rng = np.random.default_rng(11)
+        side = 4
+        kx, ky = np.meshgrid(
+            np.linspace(-8e-3, 8e-3, side), np.linspace(-8e-3, 8e-3, side)
+        )
+        spots = np.vstack(
+            [kx.ravel(), ky.ravel(), rng.uniform(-2e-6, 2e-6, kx.size)]
+        )
+        phi0 = rng.uniform(-np.pi, np.pi, (64, 64)).astype(np.float32)
+
+        def run(mesh):
+            holo = CompressedSpotHologram(spots.copy(), basis="kxy", cameraslm=slm)
+            holo.reset_phase(custom_phase=phi0)
+            holo.optimize(
+                "WGS-Kim", maxiter=10, verbose=False, mesh=mesh,
+                stat_groups=["computational_spot"],
+            )
+            return (
+                np.asarray(holo.phase),
+                np.asarray(holo.amp_ff),
+                holo.stats["stats"]["computational_spot"]["uniformity"][-1],
+            )
+
+        mesh = make_mesh(axis_names=("pixels",))
+        psi_mesh, amp_mesh, unif_mesh = run(mesh)
+        psi_single, amp_single, unif_single = run(None)
+
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 1e-3
+        np.testing.assert_allclose(amp_mesh, amp_single, atol=1e-5, rtol=0)
+        assert abs(unif_mesh - unif_single) < 1e-4
