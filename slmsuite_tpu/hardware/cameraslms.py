@@ -33,6 +33,111 @@ def _blaze_offset(grid, vector, offset=0):
     return blaze(grid=grid, vector=vector) + offset
 
 
+def _patch_from_neighbors(matrix, yx):
+    """Replace ``matrix[yx]`` in place with the mean of its finite
+    8-neighbors (0 when none) — used to fill the reference superpixel,
+    whose own measurement is undefined/contaminated by construction."""
+    y, x = yx
+    window = matrix[
+        max(y - 1, 0):y + 2, max(x - 1, 0):x + 2
+    ].astype(float).copy()
+    window[y - max(y - 1, 0), x - max(x - 1, 0)] = np.nan  # Exclude center.
+    finite = np.isfinite(window)
+    matrix[y, x] = window[finite].sum() / max(finite.sum(), 1)
+
+
+def _detect_noise_floor(power, normalization, untrusted):
+    """
+    Detect a uniform noise floor from the untrusted superpixels' powers:
+    if they cluster tightly (median within half a global std of their
+    minimum) below the normalization minimum, that minimum is camera
+    background, not signal. Returns the floor or ``None``.
+    """
+    if not untrusted.any():
+        return None
+    below = power[untrusted]
+    if not np.any(np.isfinite(below)):
+        return None
+    floor = np.nanmin(below)
+    spread = np.nanstd(power)
+    if (
+        spread > 0
+        and (np.nanmedian(below) - floor) / spread < 0.5
+        and floor < np.nanmin(normalization)
+    ):
+        return floor
+    return None
+
+
+def _propagate_affine_phase(kx, ky, offset, trusted, ref, scale):
+    """
+    Fill untrusted superpixels' ``(kx, ky, offset)`` by breadth-first
+    propagation from the trusted set.
+
+    Each trusted superpixel's fringe fit defines an affine phase model
+    anchored at the reference: ``phi(n) = offset + d(n) . k`` where
+    ``d(n) = scale * (n - ref)`` is the physical displacement of
+    superpixel ``n`` from the reference (``scale = 2pi * pitch *
+    superpixel_size`` per axis). Untrusted superpixels resolve in BFS
+    layers: the local gradient is the mean of the resolved 4-neighbors'
+    gradients, and the local offset is the *circular* mean of the
+    neighbors' models evaluated at this superpixel, re-anchored with the
+    local gradient. Disconnected untrusted regions stay zero.
+
+    Returns the filled ``(kx, ky, offset)`` (inputs are not modified).
+    """
+    kx = np.array(kx, dtype=float)
+    ky = np.array(ky, dtype=float)
+    offset = np.array(offset, dtype=float)
+    resolved = np.array(trusted, dtype=bool)
+
+    NY, NX = kx.shape
+    dx = scale[0] * (np.arange(NX)[None, :] - ref[1])  # (1, NX)
+    dy = scale[1] * (np.arange(NY)[:, None] - ref[0])  # (NY, 1)
+    dx, dy = np.broadcast_arrays(dx, dy)
+
+    def shifted(matrix, ay, ax, fill=0.0):
+        out = np.full_like(np.asarray(matrix, float), fill)
+        src_y = slice(max(ay, 0), NY + min(ay, 0))
+        src_x = slice(max(ax, 0), NX + min(ax, 0))
+        dst_y = slice(max(-ay, 0), NY + min(-ay, 0))
+        dst_x = slice(max(-ax, 0), NX + min(-ax, 0))
+        out[dst_y, dst_x] = matrix[src_y, src_x]
+        return out
+
+    while not resolved.all():
+        count = np.zeros_like(kx)
+        kx_sum = np.zeros_like(kx)
+        ky_sum = np.zeros_like(ky)
+        phasor = np.zeros(kx.shape, dtype=complex)
+
+        for ay, ax in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ok = shifted(resolved, ay, ax, fill=False).astype(bool)
+            count += ok
+            kx_nb = shifted(kx, ay, ax)
+            ky_nb = shifted(ky, ay, ax)
+            kx_sum += np.where(ok, kx_nb, 0.0)
+            ky_sum += np.where(ok, ky_nb, 0.0)
+            # The neighbor's model evaluated at *this* superpixel.
+            predicted = shifted(offset, ay, ax) + dx * kx_nb + dy * ky_nb
+            phasor += np.where(ok, np.exp(1j * predicted), 0)
+
+        frontier = ~resolved & (count > 0)
+        if not frontier.any():
+            break  # Untrusted islands with no trusted connection.
+
+        n = np.maximum(count, 1)
+        kx = np.where(frontier, kx_sum / n, kx)
+        ky = np.where(frontier, ky_sum / n, ky)
+        mean_phase = np.mod(np.angle(phasor), 2 * np.pi)
+        offset = np.where(
+            frontier, mean_phase - (dx * kx + dy * ky), offset
+        )
+        resolved |= frontier
+
+    return kx, ky, offset
+
+
 class CameraSLM(_Picklable):
     """
     Base class pairing a :class:`Camera` and an :class:`SLM` for closed-loop
@@ -1884,7 +1989,7 @@ class FourierSLM(CameraSLM):
                 correction[key] = np.asarray(data[key])[index]
             data = correction
 
-        return self._wavefront_calibration_superpixel_process_r001(
+        return self._process_superpixel_calibration(
             data,
             smooth=smooth,
             r2_threshold=r2_threshold,
@@ -1895,7 +2000,7 @@ class FourierSLM(CameraSLM):
             plot=plot,
         )
 
-    def _wavefront_calibration_superpixel_process_r001(
+    def _process_superpixel_calibration(
         self,
         data,
         smooth=True,
@@ -1906,7 +2011,24 @@ class FourierSLM(CameraSLM):
         apply=True,
         plot=False,
     ):
-        """Single-point processing core; see the public method."""
+        """
+        Single-point processing core (see the public method). Pipeline:
+
+        1. trust map from the fringe-fit ``r2`` (reference forced trusted);
+        2. amplitude map: reference hole patched from its neighbors,
+           optional noise-floor detection, background-subtracted
+           ``power / normalization``, cubic upsample + blur, square root;
+        3. wavefront: per-superpixel affine models ``(offset, kx, ky)``
+           anchored at the reference; untrusted superpixels filled by
+           breadth-first propagation from the trusted set
+           (:meth:`_propagate_affine_phase`); vectorized expansion to SLM
+           resolution; iterative complex-domain smoothing; optional
+           vortex/blaze removal and wrap reduction.
+
+        The camera records fringe phase *modulo 2pi* per superpixel, so
+        all phase averaging here is circular (unit-phasor means), not
+        arithmetic.
+        """
         import cv2
 
         from slmsuite_tpu.holography.analysis import (
@@ -1914,7 +2036,6 @@ class FourierSLM(CameraSLM):
             image_remove_blaze,
             image_remove_vortices,
         )
-        from slmsuite_tpu.holography.toolbox import imprint
 
         if smooth is True:
             smooth = 16
@@ -1923,193 +2044,110 @@ class FourierSLM(CameraSLM):
             raise ValueError("Smoothing iterations must be a non-negative integer.")
         r2_threshold = float(r2_threshold)
 
-        NX = int(data["NX"])
-        NY = int(data["NY"])
-        nxref = int(data["nxref"])
-        nyref = int(data["nyref"])
-
-        def average_neighbors(matrix):
-            n = 0
-            result = 0.0
-            for dx, dy in [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]:
-                x, y = nxref + dx, nyref + dy
-                if 0 <= x < NX and 0 <= y < NY and np.isfinite(matrix[y, x]):
-                    result += matrix[y, x]
-                    n += 1
-            matrix[nyref, nxref] = result / max(n, 1)
-
-        size_blur_k = 1
+        supershape = (int(data["NY"]), int(data["NX"]))
+        ref = (int(data["nyref"]), int(data["nxref"]))
         superpixel_size = int(data["superpixel_size"])
-        w = superpixel_size * NX
-        h = superpixel_size * NY
+        H, W = self.slm.shape
 
-        # Step 1: r^2.
-        r2 = np.nan_to_num(np.copy(np.asarray(data["r2_fit"], dtype=float)))
-        r2[nyref, nxref] = 1
-        r2s = r2
-        r2s_large = cv2.resize(r2s, (w, h), interpolation=cv2.INTER_NEAREST)
-        r2s_large = r2s_large[: self.slm.shape[0], : self.slm.shape[1]]
+        def upsample(matrix, interpolation):
+            """Superpixel grid -> SLM resolution (cropped to the SLM)."""
+            full = cv2.resize(
+                matrix,
+                (superpixel_size * supershape[1], superpixel_size * supershape[0]),
+                interpolation=interpolation,
+            )
+            return full[:H, :W]
 
-        # Step 2: measured amplitude.
-        pwr = np.copy(np.asarray(data["power"], dtype=float))
-        pwr[pwr == np.inf] = np.nanmax(pwr)
-        average_neighbors(pwr)
-        if smooth:
-            pwr = cv2.GaussianBlur(pwr, (size_blur_k, size_blur_k), 0)
+        # --- Trust map. The reference never interferes with itself, so it
+        # carries no fit; force it trusted (its phase is 0 by definition).
+        r2 = np.nan_to_num(np.asarray(data["r2_fit"], dtype=float))
+        r2[ref] = 1
+        trusted = r2 >= r2_threshold
+        r2_map = upsample(r2, cv2.INTER_NEAREST)
 
-        norm = np.copy(np.asarray(data["normalization"], dtype=float))
-        average_neighbors(norm)
-        if smooth:
-            norm = cv2.GaussianBlur(norm, (size_blur_k, size_blur_k), 0)
+        # --- Amplitude. The reference superpixel's own power reading is
+        # contaminated (it was always on); patch it from its neighbors.
+        power = np.asarray(data["power"], dtype=float).copy()
+        power[np.isinf(power)] = np.nanmax(power)
+        normalization = np.asarray(data["normalization"], dtype=float).copy()
+        background = np.nan_to_num(np.asarray(data["background"], dtype=float))
+        for matrix in (power, normalization, background):
+            _patch_from_neighbors(matrix, ref)
 
-        back = np.copy(np.asarray(data["background"], dtype=float))
-        back[np.isnan(back)] = 0
-        average_neighbors(back)
-        if smooth:
-            back = cv2.GaussianBlur(back, (size_blur_k, size_blur_k), 0)
-
-        if remove_background:
-            is_noise = r2s < r2_threshold
-            if np.all(back == 0) and np.sum(is_noise) > 0:
-                pwr_below = pwr[is_noise]
-                pwr_below[np.isnan(pwr_below)] = (
-                    np.nanmin(pwr_below) if np.any(np.isfinite(pwr_below)) else 0
-                )
-                pwr_min = np.min(pwr_below)
-                norm_min = np.nanmin(norm)
-                if (
-                    np.nanstd(pwr) > 0
-                    and (np.median(pwr_below) - pwr_min) / np.nanstd(pwr) < 0.5
-                    and pwr_min < norm_min
-                ):
-                    warnings.warn("Noise floor detected; removing this background.")
-                    back[:] = pwr_min
-
-        pwr = pwr - back
-        norm = norm - back
+        if remove_background and not background.any():
+            floor = _detect_noise_floor(power, normalization, ~trusted)
+            if floor is not None:
+                warnings.warn("Noise floor detected; removing this background.")
+                background[:] = floor
 
         with np.errstate(divide="ignore", invalid="ignore"):
-            pwr_norm = np.divide(pwr, norm)
-        pwr_norm[~np.isfinite(pwr_norm)] = 0
-        pwr_norm[pwr_norm < 0] = 0
+            power_norm = (power - background) / (normalization - background)
+        power_norm[~np.isfinite(power_norm)] = 0
+        np.clip(power_norm, 0, None, out=power_norm)
 
-        pwr_large = cv2.resize(pwr_norm, (w, h), interpolation=cv2.INTER_CUBIC)
-        pwr_large = pwr_large[: self.slm.shape[0], : self.slm.shape[1]]
-        pwr_large[~np.isfinite(pwr_large)] = 0
-        pwr_large[pwr_large < 0] = 0
+        power_map = upsample(power_norm, cv2.INTER_CUBIC)
+        power_map[~np.isfinite(power_map)] = 0
+        np.clip(power_map, 0, None, out=power_map)
         if smooth:
-            size_blur = 4 * superpixel_size + 1
-            pwr_large = cv2.GaussianBlur(pwr_large, (size_blur, size_blur), 0)
+            ksize = 4 * superpixel_size + 1
+            power_map = cv2.GaussianBlur(power_map, (ksize, ksize), 0)
 
-        amp_large = np.sqrt(pwr_large)
-        peak = np.nanmax(amp_large)
-        if peak > 0:
-            amp_large = amp_large / peak
+        amplitude = np.sqrt(power_map)
+        if amplitude.max() > 0:
+            amplitude /= amplitude.max()
 
-        # Step 3: wavefront.
-        kx = np.nan_to_num(np.copy(np.asarray(data["kx"], dtype=float)))
-        ky = np.nan_to_num(np.copy(np.asarray(data["ky"], dtype=float)))
-        offset = np.nan_to_num(np.copy(np.asarray(data["phase"], dtype=float)))
+        # --- Wavefront. Patch the reference's fringe fit from neighbors
+        # (phase circularly), then fill the untrusted region.
+        kx = np.nan_to_num(np.asarray(data["kx"], dtype=float))
+        ky = np.nan_to_num(np.asarray(data["ky"], dtype=float))
+        fringe = np.nan_to_num(np.asarray(data["phase"], dtype=float))
+        re, im = np.cos(fringe), np.sin(fringe)
+        for matrix in (re, im, kx, ky):
+            _patch_from_neighbors(matrix, ref)
+        offset = np.arctan2(im, re) + np.pi  # [0, 2pi)
 
-        real = np.cos(offset)
-        imag = np.sin(offset)
-        average_neighbors(real)
-        average_neighbors(imag)
-        average_neighbors(kx)
-        average_neighbors(ky)
-        offset = np.arctan2(imag, real) + np.pi
+        kx = np.where(trusted, kx, 0.0)
+        ky = np.where(trusted, ky, 0.0)
+        offset = np.where(trusted, offset, 0.0)
+        kx, ky, offset = _propagate_affine_phase(
+            kx, ky, offset, trusted, ref,
+            2 * np.pi * superpixel_size * np.asarray(self.slm.pitch),
+        )
 
-        kx[r2s < r2_threshold] = 0
-        ky[r2s < r2_threshold] = 0
-        offset[r2s < r2_threshold] = 0
-        pathing = 0 * r2s - 100
+        # --- Expand to SLM resolution: phase = 2pi (kx X + ky Y) + offset
+        # with per-superpixel (kx, ky, offset) — the vectorized form of
+        # imprinting a blaze into every superpixel window.
+        x_grid, y_grid = self.slm.grid
+        phase = (
+            2 * np.pi * upsample(kx, cv2.INTER_NEAREST) * x_grid
+            + 2 * np.pi * upsample(ky, cv2.INTER_NEAREST) * y_grid
+            + upsample(offset, cv2.INTER_NEAREST)
+        )
 
-        # Step 3.1: infer phase for below-threshold superpixels.
-        for nx in list(range(NX)) + list(range(NX - 1, -1, -1)):
-            for ny in range(NY):
-                if r2s[ny, nx] >= r2_threshold:
-                    continue
-                kx2, ky2, offset2 = [], [], []
-                dx0 = 2 * np.pi * (nx - nxref) * superpixel_size * self.slm.pitch[0]
-                dy0 = 2 * np.pi * (ny - nyref) * superpixel_size * self.slm.pitch[1]
-
-                for ax, ay in [(1, 0), (-1, 0), (0, 1), (0, -1)]:
-                    tx, ty = nx + ax, ny + ay
-                    if (
-                        0 <= tx < NX
-                        and 0 <= ty < NY
-                        and (
-                            r2s[ty, tx] >= r2_threshold
-                            or pathing[ty, tx] == ny
-                            or (abs(pathing[ty, tx] - ny) == 1 and ax != 0)
-                        )
-                    ):
-                        kx3, ky3 = kx[ty, tx], ky[ty, tx]
-                        kx2.append(kx3)
-                        ky2.append(ky3)
-                        offset2.append(offset[ty, tx] + (dx0 * kx3 + dy0 * ky3))
-
-                if kx2:
-                    kx[ny, nx] = np.mean(kx2)
-                    ky[ny, nx] = np.mean(ky2)
-
-                    minstd = np.inf
-                    for phi in range(4):
-                        shift = phi * np.pi / 2
-                        offset3 = np.mod(np.array(offset2) + shift, 2 * np.pi)
-                        if minstd > np.std(offset3):
-                            minstd = np.std(offset3)
-                            offset[ny, nx] = np.mod(np.mean(offset3) - shift, 2 * np.pi)
-
-                    offset[ny, nx] -= dx0 * kx[ny, nx] + dy0 * ky[ny, nx]
-                    pathing[ny, nx] = ny
-
-        # Step 3.2: expand to SLM resolution.
-        phase = np.zeros(self.slm.shape)
-        for nx in range(NX):
-            for ny in range(NY):
-                imprint(
-                    phase,
-                    np.array([nx, 1, ny, 1]) * superpixel_size,
-                    _blaze_offset,
-                    self.slm,
-                    vector=(kx[ny, nx], ky[ny, nx]),
-                    offset=offset[ny, nx],
-                )
-
-        # Step 3.3: iterative smoothing.
+        # --- Iterative smoothing in the complex domain (wrap-safe).
         if smooth:
+            ksize = 2 * (superpixel_size // 4) + 1
             for i in tqdm(range(smooth), desc="smooth"):
-                real = np.cos(phase)
-                imag = np.sin(phase)
-                size_blur = 2 * int(superpixel_size / 4) + 1
-                real = cv2.GaussianBlur(real, (size_blur, size_blur), 0)
-                imag = cv2.GaussianBlur(imag, (size_blur, size_blur), 0)
-                phase = np.arctan2(imag, real) + np.pi
+                re = cv2.GaussianBlur(np.cos(phase), (ksize, ksize), 0)
+                im = cv2.GaussianBlur(np.sin(phase), (ksize, ksize), 0)
+                phase = np.arctan2(im, re) + np.pi
                 if remove_vortices and i == smooth // 2:
                     phase = image_remove_vortices(phase)
         else:
             phase = np.arctan2(np.sin(phase), np.cos(phase)) + np.pi
 
-        # Step 3.4: cleanup.
         if remove_blaze:
-            phase = image_remove_blaze(phase, mask=pwr_large)
-        phase = image_reduce_wraps(phase, mask=pwr_large)
+            phase = image_remove_blaze(phase, mask=power_map)
+        phase = image_reduce_wraps(phase, mask=power_map)
 
-        if (
-            "previous_phase_correction" in data
-            and data["previous_phase_correction"] is not None
-            and not (
-                np.isscalar(data["previous_phase_correction"])
-                and not data["previous_phase_correction"]
-            )
-        ):
-            phase = phase + np.asarray(data["previous_phase_correction"])
+        previous = data.get("previous_phase_correction", None)
+        if previous is not None and np.ndim(previous) > 0:
+            phase = phase + np.asarray(previous)
 
         wavefront_calibration = {
             "phase": phase,
-            "amplitude": amp_large,
-            "r2": r2s_large,
+            "amplitude": amplitude,
+            "r2": r2_map,
             "r2_threshold": r2_threshold,
         }
 

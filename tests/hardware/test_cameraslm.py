@@ -162,3 +162,114 @@ def test_compressed_rejects_zero_spots(fourierslm_calibrated):
         CompressedSpotHologram(
             np.zeros((2, 0)), basis="kxy", cameraslm=fourierslm_calibrated
         )
+
+
+class TestSuperpixelProcessing:
+    """Numeric tests of the superpixel wavefront-processing core on
+    synthetic raw data with a known ground truth (no camera loop)."""
+
+    def _raw(self, fs, kx_val, ky_val, offset_val, superpixel_size=64,
+             holes=()):
+        """Raw v0.0.1-schema data for a globally-affine wavefront: every
+        superpixel's fringe fit reports gradient (kx_val, ky_val) and
+        constant offset, which the processor should expand into the blaze
+        2pi (kx X + ky Y) + offset over the SLM."""
+        H, W = fs.slm.shape
+        NY, NX = H // superpixel_size, W // superpixel_size
+        ref = (NY // 2, NX // 2)
+
+        r2 = np.ones((NY, NX))
+        for hole in holes:
+            r2[hole] = 0.2
+        r2[ref] = np.nan  # The reference has no fit (forced trusted).
+
+        yy, xx = np.meshgrid(
+            np.arange(NY) - ref[0], np.arange(NX) - ref[1], indexing="ij"
+        )
+        power = 100.0 * np.exp(-(xx**2 + yy**2) / 8.0)
+        power[ref] = np.inf  # Contaminated (always-on) reference reading.
+
+        return {
+            "__version__": "0.0.1",
+            "NX": NX, "NY": NY, "nxref": ref[1], "nyref": ref[0],
+            "superpixel_size": superpixel_size,
+            "power": power,
+            "normalization": np.full((NY, NX), 120.0),
+            "background": np.zeros((NY, NX)),
+            "phase": np.full((NY, NX), offset_val),
+            "kx": np.full((NY, NX), kx_val),
+            "ky": np.full((NY, NX), ky_val),
+            "r2_fit": r2,
+            "previous_phase_correction": False,
+        }
+
+    def _expected_blaze(self, fs, kx_val, ky_val):
+        x_grid, y_grid = fs.slm.grid
+        return 2 * np.pi * (kx_val * x_grid + ky_val * y_grid)
+
+    @staticmethod
+    def _wrapped_spread(delta):
+        """Max circular deviation of ``delta`` from its circular mean."""
+        mean = np.angle(np.mean(np.exp(1j * delta)))
+        return np.abs(np.angle(np.exp(1j * (delta - mean)))).max()
+
+    def test_affine_wavefront_reconstructed(self, fourierslm):
+        fs = fourierslm
+        x_grid = fs.slm.grid[0]
+        kx_val = 0.2 / (x_grid.max() * 2 * np.pi)  # No wraps over the SLM.
+        ky_val = -0.5 * kx_val
+        fs.calibrations["wavefront_superpixel"] = self._raw(
+            fs, kx_val, ky_val, offset_val=1.0
+        )
+        out = fs.wavefront_calibration_superpixel_process(
+            smooth=0, remove_blaze=False, remove_background=False,
+            apply=False,
+        )
+        delta = out["phase"] - self._expected_blaze(fs, kx_val, ky_val)
+        assert self._wrapped_spread(delta) < 1e-6
+
+    def test_untrusted_holes_inferred(self, fourierslm):
+        """Below-threshold superpixels get the neighbors' affine model."""
+        fs = fourierslm
+        x_grid = fs.slm.grid[0]
+        kx_val = 0.15 / (x_grid.max() * 2 * np.pi)
+        ky_val = 0.7 * kx_val
+        # A 2x2 untrusted block away from the reference + a lone corner.
+        holes = [(1, 1), (1, 2), (2, 1), (2, 2), (7, 7)]
+        fs.calibrations["wavefront_superpixel"] = self._raw(
+            fs, kx_val, ky_val, offset_val=0.3, holes=holes
+        )
+        out = fs.wavefront_calibration_superpixel_process(
+            smooth=0, remove_blaze=False, remove_background=False,
+            apply=False,
+        )
+        delta = out["phase"] - self._expected_blaze(fs, kx_val, ky_val)
+        # The affine field is recovered exactly, holes included.
+        assert self._wrapped_spread(delta) < 1e-6
+
+    def test_amplitude_map(self, fourierslm):
+        fs = fourierslm
+        fs.calibrations["wavefront_superpixel"] = self._raw(
+            fs, 1e-4, 1e-4, offset_val=0.0
+        )
+        out = fs.wavefront_calibration_superpixel_process(
+            smooth=0, remove_background=False, apply=False
+        )
+        amp = out["amplitude"]
+        assert amp.shape == fs.slm.shape
+        assert np.isclose(amp.max(), 1.0)
+        # Peak near the center (the superpixel Gaussian's center).
+        peak = np.unravel_index(np.argmax(amp), amp.shape)
+        center = (fs.slm.shape[0] // 2, fs.slm.shape[1] // 2)
+        assert abs(peak[0] - center[0]) < 64 and abs(peak[1] - center[1]) < 64
+        # r2 map upsampled to SLM resolution.
+        assert out["r2"].shape == fs.slm.shape
+
+    def test_apply_writes_source(self, fourierslm):
+        fs = fourierslm
+        fs.calibrations["wavefront_superpixel"] = self._raw(
+            fs, 1e-4, 0.0, offset_val=0.0
+        )
+        fs.wavefront_calibration_superpixel_process(smooth=2, apply=True)
+        assert "phase" in fs.slm.source and "amplitude" in fs.slm.source
+        assert fs.slm.source["phase"].shape == fs.slm.shape
