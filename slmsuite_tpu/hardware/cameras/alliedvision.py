@@ -81,9 +81,76 @@ class AlliedVision(Camera):
         if getattr(self, "cam", None) is not None:
             self.cam.__exit__(None, None, None)
             self.cam = None
-        if close_sdk and AlliedVision.sdk is not None:
-            AlliedVision.sdk.__exit__(None, None, None)
-            AlliedVision.sdk = None
+        if close_sdk:
+            AlliedVision.close_sdk()
+
+    @classmethod
+    def close_sdk(cls):
+        """Exit the shared vmbpy system context."""
+        if cls.sdk is not None:
+            cls.sdk.__exit__(None, None, None)
+            cls.sdk = None
+
+    def get_properties(self, properties=None):
+        """Print name/value/unit for camera features (all when ``None``)."""
+        features = (
+            self.cam.get_all_features()
+            if properties is None
+            else [self.cam.get_feature_by_name(name) for name in properties]
+        )
+        for feature in features:
+            line = [feature.get_name()]
+            for getter in ("get", "get_unit"):
+                try:
+                    line.append(str(getattr(feature, getter)()))
+                except Exception:
+                    pass
+            print("\t".join(line))
+
+    def set_adc_bitdepth(self, bitdepth):
+        """Set the digitization bitdepth (matched against the sensor's
+        ``SensorBitDepth`` enum entries)."""
+        bitdepth = int(bitdepth)
+        feature = self.cam.get_feature_by_name("SensorBitDepth")
+        for entry in feature.get_all_entries():
+            name, value = entry.as_tuple()
+            if str(bitdepth) in name:
+                feature.set(value)
+                return
+        raise RuntimeError(f"ADC bitdepth {bitdepth} not found.")
+
+    def get_adc_bitdepth(self):
+        """Current digitization bitdepth."""
+        value = str(self.cam.get_feature_by_name("SensorBitDepth").get())
+        return int("".join(char for char in value if char.isdigit()))
+
+    def _set_woi_hw(self, woi):
+        # Shrink first so the new offsets cannot exceed sensor bounds.
+        self.cam.get_feature_by_name("Height").set(8)
+        self.cam.get_feature_by_name("Width").set(8)
+        x, w, y, h = woi
+        self.cam.get_feature_by_name("OffsetX").set(x)
+        self.cam.get_feature_by_name("OffsetY").set(y)
+        self.cam.get_feature_by_name("Height").set(h)
+        self.cam.get_feature_by_name("Width").set(w)
+
+    def set_woi(self, woi=None):
+        """Set the hardware window of interest ``(x, width, y, height)``;
+        restores the previous window if the request is rejected."""
+        maxwoi = (
+            0, int(self.cam.get_feature_by_name("WidthMax").get()),
+            0, int(self.cam.get_feature_by_name("HeightMax").get()),
+        )
+        if woi is None:
+            woi = maxwoi
+        try:
+            self._set_woi_hw(woi)
+            self.woi = tuple(int(v) for v in woi)
+        except Exception:
+            self._set_woi_hw(self.woi if self.woi is not None else maxwoi)
+            raise
+        self.shape = (self.woi[3], self.woi[1])
+        return self.woi
 
     @staticmethod
     def info(verbose=True):

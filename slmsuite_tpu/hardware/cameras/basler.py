@@ -81,6 +81,67 @@ class Basler(Camera):
             self.cam = None
 
     @staticmethod
+    def close_sdk():
+        """pylon holds no process-level state beyond open cameras; kept
+        for API parity with SDK-context drivers."""
+
+    def get_properties(self, properties=None):
+        """Print name/value for pylon node-map features (all when ``None``)."""
+        nodemap = self.cam.GetNodeMap()
+        if properties is None:
+            properties = [node.GetNode().GetName() for node in nodemap.GetNodes()]
+        for name in properties:
+            try:
+                node = nodemap.GetNode(name)
+                print(name, node.ToString() if node is not None else "?", sep="\t")
+            except Exception as err:
+                print(f"Error accessing property '{name}': {err}")
+
+    def set_adc_bitdepth(self, bitdepth):
+        """Set the digitization bitdepth via the ``PixelSize`` enum."""
+        bitdepth = int(bitdepth)
+        for entry in self.cam.PixelSize.GetEntries():
+            name = entry.GetNode().GetName()
+            if str(bitdepth) in name:
+                self.cam.PixelSize.SetValue(entry.GetValue())
+                return
+        raise RuntimeError(f"ADC bitdepth {bitdepth} not found.")
+
+    def get_adc_bitdepth(self):
+        """Current digitization bitdepth."""
+        value = str(self.cam.PixelSize.GetValue())
+        return int("".join(char for char in value if char.isdigit()))
+
+    def is_grabbing(self):
+        """Whether the camera is actively grabbing images."""
+        return bool(self.cam.IsGrabbing())
+
+    def _set_woi_hw(self, woi):
+        # Shrink first so the new offsets cannot exceed sensor bounds.
+        self.cam.Height.SetValue(8)
+        self.cam.Width.SetValue(8)
+        x, w, y, h = woi
+        self.cam.OffsetX.SetValue(x)
+        self.cam.OffsetY.SetValue(y)
+        self.cam.Height.SetValue(h)
+        self.cam.Width.SetValue(w)
+
+    def set_woi(self, woi=None):
+        """Set the hardware window of interest ``(x, width, y, height)``;
+        restores the previous window if the request is rejected."""
+        maxwoi = (0, int(self.cam.Width.GetMax()), 0, int(self.cam.Height.GetMax()))
+        if woi is None:
+            woi = maxwoi
+        try:
+            self._set_woi_hw(woi)
+            self.woi = tuple(int(v) for v in woi)
+        except Exception:
+            self._set_woi_hw(self.woi if self.woi is not None else maxwoi)
+            raise
+        self.shape = (self.woi[3], self.woi[1])
+        return self.woi
+
+    @staticmethod
     def info(verbose=True):
         """Return serial numbers of connected Basler cameras."""
         if pylon is None:

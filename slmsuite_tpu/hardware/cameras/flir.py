@@ -168,3 +168,98 @@ class FLIR(Camera):
             except PySpin.SpinnakerException:
                 break
             image.Release()
+
+    @classmethod
+    def close_sdk(cls):
+        """Release the shared Spinnaker System instance."""
+        if cls.sdk is not None:
+            cls.sdk.ReleaseInstance()
+            cls.sdk = None
+
+    def get_properties(self, verbose=True):
+        """
+        Collect readable GenICam properties by recursive nodemap
+        traversal; prints when ``verbose``, else returns ``{name: value}``.
+        """
+        properties = {}
+
+        def visit(node):
+            kind = node.GetPrincipalInterfaceType()
+            if kind == PySpin.intfICategory:
+                for feature in PySpin.CCategoryPtr(node).GetFeatures():
+                    if PySpin.IsReadable(feature):
+                        visit(feature)
+            else:
+                try:
+                    properties[node.GetName()] = PySpin.CValuePtr(node).ToString()
+                except PySpin.SpinnakerException:
+                    pass
+
+        root = self.cam.GetNodeMap().GetNode("Root")
+        if root is not None and PySpin.IsReadable(root):
+            visit(root)
+        if verbose:
+            for name, value in properties.items():
+                print(f"{name}\t{value}")
+            return None
+        return properties
+
+    def set_woi(self, woi=None):
+        """
+        Set the hardware window of interest ``(x, width, y, height)``.
+        Values snap to the sensor's increment requirements; acquisition
+        is paused and restarted around the change.
+        """
+        w_max = int(self.cam.WidthMax.GetValue())
+        h_max = int(self.cam.HeightMax.GetValue())
+        if woi is None:
+            woi = (0, w_max, 0, h_max)
+        x, w, y, h = (int(v) for v in woi)
+
+        def snap(node, value):
+            try:
+                inc = int(node.GetInc())
+                return (value // inc) * inc
+            except Exception:
+                return value
+
+        x = snap(self.cam.OffsetX, x)
+        y = snap(self.cam.OffsetY, y)
+        w = snap(self.cam.Width, w)
+        h = snap(self.cam.Height, h)
+        try:
+            w = max(int(self.cam.Width.GetMin()), min(w, w_max - x))
+            h = max(int(self.cam.Height.GetMin()), min(h, h_max - y))
+        except PySpin.SpinnakerException:
+            pass
+
+        streaming = False
+        try:
+            if self.cam.IsStreaming():
+                self.cam.EndAcquisition()
+                streaming = True
+        except PySpin.SpinnakerException:
+            pass
+
+        try:
+            # Shrink first so the new offsets cannot exceed sensor bounds.
+            for node, value in (
+                (self.cam.Height, int(self.cam.Height.GetMin())),
+                (self.cam.Width, int(self.cam.Width.GetMin())),
+                (self.cam.OffsetX, x),
+                (self.cam.OffsetY, y),
+                (self.cam.Width, w),
+                (self.cam.Height, h),
+            ):
+                if node.GetAccessMode() == PySpin.RW:
+                    node.SetValue(value)
+            self.woi = (x, w, y, h)
+            # Preserve the row/col convention from Camera.__init__
+            # (swapped under 90/270-degree transforms).
+            self.shape = (h, w) if self.default_shape[0] == h_max else (w, h)
+        except PySpin.SpinnakerException as err:
+            raise RuntimeError(f"Failed to set WOI: {err}")
+        finally:
+            if streaming:
+                self.cam.BeginAcquisition()
+        return self.woi

@@ -33,9 +33,7 @@ class ImagingSource(Camera):
             raise ImportError(
                 "imagingcontrol4 (IC4) is required for Imaging Source cameras."
             )
-        if not ImagingSource._library_initialized:
-            ic4.Library.init()
-            ImagingSource._library_initialized = True
+        ImagingSource.init_sdk()
 
         devices = ic4.DeviceEnum.devices()
         if not devices:
@@ -90,18 +88,76 @@ class ImagingSource(Camera):
             self.grabber.device_close()
             self.grabber = None
 
+    @classmethod
+    def init_sdk(cls):
+        """Initialize the IC4 library once per process."""
+        if ic4 is None:
+            raise ImportError("imagingcontrol4 is required.")
+        if not cls._library_initialized:
+            ic4.Library.init()
+            cls._library_initialized = True
+
+    @staticmethod
+    def safe_call(cb, to_raise, *args, **kwargs):
+        """
+        Call ``cb(*args, **kwargs)``, converting an SDK failure into an
+        exception (``to_raise``) or a printed warning. Returns the result
+        or the caught exception.
+        """
+        try:
+            return cb(*args, **kwargs)
+        except Exception as err:
+            message = f"Error performing operation {cb.__name__}: {err}"
+            if to_raise:
+                raise RuntimeError(message) from err
+            print(message)
+            return err
+
     @staticmethod
     def info(verbose=True):
         """Return serials of connected Imaging Source cameras."""
-        if ic4 is None:
-            raise ImportError("imagingcontrol4 is required.")
-        if not ImagingSource._library_initialized:
-            ic4.Library.init()
-            ImagingSource._library_initialized = True
+        ImagingSource.init_sdk()
         serials = [device.serial for device in ic4.DeviceEnum.devices()]
         if verbose:
             print("ImagingSource serials:", serials)
         return serials
+
+    def set_woi(self, woi=None):
+        """Set the hardware window of interest ``(x, width, y, height)``;
+        the stream is stopped and re-armed around the geometry change."""
+        streaming = self.grabber.is_streaming
+        if streaming:
+            self.grabber.stream_stop()
+        try:
+            if woi is None:
+                for name in ("OffsetX", "OffsetY"):
+                    try:
+                        self.prop_map.set_value(name, 0)
+                    except ic4.IC4Exception:
+                        pass
+                width = int(self.prop_map.find_integer("Width").maximum)
+                height = int(self.prop_map.find_integer("Height").maximum)
+                self.prop_map.set_value("Width", width)
+                self.prop_map.set_value("Height", height)
+                woi = (0, width, 0, height)
+            else:
+                x, w, y, h = (int(v) for v in woi)
+                # Shrink first so offsets cannot exceed sensor bounds.
+                self.prop_map.set_value("Width", int(self.prop_map.find_integer("Width").minimum))
+                self.prop_map.set_value("Height", int(self.prop_map.find_integer("Height").minimum))
+                self.prop_map.set_value("OffsetX", x)
+                self.prop_map.set_value("OffsetY", y)
+                self.prop_map.set_value("Width", w)
+                self.prop_map.set_value("Height", h)
+            self.woi = tuple(int(v) for v in woi)
+            self.shape = (self.woi[3], self.woi[1])
+        finally:
+            if streaming:
+                self.grabber.stream_setup(
+                    self.sink,
+                    setup_option=ic4.StreamSetupOption.ACQUISITION_START,
+                )
+        return self.woi
 
     def _get_exposure_hw(self):
         return float(self.prop_map.get_value_float("ExposureTime")) / 1e6

@@ -81,6 +81,11 @@ class Instrumental(Camera):
             print("Instrumental cameras:", found)
         return found
 
+    def set_woi(self, woi=None):
+        """Not supported by instrumental's generic camera interface
+        (parity with the reference driver)."""
+        raise NotImplementedError()
+
     def _get_exposure_hw(self):
         # instrumental has no exposure getter on the base interface;
         # the last set value is tracked host-side.

@@ -52,7 +52,7 @@ class MindVision(Camera):
             print(f"MindVision {device.GetFriendlyName()} initializing... ", end="")
         self.handle = mvsdk.CameraInit(device, -1, -1)
 
-        capability = mvsdk.CameraGetCapability(self.handle)
+        capability = self.capability = mvsdk.CameraGetCapability(self.handle)
         mono = capability.sIspCapacity.bMonoSensor != 0
         mvsdk.CameraSetIspOutFormat(
             self.handle,
@@ -101,6 +101,21 @@ class MindVision(Camera):
         if verbose:
             print("MindVision cameras:", found)
         return found
+
+    def set_woi(self, woi=None):
+        """Hardware WOI is unsupported by this SDK wrapper; the base
+        class's software crop applies (parity with the reference driver)."""
+        return self.woi
+
+    def print_capability(self):
+        """Print the camera's trigger and resolution capability tables."""
+        cap = self.capability
+        for i in range(cap.iTriggerDesc):
+            desc = cap.pTriggerDesc[i]
+            print(f"{desc.iIndex}: {desc.GetDescription()}")
+        for i in range(cap.iImageSizeDesc):
+            desc = cap.pImageSizeDesc[i]
+            print(f"{desc.iIndex}: {desc.GetDescription()}")
 
     def _get_exposure_hw(self):
         return float(mvsdk.CameraGetExposureTime(self.handle)) / 1e6

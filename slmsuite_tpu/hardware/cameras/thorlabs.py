@@ -64,11 +64,9 @@ class ThorCam(Camera):
             pass
 
         # Software-triggered continuous acquisition.
-        self.cam.frames_per_trigger_zero_for_unlimited = 0
-        self.cam.operation_mode = 0  # SOFTWARE_TRIGGERED
+        self.profile = None
         self.cam.image_poll_timeout_ms = 1000
-        self.cam.arm(2)
-        self.cam.issue_software_trigger()
+        self.setup("free")
 
         width = int(self.cam.image_width_pixels)
         height = int(self.cam.image_height_pixels)
@@ -111,11 +109,76 @@ class ThorCam(Camera):
             print("ThorCam serials:", serials)
         return serials
 
+    @staticmethod
+    def close_sdk():
+        """Dispose the shared TLCameraSDK instance."""
+        if ThorCam.sdk is not None:
+            ThorCam.sdk.dispose()
+            ThorCam.sdk = None
+
     def _get_exposure_hw(self):
         return float(self.cam.exposure_time_us) / 1e6
 
     def _set_exposure_hw(self, exposure_s):
         self.cam.exposure_time_us = int(exposure_s * 1e6)
+
+    def setup(self, profile):
+        """
+        Set the operation mode: ``"free"`` (software-triggered,
+        continuous), ``"single"`` (one frame per software trigger),
+        ``"single_hardware"`` (one frame per hardware trigger), or
+        ``None`` (disarmed).
+        """
+        if profile == self.profile:
+            return
+        if self.cam.is_armed:
+            self.cam.disarm()
+        if profile == "free":
+            self.cam.frames_per_trigger_zero_for_unlimited = 0
+            self.cam.operation_mode = 0  # Software triggered.
+            self.cam.arm(2)
+            self.cam.issue_software_trigger()
+        elif profile == "single":
+            self.cam.frames_per_trigger_zero_for_unlimited = 1
+            self.cam.operation_mode = 0
+            self.cam.arm(2)
+        elif profile == "single_hardware":
+            self.cam.frames_per_trigger_zero_for_unlimited = 1
+            self.cam.operation_mode = 1  # Hardware triggered.
+            self.cam.arm(2)
+        elif profile is not None:
+            raise ValueError(f"Unknown profile '{profile}'.")
+        self.profile = profile
+
+    def set_binning(self, bx=None, by=None):
+        """Set sensor binning (errors if the value is unsupported);
+        the camera is disarmed during the change and re-armed after."""
+        profile = self.profile
+        self.setup(None)
+        self.cam.binx = int(bx if bx is not None else 1)
+        self.cam.biny = int(by if by is not None else 1)
+        self.setup(profile)
+
+    def is_capturing(self):
+        """Whether the camera is free-running."""
+        return self.profile == "free"
+
+    def flush(self, timeout_s=1):
+        """Drain stale buffered frames: poll until the buffer is empty or
+        frames stop returning instantly (cached), or the timeout hits."""
+        import time
+
+        start = time.perf_counter()
+        frame = self.cam.get_pending_frame_or_null()
+        frametime = 0.0
+        while (
+            time.perf_counter() - start < timeout_s
+            and frame is not None
+            and frametime < 0.003
+        ):
+            t = time.perf_counter()
+            frame = self.cam.get_pending_frame_or_null()
+            frametime = time.perf_counter() - t
 
     def set_woi(self, woi=None):
         """Set the hardware region of interest ``(x, width, y, height)``."""

@@ -67,6 +67,32 @@ class Webcam(Camera):
             print("Webcam indices:", found)
         return found
 
+    def set_woi(self, woi=None):
+        """Request a capture resolution of ``(width, height)`` from the
+        ``woi``; offsets are unsupported by the cv2 capture API."""
+        import time
+
+        if woi is not None:
+            self.cap.set(cv2.CAP_PROP_FRAME_WIDTH, int(woi[1]))
+            self.cap.set(cv2.CAP_PROP_FRAME_HEIGHT, int(woi[3]))
+            self.shape = self.default_shape = (
+                int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            )
+            time.sleep(1)  # Many UVC devices need time to re-mode.
+        self.woi = (0, self.shape[1], 0, self.shape[0])
+        return self.woi
+
+    def get_auto_exposure(self):
+        """Current cv2 auto-exposure state (backend-specific encoding)."""
+        return self.cap.get(cv2.CAP_PROP_AUTO_EXPOSURE)
+
+    def set_auto_exposure(self, enable):
+        """Enable (3) or disable (1) auto-exposure — the V4L2/UVC
+        convention; toggled through 3 first to force a mode change."""
+        self.cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 3)
+        self.cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 3 if enable else 1)
+
     def _get_exposure_hw(self):
         exposure = self.cap.get(cv2.CAP_PROP_EXPOSURE)
         # Many webcams report log2 seconds; fall back to 1s when unsupported.

@@ -140,6 +140,21 @@ class Hamamatsu(SLM):
             ctypes.c_uint8(self.board_id), ctypes.c_uint32(self.slot_number)
         )
 
+    def get_display(self):
+        """Read back the pattern the SLM head is currently displaying."""
+        display = np.zeros(self.shape, dtype=np.uint8)
+        count = int(self.shape[0] * self.shape[1])
+        status = self._lib.Check_Disp_IMG(
+            ctypes.c_uint8(self.board_id),
+            ctypes.c_int32(count),
+            ctypes.c_uint32(self.shape[1]),
+            ctypes.c_uint32(self.shape[0]),
+            display.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if status != 1:
+            raise RuntimeError("Failed to read from Hamamatsu SLM.")
+        return display
+
     def get_temperature(self):
         """Return ``(head_C, board_C)`` temperatures."""
         head = ctypes.c_double(0)

@@ -64,6 +64,17 @@ class Holoeye(SLM):
         error = self.slm_sdk.showData(data)
         self._check(error)
 
+    def load_vendor_phase_correction(self, file_path):
+        """
+        Load a HOLOEYE-provided wavefront-compensation file *directly
+        into the SDK* (the SDK applies it to every subsequent frame) —
+        this bypasses the framework's ``source["phase"]`` convention.
+        """
+        error = self.slm_sdk.wavefrontcompensationLoad(
+            str(file_path), self.wav_um * 1e3, 0, False, 0, 0
+        )
+        self._check(error)
+
     def close(self):
         """Close the SDK display window."""
         if getattr(self, "slm_sdk", None) is not None:

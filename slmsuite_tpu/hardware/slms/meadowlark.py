@@ -151,14 +151,25 @@ class Meadowlark(SLM):
         else:
             self.slm_lib.Load_lut(encoded)
 
+    #: Whether image writes wait for an external input trigger (PCIe).
+    _wait_for_trigger = False
+    #: Whether image writes emit an output trigger pulse (PCIe).
+    _output_pulse = False
+
+    @property
+    def is_pcie(self):
+        """Whether the detected SDK uses a PCIe connection."""
+        return self.sdk_interface == "pcie"
+
     def _set_phase_hw(self, display):
         data = np.ascontiguousarray(display)
         ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
         if self.sdk_interface == "pcie":
-            # wait_for_trigger=0, flip_immediate=0, output_pulse=0, timeout=5s
             self.slm_lib.Write_image(
                 ctypes.c_uint(self.slm_number), ptr, ctypes.c_uint(data.size),
-                ctypes.c_uint(0), ctypes.c_uint(0), ctypes.c_uint(0),
+                ctypes.c_uint(int(self._wait_for_trigger)),
+                ctypes.c_uint(0),  # flip_immediate
+                ctypes.c_uint(int(self._output_pulse)),
                 ctypes.c_uint(5000),
             )
             self.slm_lib.ImageWriteComplete(
@@ -166,6 +177,46 @@ class Meadowlark(SLM):
             )
         else:
             self.slm_lib.Write_image(ptr, ctypes.c_uint(self.bitdepth == 8))
+
+    def set_input_trigger(self, on=False):
+        """Wait for an external input trigger before each image write
+        (PCIe SDKs only)."""
+        if not self.is_pcie:
+            raise NotImplementedError("HDMI SLMs do not support input triggering.")
+        if hasattr(self.slm_lib, "SetWaitForTrigger"):
+            self.slm_lib.SetWaitForTrigger(
+                ctypes.c_uint(self.slm_number), ctypes.c_bool(on)
+            )
+            self.slm_lib.SetFlipImmediate(
+                ctypes.c_uint(self.slm_number), ctypes.c_bool(False)
+            )
+        self._wait_for_trigger = bool(on)
+
+    def set_output_trigger(self, on=False):
+        """Emit an output trigger pulse synchronized with each image
+        write (PCIe SDKs only)."""
+        if not self.is_pcie:
+            raise NotImplementedError("HDMI SLMs do not support output triggering.")
+        self._output_pulse = bool(on)
+
+    def load_lut(self, lut_path):
+        """Load a voltage lookup table (``.lut`` file, or a directory to
+        search for one)."""
+        self._load_lut(lut_path)
+
+    def get_last_error_message(self):
+        """Last SDK error message (PCIe SDKs only)."""
+        if not self.is_pcie:
+            raise NotImplementedError(
+                "Error message retrieval not supported for this model."
+            )
+        self.slm_lib.Get_last_error_message.restype = ctypes.c_char_p
+        return self.slm_lib.Get_last_error_message().decode("utf-8")
+
+    def get_version_info(self):
+        """Blink SDK version string."""
+        self.slm_lib.Get_version_info.restype = ctypes.c_char_p
+        return self.slm_lib.Get_version_info().decode("utf-8")
 
     def get_temperature(self):
         """Return the SLM temperature in deg C."""
@@ -192,6 +243,10 @@ class Meadowlark(SLM):
         if getattr(self, "slm_lib", None) is not None:
             self.slm_lib.Delete_SDK()
             self.slm_lib = None
+
+    def close_sdk(self):
+        """Release the SDK (alias of :meth:`close` for API parity)."""
+        self.close()
 
     @staticmethod
     def info(verbose=True):

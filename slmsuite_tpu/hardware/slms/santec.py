@@ -28,6 +28,41 @@ SLM_NG = 1
 SLM_BS = 2  # Busy.
 SLM_ER = 3
 
+#: SLM_STATUS meanings (Santec SDK manual; FT_* are FTDI USB-driver codes).
+SLM_STATUS_DICT = {
+    0: ("SLM_OK", "All good!"),
+    1: ("SLM_NG", "NG"),
+    2: ("SLM_BS", "SLM is busy."),
+    3: ("SLM_ER", "Parameter error."),
+    -1: ("SLM_INVAID_MONITOR", "Could not find specified display number."),
+    -2: ("SLM_NOT_OPEN_MONITOR", "Display has not been opened."),
+    -3: ("SLM_OPEN_WINDOW_ERR", "Window open error."),
+    -4: ("SLM_DATA_FORMAT_ERR", "Data format error."),
+    -101: ("SLM_FILE_READ_ERR", "File contained data over 1023."),
+    -200: ("SLM_NOT_OPEN_USB", "USB is not open."),
+    -1000: ("SLM_OTHER_ERROR", "Other error."),
+    -10001: ("FT_INVALID_HANDLE", "USB driver error."),
+    -10002: ("FT_DEVICE_NOT_FOUND", "Device not found. Check the device's power."),
+    -10003: ("FT_DEVICE_NOT_OPENED", "Already opened."),
+    -10004: ("FT_IO_ERROR", "USB driver error."),
+    -10005: ("FT_INSUFFICIENT_RESOURCES", "USB driver error."),
+    -10006: ("FT_INVALID_PARAMETER", "USB driver error."),
+    -10007: ("FT_INVALID_BAUD_RATE", "USB driver error."),
+    -10008: ("FT_DEVICE_NOT_OPENED_FOR_ERASE", "USB driver error."),
+    -10009: ("FT_DEVICE_NOT_OPENED_FOR_WRITE", "USB driver error."),
+    -10010: ("FT_FAILED_TO_WRITE_DEVICE", "USB driver error."),
+    -10011: ("FT_EEPROM_READ_FAILED", "USB driver error."),
+    -10012: ("FT_EEPROM_WRITE_FAILED", "USB driver error."),
+    -10013: ("FT_EEPROM_ERASE_FAILED", "USB driver error."),
+    -10014: ("FT_EEPROM_NOT_PRESENT", "USB driver error."),
+    -10015: ("FT_EEPROM_NOT_PROGRAMMED", "USB driver error."),
+    -10016: ("FT_INVALID_ARGS", "USB driver error."),
+    -10017: ("FT_NOT_SUPPORTED", "USB driver error."),
+    -10018: ("FT_NO_MORE_ITEMS", "USB driver error."),
+    -10019: ("FT_TIMEOUT", "USB driver error."),
+    -10020: ("FT_OPERATION_ABORTED", "USB driver error."),
+}
+
 #: Display-mode constants.
 _DISP_MODE_DVI = 0
 _DISP_MODE_MEMORY = 1
@@ -73,6 +108,7 @@ def _load_dll(search_path=None):
         "SLM_Ctrl_WriteDS": ([u32, u32], i32),                 # Display from memory.
         "SLM_Disp_Open": ([u32], i32),
         "SLM_Disp_Close": ([u32], i32),
+        "SLM_Disp_ReadCSV": ([u32, u32, ctypes.c_char_p], i32),
         "SLM_Disp_Data": ([u32, u16, u16, u32, ctypes.POINTER(u16)], i32),
         "SLM_Disp_GrayScale": ([u32, u32, u16], i32),
         "SLM_Disp_Info2": (
@@ -203,6 +239,55 @@ class Santec(SLM):
             self.slm_number, ctypes.byref(drive), ctypes.byref(option)
         )
         return (drive.value / 10.0, option.value / 10.0)
+
+    @staticmethod
+    def _parse_status(status, raise_error=True):
+        """Resolve an ``SLM_STATUS`` code to ``(num, name, note)``;
+        raise (or warn) when it is not ``SLM_OK``."""
+        status = int(status)
+        if status not in SLM_STATUS_DICT:
+            raise ValueError(f"SLM status '{status}' not recognized.")
+        name, note = SLM_STATUS_DICT[status]
+        if status != 0:
+            message = f"Santec error {name}; '{note}'"
+            if raise_error:
+                raise RuntimeError(message)
+            warnings.warn(message)
+        return (status, name, note)
+
+    def get_status(self, raise_error=True):
+        """Read and parse the SLM's ``SLM_STATUS``; returns
+        ``(num, name, note)``."""
+        return Santec._parse_status(
+            self._lib.SLM_Ctrl_ReadSU(self.slm_number), raise_error
+        )
+
+    def load_csv(self, filename):
+        """Display the SLM-sized phase image stored in a Santec .csv."""
+        Santec._parse_status(
+            self._lib.SLM_Disp_ReadCSV(self.display_number, 0, filename.encode())
+        )
+
+    def load_vendor_phase_correction(self, file_path, smooth=False, overwrite=True):
+        """
+        Load the Santec-provided phase-correction .csv (first row/column
+        are coordinates) into ``source["phase"]``. Only fully valid at
+        the wavelength it was collected at. Returns the phase map.
+        """
+        import cv2
+
+        table = np.loadtxt(file_path, skiprows=1, dtype=int, delimiter=",")[:, 1:]
+        phase = (-2 * np.pi / self.bitresolution) * table.astype(float)
+
+        if smooth:
+            ksize = 15
+            re = cv2.GaussianBlur(np.cos(phase), (ksize, ksize), 0)
+            im = cv2.GaussianBlur(np.sin(phase), (ksize, ksize), 0)
+            phase = np.arctan2(im, re) + np.pi
+
+        if overwrite:
+            self.source["phase"] = phase
+        return phase
 
     def get_error(self):
         """Return raw (drive_error, option_error) flag words."""

@@ -239,6 +239,10 @@ class DLPC900:
     def wakeup(self):
         self._transact(DLPC900Command.POWER_MODE, bytes([0]))
 
+    def reset(self):
+        """Soft-reset the DLPC900 controller."""
+        self._transact(DLPC900Command.POWER_MODE, bytes([2]))
+
     def close(self):
         if getattr(self, "device", None) is not None:
             self.device.close()
@@ -402,3 +406,38 @@ class PLM(ScreenMirrored):
     def get_model_list():
         """Names of supported PLM EVMs."""
         return list(PLM_MODELS.keys())
+
+    @staticmethod
+    def load_model_config(model_name):
+        """Return the configuration dict for a PLM EVM model key."""
+        if model_name not in PLM_MODELS:
+            raise ValueError(
+                f"Model '{model_name}' not found. "
+                f"Available models: {list(PLM_MODELS)}"
+            )
+        return dict(PLM_MODELS[model_name])
+
+    @staticmethod
+    def bitpack(bitmaps):
+        """
+        Pack 8 (or 24) binary CGH bitmaps into one 8-bit (or RGB 24-bit)
+        frame: bitmap ``k``'s LSB becomes bit ``k`` of the (per-channel)
+        output. The DLPC900 replays the packed bitplanes sequentially.
+
+        Returns an array of shape ``(1, H, W)`` (8 bitmaps) or
+        ``(3, H, W)`` (24 bitmaps), dtype uint8.
+        """
+        bitmaps = [np.asarray(bm) for bm in bitmaps]
+        if len(bitmaps) not in (8, 24):
+            raise ValueError(
+                f"bitpack expects 8 or 24 bitmaps; got {len(bitmaps)}."
+            )
+
+        def pack8(maps):
+            stacked = (np.stack(maps) & 1).astype(np.uint8)
+            shifts = np.arange(8, dtype=np.uint8)[:, None, None]
+            return np.bitwise_or.reduce(np.left_shift(stacked, shifts), axis=0)
+
+        if len(bitmaps) == 8:
+            return pack8(bitmaps)[None, ...]
+        return np.stack([pack8(bitmaps[8 * n:8 * (n + 1)]) for n in range(3)])

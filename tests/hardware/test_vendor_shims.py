@@ -154,3 +154,66 @@ class TestMeadowlarkLogic:
         nested.mkdir(parents=True)
         (nested / "Blink_C_wrapper.dll").write_bytes(b"")
         assert _find_dll(str(tmp_path)) == str(nested / "Blink_C_wrapper.dll")
+
+
+class TestPLMBitpack:
+    def test_bitpack_8(self):
+        from slmsuite_tpu.hardware.slms.texasinstruments import PLM
+
+        rng = np.random.default_rng(0)
+        maps = [rng.integers(0, 2, (16, 16), dtype=np.uint8) for _ in range(8)]
+        packed = PLM.bitpack(maps)
+        assert packed.shape == (1, 16, 16) and packed.dtype == np.uint8
+        # Each source bitmap is recoverable from its bit plane.
+        for k, bm in enumerate(maps):
+            np.testing.assert_array_equal((packed[0] >> k) & 1, bm)
+
+    def test_bitpack_24(self):
+        from slmsuite_tpu.hardware.slms.texasinstruments import PLM
+
+        rng = np.random.default_rng(1)
+        maps = [rng.integers(0, 2, (8, 8), dtype=np.uint8) for _ in range(24)]
+        packed = PLM.bitpack(maps)
+        assert packed.shape == (3, 8, 8)
+        for k, bm in enumerate(maps):
+            np.testing.assert_array_equal((packed[k // 8] >> (k % 8)) & 1, bm)
+
+    def test_bitpack_bad_count(self):
+        from slmsuite_tpu.hardware.slms.texasinstruments import PLM
+
+        with pytest.raises(ValueError):
+            PLM.bitpack([np.zeros((4, 4), np.uint8)] * 7)
+
+    def test_load_model_config(self):
+        from slmsuite_tpu.hardware.slms.texasinstruments import PLM
+
+        config = PLM.load_model_config(PLM.get_model_list()[0])
+        assert isinstance(config, dict)
+        with pytest.raises(ValueError):
+            PLM.load_model_config("not-a-model")
+
+
+class TestSantecStatus:
+    def test_parse_ok(self):
+        from slmsuite_tpu.hardware.slms.santec import Santec
+
+        assert Santec._parse_status(0) == (0, "SLM_OK", "All good!")
+
+    def test_parse_error_raises(self):
+        from slmsuite_tpu.hardware.slms.santec import Santec
+
+        with pytest.raises(RuntimeError, match="SLM_BS"):
+            Santec._parse_status(2)
+
+    def test_parse_error_warns(self):
+        from slmsuite_tpu.hardware.slms.santec import Santec
+
+        with pytest.warns(UserWarning, match="USB"):
+            status, name, _ = Santec._parse_status(-200, raise_error=False)
+        assert (status, name) == (-200, "SLM_NOT_OPEN_USB")
+
+    def test_parse_unknown(self):
+        from slmsuite_tpu.hardware.slms.santec import Santec
+
+        with pytest.raises(ValueError):
+            Santec._parse_status(42424)
