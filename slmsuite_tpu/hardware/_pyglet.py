@@ -62,7 +62,16 @@ class SLMWindow:
 
     The window swallows all user input (an SLM "monitor" must never react
     to stray clicks or keystrokes) and redraws the last-written frame on
-    expose. 8-bit data is uploaded as a single-channel texture each write.
+    expose. Frames are written into one persistent RGBA texture
+    (``glTexSubImage2D``) rather than re-creating an image each flip.
+
+    Two GL pipelines are supported, detected at construction:
+
+    - **GL 3.0+** (pyglet >= 2): the default blit shader with a
+      triangle-strip quad.
+    - **GL 2.x** (pyglet 1.x / legacy drivers): fixed-function pipeline —
+      power-of-two-padded texture, interleaved ``T4F_V4F`` vertex array,
+      ``GL_QUADS``.
 
     Must only be used from the thread that created it (GL thread affinity);
     :class:`WindowThread` enforces this.
@@ -70,6 +79,9 @@ class SLMWindow:
 
     def __init__(self, shape, screen, caption="SLM"):
         require_pyglet()
+        import ctypes
+
+        self._ctypes = ctypes
         self.shape = tuple(shape)  # (height, width)
 
         self.window = pyglet.window.Window(
@@ -80,7 +92,7 @@ class SLMWindow:
             style=getattr(
                 pyglet.window.Window, "WINDOW_STYLE_BORDERLESS", "borderless"
             ),
-            vsync=False,
+            vsync=True,
             visible=True,
         )
         self.window.set_location(screen.x, screen.y)
@@ -95,42 +107,148 @@ class SLMWindow:
             self.window.push_handlers(**{event: self._swallow})
         self.window.push_handlers(on_expose=self._on_expose)
 
-        self._image = None
-        self._buffer = np.zeros(self.shape, dtype=np.uint8)
-        self.render(self._buffer)
+        # Persistent RGBA staging buffer; the alpha plane stays opaque.
+        h, w = self.shape
+        self.buffer = np.zeros((h, w, 4), dtype=np.uint8)
+        self.buffer[:, :, 3] = 255
+        self._cbuffer = (gl.GLubyte * self.buffer.size).from_buffer(self.buffer)
+
+        self.window.switch_to()
+        self._setup_context()
+        self._draw()
 
     @staticmethod
     def _swallow(*args, **kwargs):
         return True  # pyglet.event.EVENT_HANDLED
 
     def _on_expose(self):
-        self._blit()
+        self._draw()
         return True
 
+    # ------------------------------------------------------------------
+    # GL pipeline.
+    # ------------------------------------------------------------------
+
+    def _gl_version(self, major, minor=0):
+        try:
+            return gl.gl_info.have_version(major, minor)
+        except Exception:
+            return gl.base.gl_info.have_version(major, minor)
+
+    def _make_texture(self, tex_shape):
+        """Allocate a persistent RGBA8 texture with nearest filtering."""
+        ctypes = self._ctypes
+        texture = gl.GLuint()
+        gl.glGenTextures(1, ctypes.byref(texture))
+        gl.glBindTexture(gl.GL_TEXTURE_2D, texture.value)
+        gl.glTexParameteri(
+            gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAG_FILTER, gl.GL_NEAREST
+        )
+        gl.glTexParameteri(
+            gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MIN_FILTER, gl.GL_NEAREST
+        )
+        gl.glTexImage2D(
+            gl.GL_TEXTURE_2D, 0, gl.GL_RGBA8,
+            tex_shape[1], tex_shape[0],
+            0, gl.GL_RGBA, gl.GL_UNSIGNED_BYTE, None,
+        )
+        return texture
+
+    def _setup_context(self):
+        """Build the pipeline for the detected GL generation."""
+        h, w = self.shape
+
+        if self._gl_version(3, 0):
+            self.gl_mode = "modern"
+            self.texture = self._make_texture((h, w))
+
+            # Default blit shader + a quad in window pixels; texture v=0
+            # maps to the quad's top so buffer row 0 displays at the top.
+            self.shader = pyglet.graphics.get_default_blit_shader()
+            self.shader.use()
+            self.vertex_list = self.shader.vertex_list(
+                4, gl.GL_TRIANGLE_STRIP,
+                position=("f", [
+                    0.0, float(h), 0.0,
+                    0.0, 0.0, 0.0,
+                    float(w), float(h), 0.0,
+                    float(w), 0.0, 0.0,
+                ]),
+                tex_coords=("f", [
+                    0.0, 0.0, 0.0,
+                    0.0, 1.0, 0.0,
+                    1.0, 0.0, 0.0,
+                    1.0, 1.0, 0.0,
+                ]),
+            )
+            gl.glBindTexture(gl.GL_TEXTURE_2D, 0)
+            gl.glFlush()
+        elif self._gl_version(2, 0):
+            self.gl_mode = "legacy"
+            # Fixed-function GL: textures must be power-of-two padded.
+            tex_shape = tuple(int(2 ** np.ceil(np.log2(s))) for s in self.shape)
+            self._tex_ratio = (h / tex_shape[0], w / tex_shape[1])
+
+            proj = pyglet.window.Projection2D()
+            proj.set(w, h, w, h)
+
+            gl.glEnable(gl.GL_TEXTURE_2D)
+            self.texture = self._make_texture(tex_shape)
+
+            # Interleaved tex/vertex array for a single quad; the texture
+            # coordinates stop at the unpadded extent.
+            x2, y2 = float(w), float(h)
+            ub, vb = self._tex_ratio[1], self._tex_ratio[0]
+            self._quad = (gl.GLfloat * 32)(
+                0.0, 0.0, 0.0, 1.0,   0.0, 0.0, 0.0, 1.0,
+                ub, 0.0, 0.0, 1.0,    x2, 0.0, 0.0, 1.0,
+                ub, vb, 0.0, 1.0,     x2, y2, 0.0, 1.0,
+                0.0, vb, 0.0, 1.0,    0.0, y2, 0.0, 1.0,
+            )
+            gl.glBindTexture(gl.GL_TEXTURE_2D, 0)
+            gl.glFlush()
+        else:
+            raise RuntimeError("Could not find a compatible GL context.")
+
     def render(self, display):
-        """Upload ``display`` (uint8, :attr:`shape`) and flip the buffer."""
+        """Write ``display`` (uint8, :attr:`shape`) into the staging
+        buffer, upload it to the texture, and flip."""
         display = np.ascontiguousarray(display, dtype=np.uint8)
         if display.shape != self.shape:
             raise ValueError(
                 f"Display shape {display.shape} != window data shape {self.shape}."
             )
-        self._buffer = display
-        h, w = self.shape
-        # Grayscale -> RGB expansion; single-channel ('R') textures render
-        # red-only on common drivers. 16-bit support would pack into RG here.
-        rgb = np.repeat(display[::-1, :, None], 3, axis=2)  # GL is bottom-up.
-        self._image = pyglet.image.ImageData(w, h, "RGB", rgb.tobytes())
-        self._blit()
+        # Grayscale -> RGB planes of the persistent RGBA buffer.
+        self.buffer[:, :, 0] = display
+        self.buffer[:, :, 1] = display
+        self.buffer[:, :, 2] = display
+        self._draw()
 
-    def _blit(self):
-        if self._image is None:
-            return
+    def _draw(self):
+        h, w = self.shape
         self.window.switch_to()
-        self.window.clear()
-        # Nearest-neighbor: phase pixels must map 1:1, never interpolated.
-        gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAG_FILTER, gl.GL_NEAREST)
-        self._image.blit(0, 0, width=self.window.width, height=self.window.height)
+
+        gl.glBindTexture(gl.GL_TEXTURE_2D, self.texture.value)
+        gl.glTexSubImage2D(
+            gl.GL_TEXTURE_2D, 0, 0, 0, w, h,
+            gl.GL_RGBA, gl.GL_UNSIGNED_BYTE, self._cbuffer,
+        )
+
+        if self.gl_mode == "modern":
+            self.shader.use()
+            gl.glActiveTexture(gl.GL_TEXTURE0)
+            self.vertex_list.draw(gl.GL_TRIANGLE_STRIP)
+        else:
+            gl.glEnable(gl.GL_TEXTURE_2D)
+            gl.glPushClientAttrib(gl.GL_CLIENT_VERTEX_ARRAY_BIT)
+            gl.glInterleavedArrays(gl.GL_T4F_V4F, 0, self._quad)
+            gl.glDrawArrays(gl.GL_QUADS, 0, 4)
+            gl.glPopClientAttrib()
+
+        # With vsync this blocks until the frame is actually displayed —
+        # exactly the synchronization an SLM write wants.
         self.window.flip()
+        self.window.dispatch_events()
 
     def close(self):
         self.window.close()

@@ -6,7 +6,12 @@ through :meth:`.Camera.get_image`; toggling its *Live* button starts an
 :mod:`asyncio` polling loop on the notebook's event loop, so monitoring
 interleaves with (and is preempted by) user cell execution.
 
-Parity: reference ``slmsuite/hardware/cameras/camera.py:1461``
+The pure frame-rendering pipeline (:func:`parse_frame`) is separated
+from the widget shell so it is testable headless: range clip, optional
+log scaling, colormap, power-of-two zoom, and center/centroid
+crosshairs.
+
+Parity: reference ``slmsuite/hardware/cameras/camera.py:1461-1790``
 (``_CameraViewer``), used by ``Camera.live()``.
 """
 
@@ -15,7 +20,92 @@ import io
 
 import numpy as np
 
-_DEFAULT_CMAPS = ["gray", "turbo", "viridis", "magma", "inferno"]
+_DEFAULT_CMAPS = [
+    "gray", "turbo", "viridis", "plasma", "inferno", "magma", "cividis",
+    "Blues",
+]
+
+
+def _encode_png(rgb):
+    """uint8 RGB array -> PNG bytes."""
+    try:
+        import cv2
+
+        ok, encoded = cv2.imencode(".png", rgb[..., ::-1])  # RGB -> BGR.
+        if ok:
+            return encoded.tobytes()
+    except ImportError:
+        pass
+    from PIL import Image as PILImage
+
+    buffer = io.BytesIO()
+    PILImage.fromarray(rgb).save(buffer, format="png")
+    return buffer.getvalue()
+
+
+def parse_frame(img, state):
+    """
+    Render a camera frame to PNG bytes according to the viewer ``state``:
+    ``range`` (clip limits), ``log`` (log10 intensity), ``cmap``
+    (matplotlib name or ``"gray"``), ``scale`` (power-of-two zoom;
+    downscale before the heavy steps, upscale after),
+    ``center_crosshair`` and ``centroid_crosshair``.
+
+    Returns ``(png_bytes, rgb_array)``.
+    """
+    import matplotlib
+    from scipy.ndimage import zoom
+
+    img = np.asarray(img, dtype=float)
+    scale = float(state.get("scale", 1.0))
+
+    # Downscale early: every later step then costs scale^2 less.
+    if scale < 1:
+        img = zoom(img, scale, order=1)
+
+    if state.get("centroid_crosshair"):
+        from slmsuite_tpu.holography.analysis import (
+            image_positions,
+            image_remove_field,
+        )
+
+        clean = image_remove_field(img[None, ...], deviations=None)
+        center = np.squeeze(image_positions(clean))
+        cx, cy = np.rint(
+            (center + np.flip(img.shape) / 2) * (scale if scale > 1 else 1)
+        ).astype(int)
+
+    lo, hi = state.get("range", (0.0, 1.0))
+    if hi <= lo:
+        hi = lo + 1
+    img = np.clip(img, lo, hi) - lo
+    span = hi - lo
+
+    if state.get("log"):
+        normalized = np.log10(np.clip(img, 1, None)) / np.log10(span + 1)
+    else:
+        normalized = img / span
+
+    cmap = state.get("cmap", "gray")
+    if cmap in ("default", "grayscale"):
+        cmap = "gray"
+    colormap = matplotlib.colormaps[cmap]
+    rgb = (colormap(np.clip(normalized, 0, 1))[..., :3] * 255).astype(np.uint8)
+
+    if scale > 1:
+        rgb = zoom(rgb, (scale, scale, 1), order=0)
+
+    # Crosshairs: centroid inverts color; center uses mid-gray inversion.
+    if state.get("centroid_crosshair"):
+        cx = int(np.clip(cx, 0, rgb.shape[1] - 1))
+        cy = int(np.clip(cy, 0, rgb.shape[0] - 1))
+        rgb[:, cx, :] = 255 - rgb[:, cx, :]
+        rgb[cy, :, :] = 255 - rgb[cy, :, :]
+    if state.get("center_crosshair"):
+        rgb[:, rgb.shape[1] // 2, :] = 127 - rgb[:, rgb.shape[1] // 2, :]
+        rgb[rgb.shape[0] // 2, :, :] = 127 - rgb[rgb.shape[0] // 2, :, :]
+
+    return _encode_png(rgb), rgb
 
 
 class _CameraViewer:
@@ -26,127 +116,247 @@ class _CameraViewer:
         cam,
         widgets=True,
         backend="ipython",
-        cmap="turbo",
+        live=False,
+        min=None,
+        max=None,
+        log=False,
+        cmap="gray",
         cmap_options=None,
         scale=1.0,
-        poll_s=0.05,
+        crosshair=False,
+        centroid=False,
+        poll_s=0.01,
     ):
-        import ipywidgets as ipw
-        from IPython.display import display
-
         self.cam = cam
-        self.scale = float(scale)
+        self.backend = backend
         self.poll_s = float(poll_s)
-        self._live_task = None
+        self.task = None
+        self.prev_img = None
         self._closed = False
 
-        self.image_widget = ipw.Image(format="png")
+        if min is None:
+            min = 0
+        if max is None:
+            max = cam.bitresolution - 1
+        lo, hi = sorted((min, max))
 
-        controls = []
-        self.range_slider = ipw.FloatRangeSlider(
-            value=(0.0, 1.0), min=0.0, max=1.0, step=0.005,
-            description="Color", readout_format=".2f",
-            continuous_update=True,
-        )
-        self.cmap_dropdown = ipw.Dropdown(
-            options=list(cmap_options or _DEFAULT_CMAPS),
-            value=cmap, description="Colormap",
-        )
-        self.scale_slider = ipw.FloatSlider(
-            value=self.scale, min=0.1, max=4.0, step=0.1, description="Zoom",
-        )
-        self.live_toggle = ipw.ToggleButton(value=False, description="Live")
-        self.close_button = ipw.Button(description="Close")
+        if cmap is True:
+            cmap = "default"
+        if cmap is False:
+            cmap = "grayscale"
 
-        self.scale_slider.observe(self._on_scale, names="value")
-        self.live_toggle.observe(self._on_live, names="value")
-        self.close_button.on_click(lambda _: self.cam.live(activate=False))
+        self.state = {
+            "backend": backend,
+            "live": bool(live),
+            "range": (lo, hi),
+            "log": bool(log),
+            "cmap": cmap,
+            "scale": float(2 ** np.round(np.log2(scale))),
+            "cmap_options": list(cmap_options or _DEFAULT_CMAPS),
+            "center_crosshair": bool(crosshair),
+            "centroid_crosshair": bool(centroid),
+        }
 
+        self.widgets = {}
         if widgets:
-            controls = [ipw.HBox([
-                self.live_toggle, self.close_button,
-                self.range_slider, self.cmap_dropdown, self.scale_slider,
-            ])]
-        self.box = ipw.VBox(controls + [self.image_widget])
-        display(self.box)
+            self.init_widgets()
+        self.init_image()
 
-        self._last = None
-
-    # Widget callbacks.
-
-    def _on_scale(self, change):
-        self.scale = float(change["new"])
-        if self._last is not None:
-            self.render(self._last)
-
-    def _on_live(self, change):
-        if change["new"]:
-            self._start_live()
-        else:
-            self._stop_live()
-
-    def _start_live(self):
-        if self._live_task is not None:
-            return
-
-        async def loop():
-            while not self._closed and self.live_toggle.value:
-                try:
-                    # get_image() calls back into render().
-                    self.cam.get_image()
-                except Exception:
-                    self.live_toggle.value = False
-                    raise
-                await asyncio.sleep(self.poll_s)
-
-        self._live_task = asyncio.ensure_future(loop())
-
-    def _stop_live(self):
-        if self._live_task is not None:
-            self._live_task.cancel()
-            self._live_task = None
-
+    # ------------------------------------------------------------------
     # Rendering.
+    # ------------------------------------------------------------------
 
-    def render(self, img):
-        """Display ``img`` with the current color scale and colormap."""
+    def parse(self, img=None):
+        """Render ``img`` (or the last frame) to PNG bytes."""
+        if img is not None:
+            self.prev_img = np.asarray(img)
+        if self.prev_img is None:
+            return None
+        png, _ = parse_frame(self.prev_img, self.state)
+        return png
+
+    def render(self, img=None):
+        """Parse + push into the image widget (errors go to the output
+        widget rather than killing the asyncio loop)."""
         if self._closed:
             return
-        import matplotlib
-
-        self._last = img
-        img = np.asarray(img, dtype=float) / self.cam.bitresolution
-        vmin, vmax = self.range_slider.value
-        if vmax <= vmin:
-            vmax = vmin + 1e-6
-        normalized = np.clip((img - vmin) / (vmax - vmin), 0, 1)
-
-        colormap = matplotlib.colormaps[self.cmap_dropdown.value]
-        rgba = (colormap(normalized) * 255).astype(np.uint8)
-
-        self.image_widget.value = self._encode_png(rgba[..., :3])
-        height, width = img.shape
-        self.image_widget.layout.width = f"{int(width * self.scale)}px"
-        self.image_widget.layout.height = f"{int(height * self.scale)}px"
-
-    @staticmethod
-    def _encode_png(rgb):
         try:
-            import cv2
+            value = self.parse(img)
+            if value is not None:
+                self.image.value = value
+        except Exception as err:
+            out = self.widgets.get("output")
+            if out is not None:
+                with out:
+                    print(str(err))
+            else:
+                raise
 
-            ok, encoded = cv2.imencode(".png", rgb[..., ::-1])  # RGB -> BGR.
-            if ok:
-                return encoded.tobytes()
-        except ImportError:
-            pass
-        from PIL import Image as PILImage
+    # ------------------------------------------------------------------
+    # Widget callbacks.
+    # ------------------------------------------------------------------
 
-        buffer = io.BytesIO()
-        PILImage.fromarray(rgb).save(buffer, format="png")
-        return buffer.getvalue()
+    def update(self, event=None):
+        """Pull every control's value into ``state`` and re-render."""
+        out = self.widgets.get("output")
+        if out is not None:
+            out.clear_output(wait=True)
+        for key in (
+            "range", "log", "cmap", "scale",
+            "center_crosshair", "centroid_crosshair",
+        ):
+            if key in self.widgets:
+                self.state[key] = self.widgets[key].value
+        self.render()
+
+    def autorange(self, event=None):
+        """Set the color range to the last frame's min/max."""
+        if self.prev_img is not None:
+            limits = (int(np.min(self.prev_img)), int(np.max(self.prev_img)))
+            self.state["range"] = limits
+            if "range" in self.widgets:
+                self.widgets["range"].value = limits
+        self.render()
+
+    def on_click(self, event):
+        """Print the clicked camera-pixel coordinate."""
+        coord = np.array([event["x"], event["y"]])
+        pixel = np.round(coord / self.state["scale"]).astype(int)
+        out = self.widgets.get("output")
+        if out is not None:
+            with out:
+                out.clear_output(wait=True)
+                print(pixel)
+        return pixel
+
+    def live(self, event=None):
+        """Start/stop the asyncio polling task per the Live toggle."""
+        state = self.state["live"] = bool(self.widgets["live"].value)
+        if self.task is not None:
+            self.task.cancel()
+            self.task = None
+        if state:
+            self.task = asyncio.ensure_future(self.live_loop())
+
+    async def live_loop(self):
+        """Poll frames while live; ``get_image`` calls back into render."""
+        while self.state["live"] and not self._closed:
+            try:
+                self.cam.get_image()
+            except Exception:
+                self.state["live"] = False
+                if "live" in self.widgets:
+                    self.widgets["live"].value = False
+                raise
+            await asyncio.sleep(self.poll_s)
+
+    # ------------------------------------------------------------------
+    # Construction.
+    # ------------------------------------------------------------------
+
+    def init_image(self):
+        """Grab one frame and display it as the image widget."""
+        from IPython.display import display
+        from ipywidgets import Image
+
+        self.image = Image(value=self.parse(self.cam.get_image()) or b"",
+                           format="png")
+        self.image.on_click = self.on_click
+        display(self.image)
+
+    def init_widgets(self):
+        """Build the control panel (range/autorange/log/cmap/scale/
+        crosshairs/live) and wire the observers."""
+        from IPython.display import display
+        from ipywidgets import (
+            HTML, Button, Checkbox, Dropdown, FloatLogSlider, HBox,
+            IntRangeSlider, Layout, Output, ToggleButton, VBox,
+        )
+
+        item = Layout(width="auto")
+        self.widgets = {
+            "name": HTML(
+                value=f"<b>{self.cam.name}</b>", description="Viewing",
+                layout=item,
+            ),
+            "live": ToggleButton(
+                value=self.state["live"], description="Live", layout=item,
+            ),
+            "range": IntRangeSlider(
+                value=self.state["range"], min=0,
+                max=self.cam.bitresolution - 1, step=1,
+                description="Range", layout=Layout(width="70%"),
+            ),
+            "autorange": Button(description="AutoRange", layout=item),
+            "log": Checkbox(
+                value=self.state["log"], description="Logarithmic",
+                layout=item,
+            ),
+            "center_crosshair": Checkbox(
+                value=self.state["center_crosshair"],
+                description="Center Crosshair", layout=item,
+            ),
+            "centroid_crosshair": Checkbox(
+                value=self.state["centroid_crosshair"],
+                description="Centroid Crosshair", layout=item,
+            ),
+            "cmap": Dropdown(
+                options=self.state["cmap_options"],
+                value=self.state["cmap"]
+                if self.state["cmap"] in self.state["cmap_options"]
+                else self.state["cmap_options"][0],
+                description="Colormap", layout=item,
+            ),
+            "scale": FloatLogSlider(
+                value=self.state["scale"], base=2, min=-3, max=3, step=1,
+                description="Scale", layout=item,
+            ),
+            "output": Output(),
+        }
+
+        for key, widget in self.widgets.items():
+            if key == "autorange":
+                widget.on_click(self.autorange)
+            elif key == "live":
+                widget.observe(self.live, "value")
+            elif key not in ("name", "output"):
+                widget.observe(self.update, "value")
+
+        self.widgets["layout"] = HBox([
+            VBox(
+                [
+                    HBox([self.widgets["name"]]),
+                    HBox([
+                        self.widgets["cmap"], self.widgets["log"],
+                        self.widgets["center_crosshair"],
+                        self.widgets["centroid_crosshair"],
+                    ]),
+                    HBox([self.widgets["range"]]),
+                    self.widgets["output"],
+                ],
+                layout=Layout(width="70%"),
+            ),
+            VBox(
+                [
+                    self.widgets["live"], self.widgets["scale"],
+                    self.widgets["autorange"],
+                ],
+                layout=Layout(width="30%"),
+            ),
+        ])
+        display(self.widgets["layout"])
 
     def close(self):
         """Stop the live loop and remove the widgets."""
         self._closed = True
-        self._stop_live()
-        self.box.close()
+        self.state["live"] = False
+        if self.task is not None:
+            self.task.cancel()
+            self.task = None
+        for widget in self.widgets.values():
+            try:
+                widget.close()
+            except Exception:
+                pass
+        if getattr(self, "image", None) is not None:
+            self.image.close()

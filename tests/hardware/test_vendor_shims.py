@@ -217,3 +217,140 @@ class TestSantecStatus:
 
         with pytest.raises(ValueError):
             Santec._parse_status(42424)
+
+
+def _fake_gl_stack(gl_version):
+    """Fake pyglet + gl modules recording calls, for headless GL smoke."""
+    import ctypes
+    import types
+
+    calls = []
+
+    def record(name):
+        def fn(*args, **kwargs):
+            calls.append(name)
+        return fn
+
+    class GLuint(ctypes.c_uint32):
+        pass
+
+    gl = types.SimpleNamespace(
+        GLuint=GLuint,
+        GLubyte=ctypes.c_ubyte,
+        GLfloat=ctypes.c_float,
+        gl_info=types.SimpleNamespace(
+            have_version=lambda major, minor=0: (major, minor) <= gl_version
+        ),
+    )
+    for name in (
+        "glGenTextures", "glBindTexture", "glTexParameteri", "glTexImage2D",
+        "glTexSubImage2D", "glEnable", "glFlush", "glActiveTexture",
+        "glPushClientAttrib", "glInterleavedArrays", "glDrawArrays",
+        "glPopClientAttrib",
+    ):
+        setattr(gl, name, record(name))
+    for const in (
+        "GL_TEXTURE_2D", "GL_TEXTURE_MAG_FILTER", "GL_TEXTURE_MIN_FILTER",
+        "GL_NEAREST", "GL_RGBA8", "GL_RGBA", "GL_UNSIGNED_BYTE",
+        "GL_TRIANGLE_STRIP", "GL_TEXTURE0", "GL_CLIENT_VERTEX_ARRAY_BIT",
+        "GL_T4F_V4F", "GL_QUADS",
+    ):
+        setattr(gl, const, 0)
+
+    class FakeWindow:
+        WINDOW_STYLE_BORDERLESS = "borderless"
+
+        def __init__(self, width, height, screen=None, caption="", style=None,
+                     vsync=True, visible=True):
+            self.width, self.height = width, height
+            self.handlers = {}
+            self.closed = False
+
+        def set_location(self, x, y): pass
+        def set_mouse_visible(self, visible): pass
+        def push_handlers(self, **kwargs): self.handlers.update(kwargs)
+        def switch_to(self): calls.append("switch_to")
+        def flip(self): calls.append("flip")
+        def dispatch_events(self): pass
+        def close(self): self.closed = True
+
+    class FakeShader:
+        def use(self): calls.append("shader.use")
+
+        def vertex_list(self, count, mode, **kwargs):
+            calls.append("vertex_list")
+            return types.SimpleNamespace(draw=record("vertex_list.draw"))
+
+    class FakeProjection2D:
+        def set(self, *args): calls.append("projection2d.set")
+
+    pyglet = types.SimpleNamespace(
+        window=types.SimpleNamespace(
+            Window=FakeWindow, Projection2D=FakeProjection2D
+        ),
+        graphics=types.SimpleNamespace(
+            get_default_blit_shader=lambda: FakeShader()
+        ),
+    )
+    screen = types.SimpleNamespace(x=0, y=0, width=64, height=64)
+    return pyglet, gl, screen, calls
+
+
+@pytest.mark.parametrize("gl_version,mode", [((4, 6), "modern"), ((2, 1), "legacy")])
+def test_slm_window_headless_smoke(monkeypatch, gl_version, mode):
+    """Both GL pipelines execute end-to-end against a fake GL stack."""
+    from slmsuite_tpu.hardware import _pyglet as P
+
+    fake_pyglet, fake_gl, screen, calls = _fake_gl_stack(gl_version)
+    monkeypatch.setattr(P, "pyglet", fake_pyglet)
+    monkeypatch.setattr(P, "gl", fake_gl)
+
+    window = P.SLMWindow((32, 48), screen)
+    assert window.gl_mode == mode
+
+    display = (np.arange(32 * 48) % 256).astype(np.uint8).reshape(32, 48)
+    window.render(display)
+    # The staging buffer holds the grayscale data in the RGB planes with
+    # opaque alpha, and the persistent texture was re-uploaded.
+    np.testing.assert_array_equal(window.buffer[..., 0], display)
+    np.testing.assert_array_equal(window.buffer[..., 3], 255)
+    assert calls.count("glTexSubImage2D") >= 2  # Initial draw + render.
+    assert "flip" in calls
+    if mode == "modern":
+        assert "vertex_list.draw" in calls
+    else:
+        assert "glDrawArrays" in calls and "glInterleavedArrays" in calls
+
+    with pytest.raises(ValueError):
+        window.render(np.zeros((8, 8), np.uint8))
+    window.close()
+    assert window.window.closed
+
+
+def test_window_manager_multi_window(monkeypatch):
+    """Two windows coexist on separate render threads; shutdown reaps both."""
+    from slmsuite_tpu.hardware import _pyglet as P
+
+    fake_pyglet, fake_gl, screen, _ = _fake_gl_stack((4, 6))
+    monkeypatch.setattr(P, "pyglet", fake_pyglet)
+    monkeypatch.setattr(P, "gl", fake_gl)
+
+    manager = P.WindowManager()
+    a = manager.create_window((16, 16), screen, caption="A")
+    b = manager.create_window((16, 16), screen, caption="B")
+    assert a is not b and a.window is not None and b.window is not None
+
+    # Renders execute on each window's own thread.
+    a.render(np.full((16, 16), 7, np.uint8))
+    b.render(np.full((16, 16), 9, np.uint8))
+    assert int(a.window.buffer[0, 0, 0]) == 7
+    assert int(b.window.buffer[0, 0, 0]) == 9
+
+    manager.shutdown()
+    import time
+
+    for _ in range(100):
+        if not manager._threads and a.window.window.closed and b.window.window.closed:
+            break
+        time.sleep(0.01)
+    assert not manager._threads
