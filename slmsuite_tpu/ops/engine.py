@@ -510,6 +510,20 @@ def make_gs_step(config: GSConfig):
     return step
 
 
+#: When True, engine runs are instrumented with ``jax.experimental.checkify``
+#: float checks (nan / divide-by-zero) — the TPU analog of the reference's
+#: numeric sanitization. Enabled for tests via SLMSUITE_TPU_CHECKIFY=1.
+_NUMERIC_CHECKS = False
+
+
+def set_numeric_checks(enable):
+    """Toggle checkify instrumentation of the scanned engine (flushes the
+    compile cache so the change applies to subsequent runs)."""
+    global _NUMERIC_CHECKS
+    _NUMERIC_CHECKS = bool(enable)
+    _compiled_run.cache_clear()
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_run(config: GSConfig, n_iterations: int):
     """Compile ``scan(step, state, length=n)`` with donated state."""
@@ -524,6 +538,18 @@ def _compiled_run(config: GSConfig, n_iterations: int):
             return step(carry, consts)
 
         return jax.lax.scan(body, state, None, length=n_iterations)
+
+    if _NUMERIC_CHECKS:
+        from jax.experimental import checkify
+
+        checked = jax.jit(checkify.checkify(run, errors=checkify.float_checks))
+
+        def run_checked(state, consts):
+            error, out = checked(state, consts)
+            error.throw()
+            return out
+
+        return run_checked
 
     return jax.jit(run, donate_argnums=(0,))
 

@@ -412,8 +412,12 @@ def _wgs_fused_forward_jnp(psi, amp, weights, phase_ff, target, mask,
 
     p = scalars["feedback_exponent"]
     if rule in ("leonardo", "kim"):
-        c = f / target
-        c = jnp.where(jnp.isfinite(c) & (target != 0), c, 1.0)
+        # Pre-guarded: zero target -> 1; zero feedback -> exp(0) = 1,
+        # matching the unfused rule's inf -> 1 guard without transient
+        # non-finite values (checkify-clean).
+        on = target != 0
+        c = f / jnp.where(on, target, 1.0)
+        c = jnp.where(on & (c > 0) & jnp.isfinite(c), c, 1.0)
         c = jnp.exp(-p * jnp.log(c))
     elif rule == "wu":
         # Matches update_weights_generic: term = t - p * f_hat.

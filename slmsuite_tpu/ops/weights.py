@@ -91,11 +91,15 @@ def update_weights_generic(
             feedback = feedback_amp / _norm(feedback_amp)
         else:
             feedback = feedback_amp
-        corrected = feedback / target_amp
         if nan_checks:
-            corrected = jnp.where(
-                jnp.isfinite(corrected) & (target_amp != 0), corrected, 1.0
-            )
+            # Pre-guarded division (identical result to dividing then
+            # masking, but never produces the transient inf/nan that
+            # checkify instrumentation would flag).
+            on = target_amp != 0
+            corrected = feedback / jnp.where(on, target_amp, 1.0)
+            corrected = jnp.where(jnp.isfinite(corrected) & on, corrected, 1.0)
+        else:
+            corrected = feedback / target_amp
 
     if "leonardo" in rule or "kim" in rule:
         corrected = jnp.power(corrected, -feedback_exponent)

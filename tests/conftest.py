@@ -20,6 +20,13 @@ import jax  # noqa: E402
 if os.environ.get("SLMSUITE_TPU_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
+# Numeric-sanitizer mode (SURVEY section 5 analog of the reference's nan
+# guards): instrument the scanned engine with checkify float checks.
+if os.environ.get("SLMSUITE_TPU_CHECKIFY"):
+    from slmsuite_tpu.ops import engine as _engine
+
+    _engine.set_numeric_checks(True)
+
 import logging  # noqa: E402
 import random  # noqa: E402
 

@@ -616,3 +616,61 @@ def test_weight_rules_match_eager_normalization():
             mine, eager(w, f, t, method, 0.8, 0.1), atol=2e-7,
             err_msg=method,
         )
+
+
+class TestNumericChecks:
+    """checkify instrumentation of the scanned engine
+    (enabled suite-wide via SLMSUITE_TPU_CHECKIFY=1; these tests toggle
+    it explicitly so they run in every CI job)."""
+
+    @pytest.fixture(autouse=True)
+    def _checks(self):
+        from slmsuite_tpu.ops import engine as E
+
+        previous = E._NUMERIC_CHECKS
+        E.set_numeric_checks(True)
+        yield
+        E.set_numeric_checks(previous)
+
+    def test_healthy_run_is_clean(self, spot_target):
+        """A normal WGS optimize produces no nan/div-by-zero anywhere in
+        the instrumented scan (the masked-divide guards are pre-guards)."""
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        holo.optimize(
+            method="WGS-Kim", maxiter=6, verbose=False,
+            stat_groups=["computational"],
+        )
+        assert holo.stats["stats"]["computational"]["efficiency"][-1] > 0
+
+    def test_injected_nan_fires(self, spot_target):
+        """Corrupt input state trips the instrumentation instead of
+        silently propagating."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops.propagation import fold_phase
+
+        target, slm_shape = spot_target
+        config = E.GSConfig(
+            method="WGS-Kim", shape=tuple(target.shape),
+            slm_shape=tuple(slm_shape), stat_groups=("computational",),
+        )
+        rng = np.random.default_rng(0)
+        psi0 = fold_phase(
+            rng.uniform(-np.pi, np.pi, slm_shape).astype(np.float32), slm_shape
+        )
+        psi0[3, 3] = np.nan  # Poisoned phase.
+        state = E.init_gs_state(config, psi0, np.nan_to_num(target))
+        consts = {
+            "amp": jnp.float32(1.0 / slm_shape[0]),
+            "target": jnp.asarray(np.nan_to_num(target)),
+            "stat_mask": jnp.asarray(np.nan_to_num(target) != 0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.1),
+            "fix_phase_iteration": jnp.int32(5),
+            "fix_phase_efficiency": jnp.float32(np.nan),
+        }
+        with pytest.raises(Exception, match="nan"):
+            state, stats = E.run_gs(config, state, consts, 3)
+            np.asarray(stats)

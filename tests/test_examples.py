@@ -14,6 +14,8 @@ import pytest
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
 
+# The first four run in seconds on CPU and are exercised by default CI;
+# the wavefront-calibration demos take minutes and stay opt-in.
 EXAMPLES = [
     "structured_light.py",
     "computational_holography.py",
@@ -24,7 +26,6 @@ EXAMPLES = [
 ]
 
 
-@pytest.mark.slow
 @pytest.mark.parametrize("script", EXAMPLES)
 def test_example_runs(script):
     env = dict(os.environ)
