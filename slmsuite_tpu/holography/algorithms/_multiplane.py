@@ -201,8 +201,6 @@ class MultiplaneHologram(Hologram):
             reasons.append("callback requires the host meta loop")
         if any(type(h) is not Hologram for h in children):
             reasons.append("children must be plain Hologram instances")
-        if "Kim" in self.flags["method"]:
-            reasons.append("WGS-Kim phase fixing is not in the batched engine")
         if self.flags.get("feedback", "computational") != "computational":
             reasons.append("only computational feedback is data-parallel")
         shapes = {tuple(h.shape) for h in children}
@@ -266,6 +264,10 @@ class MultiplaneHologram(Hologram):
             slm_shape=slm_shape,
             n_planes=len(children),
             stats=bool(self.flags.get("stat_groups", [])),
+            kim_efficiency_trigger=(
+                "Kim" in self.flags["method"]
+                and self.flags.get("fix_phase_efficiency") is not None
+            ),
         )
         consts = make_multiplane_consts(
             targets,
@@ -274,6 +276,8 @@ class MultiplaneHologram(Hologram):
             self.amp,
             feedback_exponent=self.flags.get("feedback_exponent", 0.8),
             feedback_factor=self.flags.get("feedback_factor", 0.1),
+            fix_phase_iteration=self.flags.get("fix_phase_iteration", 10),
+            fix_phase_efficiency=self.flags.get("fix_phase_efficiency"),
         )
         psi = jnp.asarray(self._psi, dtype=jnp.float32)
         axis = self._mesh.axis_names[0]
@@ -289,23 +293,25 @@ class MultiplaneHologram(Hologram):
 
         # Scatter the state back into the children (gather across shards).
         self._psi = np.asarray(psi)
-        stats = np.asarray(stats)  # (n, B, 4)
+        stats = np.asarray(stats)  # (n, B, 5): 4 metrics + Kim flag history.
         weights = np.asarray(weights)
         for b, h in enumerate(children):
             h._psi = self._psi
             h.weights = weights[b]
             h.iter = start_iter + maxiter
             if config.stats and h.flags.get("stat_groups"):
-                h._final_fixed_phase = False
+                # History column records the pre-iteration flag, so this
+                # lags a potential flip in the very last iteration.
+                h._final_fixed_phase = bool(stats[-1, b, 4])
                 # (n, n_groups + 1, 4): the child's computational row plus
                 # the internal flag-history row the recorder expects.
                 n_groups = len(h.flags["stat_groups"])
                 arr = np.full((maxiter, n_groups + 1, 4), np.nan, np.float32)
                 for g, group in enumerate(h.flags["stat_groups"]):
                     if group == "computational":
-                        arr[:, g, :] = stats[:, b, :]
+                        arr[:, g, :] = stats[:, b, :4]
                 arr[:, -1, 0] = stats[:, b, 0]
-                arr[:, -1, 1] = 0.0
+                arr[:, -1, 1] = stats[:, b, 4]
                 h._record_scan_stats(arr, start_iter)
         self.iter = start_iter + maxiter
         self._populate_results()

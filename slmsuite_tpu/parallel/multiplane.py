@@ -41,10 +41,15 @@ class BatchedGSConfig:
     has_kernel: bool = True
     stats: bool = True
     scrambled: bool = False  # farfield in four-step (k1,k2) layout
+    kim_efficiency_trigger: bool = False
 
     @property
     def is_wgs(self):
         return self.method.startswith("WGS")
+
+    @property
+    def is_kim(self):
+        return "Kim" in self.method
 
 
 def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
@@ -72,8 +77,10 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
         farfield = nearfield_to_farfield(nearfield)
         return jnp.abs(farfield), jnp.arctan2(farfield.imag, farfield.real)
 
-    def plane_constrain(amp_ff, theta, weights, target, feedback_exponent, feedback_factor, iteration):
-        if config.stats:
+    def plane_constrain(amp_ff, theta, weights, target, phase_ff, fixed,
+                        streak, consts, iteration):
+        fixed_in = fixed  # Flag history records the pre-decision state.
+        if config.stats or config.kim_efficiency_trigger:
             stats = calculate_stats(
                 amp_ff, target, mask=target != 0, efficiency_compensation=False
             )
@@ -82,11 +89,39 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
 
         if config.is_wgs:
             updated = update_weights_generic(
-                weights, amp_ff, target, config.method, feedback_exponent, feedback_factor
+                weights, amp_ff, target, config.method,
+                consts["feedback_exponent"], consts["feedback_factor"],
             )
             weights = jnp.where(iteration > 0, updated, weights)
 
-        return weights * jnp.exp(1j * theta), weights, stats
+        # Kim phase fixing, per plane (same semantics as ops.engine).
+        if config.is_kim:
+            was_not_fixed = jnp.logical_not(fixed)
+            if config.kim_efficiency_trigger:
+                fixed = jnp.logical_or(
+                    fixed, stats[0] > consts["fix_phase_efficiency"]
+                )
+            streak = jnp.where(was_not_fixed, streak + 1, streak)
+            iter_trigger = jnp.logical_and(
+                jnp.logical_and(
+                    was_not_fixed,
+                    iteration >= consts["fix_phase_iteration"] - 1,
+                ),
+                streak >= consts["fix_phase_iteration"],
+            )
+            fixed = jnp.logical_and(
+                jnp.logical_or(fixed, iter_trigger), iteration > 0
+            )
+            phase_ff = jnp.where(was_not_fixed, theta, phase_ff)
+        else:
+            phase_ff = theta
+
+        # Column 4 carries the fixed-phase flag history next to the stats.
+        stats = jnp.concatenate([stats, fixed_in.astype(jnp.float32)[None]])
+        return (
+            weights * jnp.exp(1j * phase_ff),
+            weights, phase_ff, fixed, streak, stats,
+        )
 
     def plane_backward(constrained, kernel, plane_weight):
         if config.scrambled:
@@ -101,7 +136,8 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
             window = window * jnp.exp(-1j * kernel)
         return plane_weight * window
 
-    def step(psi, weights, consts):
+    def step(carry, consts):
+        psi, weights, phase_ff, fixed, streak = carry
         kernels = consts["kernels"]          # (B_local, Hs, Ws)
         targets = consts["targets"]          # (B_local, H, W)
         plane_weights = consts["plane_weights"]  # (B_local,)
@@ -110,11 +146,11 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
         amps_ff, thetas = jax.vmap(
             lambda k: plane_forward(psi, k, consts["amp"])
         )(kernels)
-        constrained, weights, stats = jax.vmap(
-            lambda a, th, w, t: plane_constrain(
-                a, th, w, t, consts["feedback_exponent"], consts["feedback_factor"], iteration
+        constrained, weights, phase_ff, fixed, streak, stats = jax.vmap(
+            lambda a, th, w, t, pff, fx, st: plane_constrain(
+                a, th, w, t, pff, fx, st, consts, iteration
             )
-        )(amps_ff, thetas, weights, targets)
+        )(amps_ff, thetas, weights, targets, phase_ff, fixed, streak)
 
         contributions = jax.vmap(plane_backward)(constrained, kernels, plane_weights)
         combined = jnp.sum(contributions, axis=0)
@@ -122,7 +158,7 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
             combined = jax.lax.psum(combined, axis_name)
 
         psi_new = jnp.arctan2(combined.imag, combined.real)
-        return psi_new, weights, stats
+        return (psi_new, weights, phase_ff, fixed, streak), stats
 
     return step
 
@@ -167,7 +203,9 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
     the per-plane FFTs auto-promote to the scrambled Pallas path
     (targets/weights permuted here, transparently to the caller).
 
-    Returns ``(psi, weights, stats (n, B, 4))``.
+    Returns ``(psi, weights, stats (n, B, 5))`` — per plane
+    ``[efficiency, uniformity, pkpk_err, std_err, fixed_phase]`` (the
+    last column is the Kim flag history; zeros for non-Kim methods).
     """
     if _batched_can_scramble(config):
         config = dataclasses.replace(config, scrambled=True)
@@ -181,22 +219,28 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
         (weights,) = _permute_planes([weights], config.shape, unscramble=True)
         return psi, weights, stats
 
+    def scan_planes(step, psi, weights, consts):
+        """Scan the step with the Kim state initialized fresh (local
+        plane count inferred from the weights shard)."""
+        carry = (
+            psi,
+            weights,
+            jnp.zeros_like(weights),                         # phase_ff
+            jnp.zeros(weights.shape[0], dtype=bool),         # fixed
+            jnp.zeros(weights.shape[0], dtype=jnp.int32),    # streak
+        )
+
+        def body(carry, i):
+            return step(carry, dict(consts, iteration=i))
+
+        carry, stats = jax.lax.scan(body, carry, jnp.arange(n_iterations))
+        return carry[0], carry[1], stats
+
     if mesh is None:
         step = make_batched_gs_step(config)
-
-        @jax.jit
-        def run(psi, weights, consts):
-            def body(carry, i):
-                psi, weights = carry
-                c = dict(consts, iteration=i)
-                psi, weights, stats = step(psi, weights, c)
-                return (psi, weights), stats
-
-            (psi, weights), stats = jax.lax.scan(
-                body, (psi, weights), jnp.arange(n_iterations)
-            )
-            return psi, weights, stats
-
+        run = jax.jit(
+            lambda psi, weights, consts: scan_planes(step, psi, weights, consts)
+        )
         return run(psi, weights, consts)
 
     # Sharded path.
@@ -205,6 +249,10 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
     replicated = P()
     plane_sharded = P(axis_name)
 
+    scalar_keys = (
+        "amp", "feedback_exponent", "feedback_factor",
+        "fix_phase_iteration", "fix_phase_efficiency",
+    )
     in_specs = (
         replicated,                      # psi
         P(axis_name, None, None),        # weights
@@ -212,27 +260,16 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
             "kernels": P(axis_name, None, None),
             "targets": P(axis_name, None, None),
             "plane_weights": plane_sharded,
-            "amp": replicated,
-            "feedback_exponent": replicated,
-            "feedback_factor": replicated,
+            **{key: replicated for key in scalar_keys},
         },
     )
     out_specs = (replicated, P(axis_name, None, None), P(None, axis_name, None))
 
-    def sharded_run(psi, weights, consts):
-        def body(carry, i):
-            psi, weights = carry
-            c = dict(consts, iteration=i)
-            psi, weights, stats = step(psi, weights, c)
-            return (psi, weights), stats
-
-        (psi, weights), stats = jax.lax.scan(
-            body, (psi, weights), jnp.arange(n_iterations)
-        )
-        return psi, weights, stats
-
     fn = jax.jit(
-        shard_map(sharded_run, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+        shard_map(
+            lambda psi, weights, consts: scan_planes(step, psi, weights, consts),
+            mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False,
+        )
     )
 
     # Place inputs on the mesh.
@@ -248,14 +285,14 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
         "plane_weights": jax.device_put(
             consts["plane_weights"], NamedSharding(mesh, P(axis_name))
         ),
-        "amp": consts["amp"],
-        "feedback_exponent": consts["feedback_exponent"],
-        "feedback_factor": consts["feedback_factor"],
+        **{key: consts[key] for key in scalar_keys},
     }
     return fn(psi, weights, consts)
 
 
-def make_multiplane_consts(targets, kernels, plane_weights, amp, feedback_exponent=0.8, feedback_factor=0.1):
+def make_multiplane_consts(targets, kernels, plane_weights, amp,
+                           feedback_exponent=0.8, feedback_factor=0.1,
+                           fix_phase_iteration=10, fix_phase_efficiency=None):
     """Assemble the consts dict for :meth:`run_batched_gs` (numpy inputs ok)."""
     return {
         "kernels": jnp.asarray(kernels, dtype=jnp.float32),
@@ -266,4 +303,8 @@ def make_multiplane_consts(targets, kernels, plane_weights, amp, feedback_expone
         ),
         "feedback_exponent": jnp.float32(feedback_exponent),
         "feedback_factor": jnp.float32(feedback_factor),
+        "fix_phase_iteration": jnp.int32(fix_phase_iteration),
+        "fix_phase_efficiency": jnp.float32(
+            np.nan if fix_phase_efficiency is None else fix_phase_efficiency
+        ),
     }

@@ -322,6 +322,37 @@ class TestPublicMeshAPI:
             atol=1e-4, rtol=0,
         )
 
+    def test_multiplane_mesh_kim_matches_meta_loop(self):
+        """WGS-Kim (phase fixing) through the mesh path reproduces the
+        host meta loop, including the per-child fixed-flag history."""
+        from slmsuite_tpu.holography.algorithms import MultiplaneHologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        def run(mesh):
+            children, phi0 = self._children()
+            holo = MultiplaneHologram(children)
+            holo.reset_phase(custom_phase=phi0)
+            holo.optimize(
+                "WGS-Kim", maxiter=10, verbose=False, mesh=mesh,
+                fix_phase_iteration=4, stat_groups=["computational"],
+            )
+            child = holo.holograms[2]
+            return (
+                holo.phase.copy(),
+                np.asarray(child.stats["stats"]["computational"]["efficiency"]),
+                np.asarray(child.stats["flags"]["fixed_phase"], dtype=bool),
+            )
+
+        psi_mesh, eff_mesh, fixed_mesh = run(make_mesh(axis_names=("data",)))
+        psi_single, eff_single, fixed_single = run(None)
+
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 5e-4
+        np.testing.assert_allclose(eff_mesh, eff_single, atol=1e-4, rtol=0)
+        # Phase fixing engaged at the same iterations.
+        assert fixed_mesh.any()
+        np.testing.assert_array_equal(fixed_mesh, fixed_single)
+
     def test_multiplane_mesh_fallback_warns(self):
         from slmsuite_tpu.holography.algorithms import MultiplaneHologram
         from slmsuite_tpu.parallel import make_mesh
