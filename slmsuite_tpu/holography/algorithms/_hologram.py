@@ -778,20 +778,73 @@ class Hologram(_HologramStats):
         state = self._build_state(config)
         start_iter = self.iter
 
+        if host_loop and self._mesh is not None:
+            warnings.warn(
+                "mesh-sharded optimization requires the fully-computational "
+                "path (no callback/experimental feedback); running on a "
+                "single device."
+            )
+
         if not host_loop:
-            # Fast path: chunked scans (progress updates between chunks);
-            # the engine promotes to the scrambled layout once across
-            # all chunks.
-            chunk = maxiter if not verbose else max(1, int(np.ceil(maxiter / 10)))
-            progress = (
-                tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
-            )
-            state, all_stats = _engine.run_gs_chunked(
-                config, state, consts, maxiter, chunk=chunk,
-                on_chunk=(progress.update if progress is not None else None),
-            )
-            if progress is not None:
-                progress.close()
+            mesh = self._mesh
+            if mesh is not None:
+                from slmsuite_tpu.parallel.plane import plane_shardable
+
+                n_devices = int(np.prod(list(mesh.shape.values())))
+                if not plane_shardable(config, n_devices):
+                    warnings.warn(
+                        "mesh-sharded plane optimization requires farfield "
+                        "shape == SLM shape, no propagation kernel, "
+                        "computational (non-spot) feedback, and dimensions "
+                        "divisible by the mesh; running on a single device."
+                    )
+                    mesh = None
+
+            if mesh is not None:
+                # Row-sharded plane: the farfield splits over the mesh
+                # (pencil FFT + psum'd reductions; parallel/plane.py).
+                from slmsuite_tpu.parallel.plane import run_sharded_plane_gs
+
+                axis = mesh.axis_names[0]
+                chunk = (
+                    maxiter if not verbose
+                    else max(1, int(np.ceil(maxiter / 10)))
+                )
+                progress = (
+                    tqdm(total=maxiter, desc=name)
+                    if verbose and maxiter > 1 else None
+                )
+                all_stats = []
+                remaining = maxiter
+                while remaining > 0:
+                    n = min(chunk, remaining)
+                    state, stats = run_sharded_plane_gs(
+                        config, state, consts, mesh, n, axis
+                    )
+                    all_stats.append(np.asarray(stats))
+                    remaining -= n
+                    if progress is not None:
+                        progress.update(n)
+                if progress is not None:
+                    progress.close()
+            else:
+                # Fast path: chunked scans (progress updates between
+                # chunks); the engine promotes to the scrambled layout
+                # once across all chunks.
+                chunk = (
+                    maxiter if not verbose
+                    else max(1, int(np.ceil(maxiter / 10)))
+                )
+                progress = (
+                    tqdm(total=maxiter, desc=name)
+                    if verbose and maxiter > 1 else None
+                )
+                state, all_stats = _engine.run_gs_chunked(
+                    config, state, consts, maxiter, chunk=chunk,
+                    on_chunk=(progress.update if progress is not None else None),
+                )
+                if progress is not None:
+                    progress.close()
 
             self._sync_from_state(state)
             if self._device_stat_groups():
@@ -809,9 +862,11 @@ class Hologram(_HologramStats):
 
     _break_requested = False
 
-    #: Mesh-sharded optimization support (overridden by subclasses that
-    #: implement a sharded engine; see ``optimize(mesh=...)``).
-    _supports_mesh = False
+    #: Mesh-sharded optimization support: the base class row-shards the
+    #: full farfield plane over the mesh (giant-k-space holography; see
+    #: :mod:`slmsuite_tpu.parallel.plane`); subclasses override with
+    #: their own sharded engines.
+    _supports_mesh = True
     #: Active jax.sharding.Mesh (set via ``optimize(mesh=...)``).
     _mesh = None
 

@@ -24,6 +24,7 @@ def calculate_stats(
     mask=None,
     efficiency_compensation=True,
     total=None,
+    axis_name=None,
 ):
     """
     Jit-friendly stats: returns a length-4 vector ``[efficiency,
@@ -45,7 +46,19 @@ def calculate_stats(
         Total measured power (for experimental feedback where power exists
         outside integration regions); replaces the overlap-integral
         efficiency when provided.
+    axis_name : str OR None
+        Inside ``shard_map`` with the plane sharded over a mesh axis,
+        reduce globally over that axis (psum / pmin / pmax); each shard
+        returns the identical global stats vector.
     """
+    import jax
+
+    if axis_name is None:
+        gsum = gmin = gmax = lambda x: x
+    else:
+        gsum = lambda x: jax.lax.psum(x, axis_name)
+        gmin = lambda x: jax.lax.pmin(x, axis_name)
+        gmax = lambda x: jax.lax.pmax(x, axis_name)
     # Two fused passes over the data instead of materializing normalized
     # arrays: in the hot loop this function runs on the full farfield
     # every iteration, and each intermediate array costs a 16 MB+ HBM
@@ -60,9 +73,9 @@ def calculate_stats(
 
     # --- Pass 1: global sums (XLA fuses into one read of f and t). ---
     feedback_pwr = jnp.square(feedback_amp)
-    feedback_pwr_sum = jnp.sum(feedback_pwr)
-    target_pwr_sum = jnp.sum(jnp.square(target_clean))
-    overlap = jnp.sum(target_clean * feedback_amp)
+    feedback_pwr_sum = gsum(jnp.sum(feedback_pwr))
+    target_pwr_sum = gsum(jnp.sum(jnp.square(target_clean)))
+    overlap = gsum(jnp.sum(target_clean * feedback_amp))
 
     if total is not None:
         efficiency = feedback_pwr_sum / total
@@ -78,7 +91,7 @@ def calculate_stats(
     # Normalized powers are p = f^2 / f_norm and t_hat = t^2 / t_sum;
     # every metric below is a scalar-weighted reduction of f^2, f^4,
     # t^2 f^2 against constant arrays — one more fused pass.
-    count = jnp.sum(mask)
+    count = gsum(jnp.sum(mask))
     target_pwr = jnp.square(target_clean)
 
     # --- Pass 2: masked reductions. ---
@@ -87,14 +100,14 @@ def calculate_stats(
         mask, target_pwr / target_pwr_sum - feedback_pwr / f_norm, 0.0
     )
 
-    neg_inf = jnp.float32(-jnp.inf)
-    pos_inf = jnp.float32(jnp.inf)
-    umin = jnp.min(jnp.where(mask, u, pos_inf))
-    umax = jnp.max(jnp.where(mask, u, neg_inf))
-    err_sum = jnp.sum(err_elem)
-    err_sq_sum = jnp.sum(jnp.square(err_elem))
-    err_min = jnp.min(jnp.where(mask, err_elem, pos_inf))
-    err_max = jnp.max(jnp.where(mask, err_elem, neg_inf))
+    neg_inf = jnp.float32(-3.0e38)
+    pos_inf = jnp.float32(3.0e38)
+    umin = gmin(jnp.min(jnp.where(mask, u, pos_inf)))
+    umax = gmax(jnp.max(jnp.where(mask, u, neg_inf)))
+    err_sum = gsum(jnp.sum(err_elem))
+    err_sq_sum = gsum(jnp.sum(jnp.square(err_elem)))
+    err_min = gmin(jnp.min(jnp.where(mask, err_elem, pos_inf)))
+    err_max = gmax(jnp.max(jnp.where(mask, err_elem, neg_inf)))
 
     # ratio = u * (t_sum / f_norm); the scale cancels in uniformity.
     uniformity = 1 - (umax - umin) / (umax + umin)

@@ -30,9 +30,27 @@ ALGORITHM_INDEX = {
 }
 
 
-def _norm(x):
-    """Root of sum of squares (nan-safe), matching ``Hologram._norm``."""
-    return jnp.sqrt(jnp.nansum(jnp.square(jnp.abs(x))))
+def _norm(x, axis_name=None):
+    """Root of sum of squares (nan-safe), matching ``Hologram._norm``.
+    With ``axis_name``, the sum also reduces over the mesh axis (for
+    row-sharded planes inside ``shard_map``)."""
+    total = jnp.nansum(jnp.square(jnp.abs(x)))
+    if axis_name is not None:
+        import jax
+
+        total = jax.lax.psum(total, axis_name)
+    return jnp.sqrt(total)
+
+
+def _nanmean(x, axis_name=None):
+    """nan-ignoring mean, optionally global over a mesh axis."""
+    if axis_name is None:
+        return jnp.nanmean(x)
+    import jax
+
+    total = jax.lax.psum(jnp.nansum(x), axis_name)
+    count = jax.lax.psum(jnp.sum(~jnp.isnan(x)), axis_name)
+    return total / count
 
 
 def update_weights_generic(
@@ -43,6 +61,7 @@ def update_weights_generic(
     feedback_exponent=0.8,
     feedback_factor=0.1,
     nan_checks=True,
+    axis_name=None,
 ):
     """
     Pure functional WGS weight update.
@@ -84,11 +103,11 @@ def update_weights_generic(
     # and the additive Wu/tanh rules need the normalized values, so they
     # keep the eager normalization like the reference.
     if "wu" in rule or "tanh" in rule:
-        feedback = feedback_amp / _norm(feedback_amp)
+        feedback = feedback_amp / _norm(feedback_amp, axis_name)
         corrected = target_amp - feedback_exponent * feedback
     else:
         if "nogrette" in rule:
-            feedback = feedback_amp / _norm(feedback_amp)
+            feedback = feedback_amp / _norm(feedback_amp, axis_name)
         else:
             feedback = feedback_amp
         if nan_checks:
@@ -104,7 +123,7 @@ def update_weights_generic(
     if "leonardo" in rule or "kim" in rule:
         corrected = jnp.power(corrected, -feedback_exponent)
     elif "nogrette" in rule:
-        corrected = corrected * (-1.0 / jnp.nanmean(corrected)) + 1.0
+        corrected = corrected * (-1.0 / _nanmean(corrected, axis_name)) + 1.0
         corrected = 1.0 / (1.0 - feedback_factor * corrected)
     elif "wu" in rule:
         corrected = jnp.exp(feedback_exponent * corrected)
@@ -120,4 +139,4 @@ def update_weights_generic(
     if nan_checks:
         new_weights = jnp.nan_to_num(new_weights, nan=0.0001)
 
-    return new_weights / _norm(new_weights)
+    return new_weights / _norm(new_weights, axis_name)

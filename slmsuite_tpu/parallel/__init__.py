@@ -13,3 +13,4 @@ from slmsuite_tpu.parallel.multiplane import (  # noqa: F401
     make_batched_gs_step,
     run_batched_gs,
 )
+from slmsuite_tpu.parallel.plane import run_sharded_plane_gs  # noqa: F401

@@ -367,16 +367,76 @@ class TestPublicMeshAPI:
             )
         assert holo.iter == 3  # Host meta loop still ran.
 
-    def test_mesh_rejected_on_plain_hologram(self):
+    def test_plane_mesh_matches_single_device(self):
+        """Row-sharded full-plane GS through the public Hologram class
+        reproduces the single-device result (giant-farfield path)."""
+        from slmsuite_tpu.holography.algorithms import Hologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(9)
+        target = np.zeros((64, 64), np.float32)
+        ys, xs = np.mgrid[20:44:8, 16:48:8]
+        target[ys.ravel(), xs.ravel()] = 1.0
+        phi0 = rng.uniform(-np.pi, np.pi, (64, 64)).astype(np.float32)
+
+        def run(mesh):
+            holo = Hologram(target.copy())
+            holo.reset_phase(custom_phase=phi0)
+            holo.optimize(
+                "WGS-Kim", maxiter=10, verbose=False, mesh=mesh,
+                fix_phase_iteration=4, stat_groups=["computational"],
+            )
+            return (
+                holo.phase.copy(),
+                np.asarray(holo.stats["stats"]["computational"]["efficiency"]),
+            )
+
+        psi_mesh, eff_mesh = run(make_mesh(axis_names=("rows",)))
+        psi_single, eff_single = run(None)
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 5e-4
+        np.testing.assert_allclose(eff_mesh, eff_single, atol=1e-4, rtol=0)
+
+    def test_plane_mesh_mraf_matches(self):
+        """MRAF (nan noise region + zero region) works row-sharded."""
+        from slmsuite_tpu.holography.algorithms import Hologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(4)
+        target = np.zeros((64, 64), np.float32)
+        target[24, 24] = target[40, 24] = target[32, 44] = 1.0
+        noise = np.ones((64, 64), bool)
+        noise[16:48, 12:52] = False
+        target[noise] = np.nan
+        phi0 = rng.uniform(-np.pi, np.pi, (64, 64)).astype(np.float32)
+
+        def run(mesh):
+            holo = Hologram(target.copy())
+            holo.reset_phase(custom_phase=phi0)
+            holo.optimize(
+                "WGS-Leonardo", maxiter=8, verbose=False, mesh=mesh,
+                mraf_factor=0.5, stat_groups=["computational"],
+            )
+            return holo.phase.copy()
+
+        psi_mesh = run(make_mesh(axis_names=("rows",)))
+        psi_single = run(None)
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 5e-4
+
+    def test_plane_mesh_fallback_warns(self):
+        """Non-shardable geometry (padded farfield) warns and runs
+        single-device."""
         from slmsuite_tpu.holography.algorithms import Hologram
         from slmsuite_tpu.parallel import make_mesh
 
         target = np.zeros((64, 64), np.float32)
         target[20, 30] = 1
-        holo = Hologram(target)
-        with pytest.raises(ValueError, match="does not support mesh"):
+        holo = Hologram(target, slm_shape=(32, 32))  # Padded: not shardable.
+        with pytest.warns(UserWarning, match="mesh-sharded plane"):
             holo.optimize("GS", maxiter=2, verbose=False,
-                          mesh=make_mesh(axis_names=("data",)))
+                          mesh=make_mesh(axis_names=("rows",)))
+        assert holo.iter == 2
 
     def test_compressed_mesh_matches_single_device(self):
         from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
