@@ -442,8 +442,10 @@ class FourierSLM(CameraSLM):
         Measure pixel crosstalk / phase response via binary gratings:
         sweep {direction, period, level a, level b} writing raw integer
         gratings (bypassing phase2gray), integrating every diffraction
-        order into a ``(2, P, N, N, M)`` array. **(Experimental; the
-        fitting step is future work, as in the reference.)**
+        order into a ``(2, P, N, N, M)`` array. Run
+        :meth:`pixel_calibration_process` afterwards to fit the per-level
+        phase response (the reference collects this data but leaves the
+        fit TODO; see ``cameraslms.py:848-852`` there).
         """
         # Parse levels.
         if np.isscalar(levels):
@@ -569,9 +571,67 @@ class FourierSLM(CameraSLM):
         kernel[len(kernel) // 2] = 1
         return kernel / np.sum(kernel)
 
-    def pixel_calibration_process(self, plot=True):
-        """Debug plots of the raw pixel-calibration data (fitting is future work)."""
+    def pixel_calibration_process(self, fit=True, plot=False):
+        r"""
+        Process the raw pixel-calibration data.
+
+        With ``fit`` (beyond the reference, which leaves this step TODO),
+        recover the SLM's **phase response** :math:`\phi(\ell)` at the
+        measured display levels from the binary-grating diffraction
+        physics: a square grating alternating between levels
+        :math:`a, b` sends first-order power
+
+        .. math:: P_{ab} \propto \sin^2\!\big(\tfrac{\phi_a - \phi_b}{2}\big),
+
+        so a joint least-squares over the measured ``(N, N)`` power
+        matrix (averaged over directions, periods, and the ±1 orders)
+        yields the relative phase per level — the linearity/V_pi check a
+        LUT calibration needs. Stored as ``calibrations["pixel"]
+        ["phase_fit"]`` with keys ``levels``, ``phase`` (radians,
+        ``phase[0] = 0``), ``amplitude``, ``rmse``.
+        """
         cal = self.calibrations["pixel"]
+
+        if fit:
+            from scipy.optimize import least_squares
+
+            data = np.asarray(cal["data"])          # (2, P, N, N, M)
+            orders = np.asarray(cal["orders"])
+            picks = [int(np.where(orders == 1)[0][0])]
+            if np.any(orders == -1):
+                picks.append(int(np.where(orders == -1)[0][0]))
+            power = data[:, :, :, :, picks].mean(axis=(0, 1, -1))  # (N, N)
+
+            # Symmetrize and remove the zero-contrast (diagonal) baseline.
+            power = 0.5 * (power + power.T)
+            power = np.clip(power - np.median(np.diag(power)), 0, None)
+
+            levels = np.asarray(cal["levels"], dtype=float)
+            # Initialize at the ideal linear response for the bitdepth.
+            phase_init = 2 * np.pi * levels / self.slm.bitresolution
+            scale_init = max(float(power.max()), 1e-12)
+
+            def residuals(params):
+                phase = np.concatenate([[0.0], params[:-1]])
+                scale = np.exp(params[-1])
+                model = scale * np.square(
+                    np.sin(0.5 * (phase[:, None] - phase[None, :]))
+                )
+                return (model - power).ravel()
+
+            solution = least_squares(
+                residuals,
+                np.concatenate(
+                    [phase_init[1:] - phase_init[0], [np.log(scale_init)]]
+                ),
+            )
+            cal["phase_fit"] = {
+                "levels": levels,
+                "phase": np.concatenate([[0.0], solution.x[:-1]]),
+                "amplitude": float(np.exp(solution.x[-1])),
+                "rmse": float(np.sqrt(np.mean(np.square(solution.fun)))),
+            }
+
         if plot:
             import matplotlib.pyplot as plt
 

@@ -191,3 +191,25 @@ class TestPixelCalibrationShapes:
         # Metadata round-trips through the calibration dict.
         assert "pixel" in fs.calibrations
         assert np.array_equal(fs.calibrations["pixel"]["orders"], [-1, 0, 1])
+
+
+class TestPixelCalibrationFit:
+    def test_phase_response_recovered(self, fourierslm_calibrated):
+        """The simulated SLM's phase response is exactly linear
+        (2pi * level / bitresolution); the binary-grating fit recovers it."""
+        fs = fourierslm_calibrated
+        fs.pixel_calibrate(levels=4, periods=[8, 16], orders=1)
+        cal = fs.pixel_calibration_process(fit=True, plot=False)
+
+        fit = cal["phase_fit"]
+        levels = fit["levels"]
+        expected = 2 * np.pi * levels / fs.slm.bitresolution
+        expected -= expected[0]
+        measured = np.asarray(fit["phase"])
+        # The power matrix only determines phases up to a global sign.
+        error = min(
+            np.abs(measured - expected).max(),
+            np.abs(-measured - expected).max(),
+        )
+        assert error < 0.3  # Radians; ideal response spans ~4.7 rad.
+        assert fit["rmse"] < 0.2 * fit["amplitude"]
