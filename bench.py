@@ -212,13 +212,14 @@ def step_model(N, fused, stats_on=True):
     WGS-Kim loop at ``N x N`` (Pallas four-step path).
 
     Bytes: one (N, N) f32 plane crossing HBM = one "tile". Fully fused
-    (weights+constraint+stats inside the FFT kernels): forward rows
-    (psi in, re/im out = 3) + fused cols (re/im + weights/target/mask/
-    phase_ff in, constrained re/im + weights' + phase_ff' out = 10) +
-    inverse rows (4) + inverse cols (re/im in, psi out = 3) = 20 tiles.
+    (three-kernel step; the middle kernel round-trips the column axis so
+    the constrained farfield never crosses HBM): forward rows (psi in,
+    re/im out = 3) + cols round trip (re/im + weights/target/mask/
+    phase_ff in, half-inverted re/im + weights' + phase_ff' out = 10) +
+    inverse rows + phase extract (re/im in, psi out = 3) = 16 tiles.
     Unfused scrambled adds the XLA elementwise pass (amp_ff/theta
     written+read, weights/phase_ff round-trip, constrained re/im
-    written) ~= 9 more tiles.
+    written) plus the separate inverse-cols round trip ~= 13 more tiles.
 
     FLOPs: the four-step FFT with n = n1*n2 costs N*(n1+n2) complex MACs
     per line per axis; 4 real-mult + 2 add ~= 6 flops per complex MAC,
@@ -228,7 +229,7 @@ def step_model(N, fused, stats_on=True):
     n1 = 2 ** ((int(np.log2(N)) + 1) // 2)
     n2 = N // n1
     fft_flops = 2 * 2 * N * N * (n1 + n2) * 6  # Both axes, fwd + inv.
-    tiles = 20 if fused else 29
+    tiles = 16 if fused else 29
     if not stats_on:
         tiles -= 1  # No mask read.
     return tiles * tile, fft_flops

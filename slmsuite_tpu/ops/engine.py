@@ -207,7 +207,7 @@ def _make_fused_step(config: GSConfig):
             "inv_tsum": consts["_inv_tsum"],
             "inv_fsum": consts["_inv_fsum"],
         }
-        re, im, weights, pff_out, sums, maxs = _fft.wgs_fused_forward(
+        psi, weights, pff_out, sums, maxs = _fft.wgs_fused_step(
             state.psi,
             consts["amp"],
             state.weights,
@@ -219,7 +219,6 @@ def _make_fused_step(config: GSConfig):
             kim=config.is_kim,
             stats_on=stats_on,
         )
-        psi = _fft.ifft2_scrambled_phase(re, im)
 
         # Kim iteration-trigger decision (the efficiency trigger is
         # excluded from the fused path — it needs stats pre-constraint).

@@ -506,3 +506,33 @@ def wgs_fused_forward(psi, amp, weights, phase_ff, target, mask, scalars,
         psi, amp, weights, phase_ff, target, mask, scalars,
         rule=rule, kim=kim, stats_on=stats_on,
     )
+
+
+def wgs_fused_step(psi, amp, weights, phase_ff, target, mask, scalars,
+                   *, rule, kim, stats_on):
+    """
+    One complete WGS iteration (scrambled layout), psi in -> psi out:
+    :meth:`wgs_fused_forward` + inverse transform + phase extraction.
+
+    On TPU this runs as THREE Pallas kernels — the middle one performs
+    the forward column pass, the whole WGS epilogue, and the inverse
+    column pass on the same VMEM-resident block (the axis passes of a
+    separable transform commute), so the constrained farfield never
+    crosses HBM. Elsewhere it composes the jnp twins.
+
+    Returns ``(psi_out, weights_out, phase_ff_out | None, sums, maxs)``
+    with the same conventions as :meth:`wgs_fused_forward`.
+    """
+    if _use_pallas_scrambled(psi.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.wgs_fused_step_pallas(
+            psi, amp, weights, phase_ff, target, mask, scalars,
+            rule=rule, kim=kim, stats_on=stats_on,
+        )
+    re, im, wout, pff_out, sums, maxs = _wgs_fused_forward_jnp(
+        psi, amp, weights, phase_ff, target, mask, scalars,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )
+    nr, ni = ifft2_scrambled_pair(re, im)
+    return jnp.arctan2(ni, nr), wout, pff_out, sums, maxs

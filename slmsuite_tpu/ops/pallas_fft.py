@@ -414,36 +414,43 @@ _SC_INV_TSUM = 7        # 1 / sum(target^2)
 _SC_INV_FSUM = 8        # 1 / Parseval feedback power
 
 
-def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-                     w2tr_ref, w2ti_ref, w_ref, t_ref, scal_ref, *refs,
-                     n1, n2, rule, kim, stats_on):
-    """
-    Forward cols FFT + fused WGS epilogue on an (H, block) column tile:
+def _parse_wgs_refs(refs, kim, stats_on):
+    """Split a WGS kernel's variadic refs
+    ``[mask], [pff] | re, im, wout, [pffout], accs, accm`` into a dict."""
+    idx = 0
+    out = {}
+    out["mask"] = refs[idx] if stats_on else None
+    idx += 1 if stats_on else 0
+    out["pff"] = refs[idx] if kim else None
+    idx += 1 if kim else 0
+    out["re"], out["im"], out["wout"] = refs[idx:idx + 3]
+    idx += 3
+    out["pffout"] = refs[idx] if kim else None
+    idx += 1 if kim else 0
+    out["accs"], out["accm"] = refs[idx:idx + 2]
+    return out
 
-    1. four-step FFT -> (br, bi); f = post_scale * |F|, theta = arg(F)
+
+def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
+                  rule, kim, stats_on):
+    """
+    Fused WGS epilogue on a transformed (H, block) column tile:
+
+    1. f = post_scale * |F|, theta = arg(F)
     2. weight correction (rule in leonardo/kim/wu/tanh), deferred norm
     3. Kim phase select (use_theta ? theta : stored phase)
-    4. emit constrained farfield re/im = w_new * (cos, sin)(phase)
+    4. constrained farfield re/im = w_new * (cos, sin)(phase)
     5. accumulate stats partials + the new weights' norm^2
 
-    Variadic refs: ``[mask], [pff] | re, im, wout, [pffout], accs, accm``.
+    ``r`` is the parsed ref dict from :meth:`_parse_wgs_refs`; stores
+    everything except the constrained re/im, which it returns.
     """
-    idx = 0
-    mask_ref = refs[idx] if stats_on else None
-    idx += 1 if stats_on else 0
-    pff_ref = refs[idx] if kim else None
-    idx += 1 if kim else 0
-    re_ref, im_ref, wout_ref = refs[idx:idx + 3]
-    idx += 3
-    pffout_ref = refs[idx] if kim else None
-    idx += 1 if kim else 0
-    accs_ref, accm_ref = refs[idx:idx + 2]
-
-    br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
-        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        n1, n2, False,
-    )
+    mask_ref = r["mask"]
+    pff_ref = r["pff"]
+    wout_ref = r["wout"]
+    pffout_ref = r["pffout"]
+    accs_ref = r["accs"]
+    accm_ref = r["accm"]
 
     post = scal_ref[0, _SC_POST_SCALE]
     inv_prev = scal_ref[0, _SC_INV_PREV_NORM]
@@ -482,8 +489,8 @@ def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
         pffout_ref[...] = phase
     else:
         phase = theta
-    re_ref[...] = wout * jnp.cos(phase)
-    im_ref[...] = wout * jnp.sin(phase)
+    re = wout * jnp.cos(phase)
+    im = wout * jnp.sin(phase)
 
     # --- Accumulators (revisited (8, 128) tiles; grid is sequential). ---
     norm_p = jnp.sum(wout * wout)
@@ -534,6 +541,81 @@ def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
 
     accs_ref[...] += sums_tile
     accm_ref[...] = jnp.maximum(accm_ref[...], maxs_tile)
+    return re, im
+
+
+def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                     w2tr_ref, w2ti_ref, w_ref, t_ref, scal_ref, *refs,
+                     n1, n2, rule, kim, stats_on):
+    """Forward cols FFT + fused WGS epilogue on an (H, block) column tile.
+
+    Variadic refs: ``[mask], [pff] | re, im, wout, [pffout], accs, accm``.
+    """
+    br, bi = _fft_core(
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
+        n1, n2, False,
+    )
+    r = _parse_wgs_refs(refs, kim, stats_on)
+    re, im = _wgs_epilogue(
+        br, bi, w_ref, t_ref, scal_ref, r,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )
+    r["re"][...] = re
+    r["im"][...] = im
+
+
+def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
+                               w1r_ref, w1i_ref, twr_ref, twi_ref,
+                               w2tr_ref, w2ti_ref,
+                               v1r_ref, v1i_ref, vtr_ref, vti_ref,
+                               v2tr_ref, v2ti_ref,
+                               w_ref, t_ref, scal_ref, *refs,
+                               n1, n2, rule, kim, stats_on):
+    """
+    Full column-axis round trip of one WGS iteration on an (H, block)
+    column tile: forward cols FFT + fused WGS epilogue + INVERSE cols
+    FFT of the constrained farfield — exploiting that the two axis
+    passes of a separable 2D transform commute, so the inverse can
+    consume the column-blocked constrained field directly and the
+    constrained (re, im) never crosses HBM at all. The ``v*`` refs hold
+    the conjugate (inverse) plan matrices.
+
+    Variadic refs: ``[mask], [pff] | re, im, wout, [pffout], accs, accm``
+    where (re, im) receive the half-inverted (column-axis natural,
+    row-axis still scrambled) field.
+    """
+    br, bi = _fft_core(
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
+        n1, n2, False,
+    )
+    r = _parse_wgs_refs(refs, kim, stats_on)
+    re, im = _wgs_epilogue(
+        br, bi, w_ref, t_ref, scal_ref, r,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )
+    cr, ci = _fft_core(
+        re, im, v1r_ref[...], v1i_ref[...], vtr_ref[...], vti_ref[...],
+        v2tr_ref[...], v2ti_ref[...], n1, n2, True,
+    )
+    r["re"][...] = cr
+    r["im"][...] = ci
+
+
+def _rows_phase_extract_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref,
+                               twi_ref, w2tr_ref, w2ti_ref, out_ref,
+                               *, n1, n2):
+    """Inverse ROW-axis FFT of a (block, W) row tile, emitting only the
+    result's phase (the GS psi update): transpose in VMEM, inverse core,
+    atan2, transpose back."""
+    xr = xr_ref[...].T
+    xi = xi_ref[...].T
+    br, bi = _fft_core(
+        xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
+        w2tr_ref[...], w2ti_ref[...], n1, n2, True,
+    )
+    out_ref[...] = _atan2(bi, br).T
 
 
 def wgs_fused_forward_pallas(psi, amp, weights, phase_ff, target, mask,
@@ -644,6 +726,137 @@ def wgs_fused_forward_pallas(psi, amp, weights, phase_ff, target, mask,
     pff_out = outs[3] if kim else None
     accs, accm = outs[-2], outs[-1]
     return re, im, wout, pff_out, accs[:4, 0], accm[:4, 0]
+
+
+def wgs_fused_step_pallas(psi, amp, weights, phase_ff, target, mask,
+                          scalars, *, rule, kim, stats_on):
+    """
+    One COMPLETE WGS iteration in three kernels (scrambled layout),
+    psi in -> psi out:
+
+    1. rows kernel: synthesize ``amp * exp(i psi)``, forward row-axis FFT
+    2. cols round-trip kernel: forward col-axis FFT + fused WGS epilogue
+       (stats partials, weight update, Kim select, amplitude constraint)
+       + INVERSE col-axis FFT — the axis passes of the separable 2D
+       transform commute, so the constrained farfield never crosses HBM
+    3. rows kernel: inverse row-axis FFT + phase extraction (atan2)
+
+    vs the forward-half + ``ifft2_scrambled_phase`` composition this
+    saves one kernel launch and a full (re, im) HBM round trip per
+    iteration (20 -> 16 plane crossings).
+
+    Returns ``(psi_out, weights_out, phase_ff_out | None, sums, maxs)``.
+    """
+    H, W = psi.shape
+    scalar_amp = jnp.ndim(amp) == 0
+
+    # --- K1: rows pass, nearfield synthesized from phase. ---
+    n1, n2, *mats = _plan_f32(W, False)
+    block = min(BLOCK, H)
+    row_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    const_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if scalar_amp:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[row_spec] + const_specs,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(psi, *[jnp.asarray(m) for m in mats])
+        post = jnp.float32(1.0 / np.sqrt(H * W)) * amp
+    else:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_amp_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[row_spec, row_spec] + const_specs,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(psi, amp, *[jnp.asarray(m) for m in mats])
+        post = jnp.float32(1.0 / np.sqrt(H * W))
+
+    vec = jnp.zeros((128,), jnp.float32)
+    vec = vec.at[_SC_POST_SCALE].set(post)
+    vec = vec.at[_SC_INV_PREV_NORM].set(scalars["inv_prev_norm"])
+    vec = vec.at[_SC_APPLY_UPDATE].set(scalars["apply_update"])
+    vec = vec.at[_SC_USE_THETA].set(scalars.get("use_theta", jnp.float32(1.0)))
+    vec = vec.at[_SC_EXPONENT].set(scalars["feedback_exponent"])
+    vec = vec.at[_SC_FACTOR].set(scalars["feedback_factor"])
+    vec = vec.at[_SC_INV_FNORM].set(scalars["inv_fnorm"])
+    vec = vec.at[_SC_INV_TSUM].set(scalars["inv_tsum"])
+    vec = vec.at[_SC_INV_FSUM].set(scalars["inv_fsum"])
+    vec = vec.reshape(1, 128)
+
+    # --- K2: cols round trip (fwd FFT + WGS + inv FFT). ---
+    n1c, n2c, *fmats = _plan_f32(H, False)
+    _, _, *imats = _plan_f32(H, True)
+    blockc = min(BLOCK, W)
+    col_spec = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    cconst = [
+        pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in fmats + imats
+    ]
+    scal_spec = pl.BlockSpec((1, 128), lambda i: (0, 0))
+    acc_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    acc = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+
+    in_specs = [col_spec, col_spec] + cconst + [col_spec, col_spec, scal_spec]
+    operands = (
+        [xr, xi]
+        + [jnp.asarray(m) for m in fmats + imats]
+        + [weights, target, vec]
+    )
+    if stats_on:
+        in_specs.append(col_spec)
+        operands.append(mask)
+    if kim:
+        in_specs.append(col_spec)
+        operands.append(phase_ff)
+
+    out_specs = [col_spec, col_spec, col_spec]
+    out_shape = [plane, plane, plane]
+    if kim:
+        out_specs.append(col_spec)
+        out_shape.append(plane)
+    out_specs += [acc_spec, acc_spec]
+    out_shape += [acc, acc]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _cols_wgs_roundtrip_kernel, n1=n1c, n2=n2c,
+            rule=rule, kim=kim, stats_on=stats_on,
+        ),
+        grid=(W // blockc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(*operands)
+
+    hr, hi, wout = outs[0], outs[1], outs[2]
+    pff_out = outs[3] if kim else None
+    accs, accm = outs[-2], outs[-1]
+
+    # --- K3: inverse rows pass + phase extraction. ---
+    n1r, n2r, *rmats = _plan_f32(W, True)
+    rconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in rmats]
+    psi_out = pl.pallas_call(
+        functools.partial(_rows_phase_extract_kernel, n1=n1r, n2=n2r),
+        grid=(H // block,),
+        in_specs=[row_spec, row_spec] + rconst,
+        out_specs=row_spec,
+        out_shape=plane,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(hr, hi, *[jnp.asarray(m) for m in rmats])
+
+    return psi_out, wout, pff_out, accs[:4, 0], accm[:4, 0]
 
 
 @jax.jit
