@@ -56,12 +56,68 @@ def _plan_f32(n, inverse):
     )
 
 
+#: MXU precision of the kernel DFT contractions:
+#:
+#: - ``"HIGHEST"`` (default): 6 bf16 passes, full f32 accuracy
+#:   (~2e-7 relative per fft2) — the parity-verified mode.
+#: - ``"BF16X3"``: 3 bf16 passes via a manual hi/lo split (Mosaic does
+#:   not lower ``Precision.HIGH``); ~2e-5 relative per fft2 from the
+#:   dropped lo*lo term — converged WGS quality is typically unchanged,
+#:   a speed knob for throughput-bound workloads.
+#: - ``"DEFAULT"``: single bf16 pass, ~3e-3 relative; visibly degrades
+#:   converged uniformity, only for quality-tolerant preview loops.
+#:
+#: Overridable via SLMSUITE_TPU_FFT_KERNEL_PRECISION at import.
+_DOT_PRECISION = __import__("os").environ.get(
+    "SLMSUITE_TPU_FFT_KERNEL_PRECISION", "HIGHEST"
+)
+
+
+def set_kernel_precision(precision):
+    """Set the Pallas-FFT contraction precision
+    ("HIGHEST" | "BF16X3" | "DEFAULT").
+
+    Note: kernels jit-compiled before the change keep their old
+    precision (jax caches by trace, and the precision is read at trace
+    time) — set this before first use, or use the environment variable.
+    """
+    global _DOT_PRECISION
+    if precision not in ("HIGHEST", "BF16X3", "DEFAULT"):
+        raise ValueError(f"Unknown precision '{precision}'.")
+    _DOT_PRECISION = precision
+
+
+def _split_bf16(a):
+    """Split f32 into (hi, lo) bf16 parts with hi built by mantissa
+    truncation THROUGH BITS — a plain f32->bf16->f32 round trip gets
+    algebraically folded to the identity by XLA, which would silently
+    zero the correction terms."""
+    hi_f = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    return hi_f.astype(jnp.bfloat16), (a - hi_f).astype(jnp.bfloat16)
+
+
 def _dot3(w, x):
     """(m, a) contract (a, b, lanes) -> (m, b, lanes); lanes ride free."""
+    dims = (((1,), (0,)), ((), ()))
+    if _DOT_PRECISION == "BF16X3":
+        wh, wl = _split_bf16(w)
+        xh, xl = _split_bf16(x)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dims,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        return d(wh, xh) + d(wh, xl) + d(wl, xh)
     return jax.lax.dot_general(
-        w, x, (((1,), (0,)), ((), ())),
+        w, x, dims,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=getattr(jax.lax.Precision, _DOT_PRECISION),
     )
 
 
@@ -126,6 +182,38 @@ def _rows_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
     )
     outr_ref[...] = br.T
     outi_ref[...] = bi.T
+
+
+def _sincos(x):
+    """
+    Elementwise (sin, cos) for ``x`` in [-pi, pi] — the only range the
+    fused loop produces (folded phase, atan2 outputs). Mosaic's generic
+    sin/cos lower with full range reduction (~40 cycles/element,
+    measured 0.16 ms per 2048^2 plane); this quadrant fold + minimax
+    polynomial pair costs ~1e-7 abs error (the f32 noise floor) at a
+    fraction of that.
+    """
+    ax = jnp.abs(x)
+    fold = ax > jnp.float32(np.pi / 2)
+    y = jnp.where(fold, jnp.float32(np.pi) - ax, ax)
+    y = jnp.where(x < 0, -y, y)
+    z = y * y
+    s = y * (
+        jnp.float32(9.999999765127e-01)
+        + z * (jnp.float32(-1.666664759280e-01)
+        + z * (jnp.float32(8.332899211157e-03)
+        + z * (jnp.float32(-1.980086458602e-04)
+        + z * jnp.float32(2.590428569071e-06))))
+    )
+    c = (
+        jnp.float32(9.999999997799e-01)
+        + z * (jnp.float32(-4.999999935693e-01)
+        + z * (jnp.float32(4.166663620793e-02)
+        + z * (jnp.float32(-1.388836082953e-03)
+        + z * (jnp.float32(2.476013483820e-05)
+        + z * jnp.float32(-2.605106415131e-07)))))
+    )
+    return s, jnp.where(fold, -c, c)
 
 
 def _atan2(y, x):
@@ -298,8 +386,7 @@ def _rows_phase_kernel(psi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
     """Forward rows FFT whose input is synthesized as e^{i psi}
     (scalar amplitudes fold into the output scale by linearity)."""
     psi = psi_ref[...].T                                # (n, R)
-    xr = jnp.cos(psi)
-    xi = jnp.sin(psi)
+    xi, xr = _sincos(psi)
     br, bi = _fft_core(
         xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
         w2tr_ref[...], w2ti_ref[...], n1, n2, False,
@@ -314,8 +401,9 @@ def _rows_phase_amp_kernel(psi_ref, amp_ref, w1r_ref, w1i_ref, twr_ref,
     """Like :meth:`_rows_phase_kernel` with a per-pixel amplitude array."""
     psi = psi_ref[...].T
     amp = amp_ref[...].T
-    xr = amp * jnp.cos(psi)
-    xi = amp * jnp.sin(psi)
+    xi, xr = _sincos(psi)
+    xr = amp * xr
+    xi = amp * xi
     br, bi = _fft_core(
         xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
         w2tr_ref[...], w2ti_ref[...], n1, n2, False,
@@ -489,8 +577,9 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
         pffout_ref[...] = phase
     else:
         phase = theta
-    re = wout * jnp.cos(phase)
-    im = wout * jnp.sin(phase)
+    sin_p, cos_p = _sincos(phase)
+    re = wout * cos_p
+    im = wout * sin_p
 
     # --- Accumulators (revisited (8, 128) tiles; grid is sequential). ---
     norm_p = jnp.sum(wout * wout)
