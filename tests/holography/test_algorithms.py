@@ -612,6 +612,68 @@ class TestScrambledEngine:
         assert E._can_scramble(config)
 
 
+class TestStepwiseConsistency:
+    """The host-in-the-loop stepwise path (taken for callbacks and
+    experimental feedback) matches the scanned engine trajectory —
+    including when the scanned engine runs in the scrambled layout."""
+
+    @pytest.fixture(autouse=True)
+    def _scrambled_scan(self):
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops import fft as F
+
+        prev = F.get_fft_backend()
+        F.set_fft_backend("matmul")
+        E.set_scrambled_mode(True)
+        yield
+        E.set_scrambled_mode(False)
+        F.set_fft_backend(prev)
+
+    @pytest.mark.parametrize("method", ["GS", "WGS-Kim", "WGS-Leonardo"])
+    def test_trajectory_matches_scanned(self, method):
+        from slmsuite_tpu.holography.algorithms import Hologram
+
+        N = 128
+        rng = np.random.default_rng(3)
+        target = np.zeros((N, N), np.float32)
+        target[rng.integers(N // 4, 3 * N // 4, 9),
+               rng.integers(N // 4, 3 * N // 4, 9)] = 1.0
+
+        phase0 = rng.uniform(-np.pi, np.pi, (N, N))
+
+        def make():
+            h = Hologram(target.copy(), slm_shape=(N, N))
+            h.reset_phase(custom_phase=phase0)
+            return h
+
+        scanned = make()
+        scanned.optimize(method, maxiter=12, verbose=False,
+                         stat_groups=["computational"])
+
+        stepwise = make()
+        stepwise.optimize(method, maxiter=12, verbose=False,
+                          stat_groups=["computational"],
+                          callback=lambda holo: False)
+
+        # Same final phase (wrapped) within f32 FFT round-off.
+        dphi = np.asarray(scanned.phase) - np.asarray(stepwise.phase)
+        dphi = np.angle(np.exp(1j * dphi))
+        assert np.max(np.abs(dphi)) < 5e-4
+
+        # Same per-iteration efficiency trajectory.
+        eff_a = np.asarray(scanned.stats["stats"]["computational"]["efficiency"])
+        eff_b = np.asarray(stepwise.stats["stats"]["computational"]["efficiency"])
+        np.testing.assert_allclose(eff_a, eff_b, rtol=1e-4, atol=1e-6)
+
+        # Same weights up to the engine's deferred normalization.
+        wa = np.asarray(scanned.weights)
+        wb = np.asarray(stepwise.weights)
+        np.testing.assert_allclose(
+            wa / np.linalg.norm(wa), wb / np.linalg.norm(wb),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
 def test_non_pow2_shapes_fall_back():
     """Non-power-of-two farfields route to the XLA FFT (ref supports any
     shape with a speed warning), never crashing the matmul path."""
