@@ -584,11 +584,14 @@ class CompressedSpotHologram(_AbstractSpotHologram):
     #: ``optimize(mesh=...)`` shards the pixel axis over the mesh.
     _supports_mesh = True
 
-    def __init__(self, spot_vectors, basis="kxy", spot_amp=None, cameraslm=None, cuda=False, **kwargs):
+    def __init__(self, spot_vectors, basis="kxy", spot_amp=None, cameraslm=None, cuda=None, **kwargs):
         """
         Initialize from ``(D, N)`` spot vectors in basis ``"kxy"``,
         ``"ij"``, ``"zernike"``, or an explicit list of ANSI indices.
-        ``cuda`` maps to the fused Pallas path on TPU.
+        ``cuda`` maps to the fused Pallas path (reference-API name,
+        ref ``_spots.py:214-545``); ``None`` auto-enables it on TPU,
+        mirroring how the reference auto-loads its CUDA kernels when
+        available.
         """
         if cameraslm is None:
             raise ValueError("cameraslm must be passed.")
@@ -715,6 +718,10 @@ class CompressedSpotHologram(_AbstractSpotHologram):
 
         slm = cameraslm.slm if hasattr(cameraslm, "slm") else cameraslm
         self._basis = build_zernike_basis(self.zernike_basis, slm)
+        if cuda is None:
+            import jax as _jax
+
+            cuda = _jax.default_backend() not in ("cpu",)
         self.cuda = bool(cuda)  # Maps to the fused Pallas path.
 
     def __len__(self):
@@ -1050,9 +1057,11 @@ class CompressedSpotHologram(_AbstractSpotHologram):
 
         from slmsuite_tpu.ops import compressed as _comp
 
-        config = self._compressed_config()
         consts = self._compressed_consts()
-        n2f = _comp._get_transforms(config)[1]
+        # Always differentiate through the jnp transform: the Pallas
+        # kernels (``self.cuda``) have no autodiff rule, and XLA already
+        # fuses this path well under ``grad``.
+        n2f = _comp.nearfield_to_farfield
 
         amp = consts["amp"]
         coeffs = consts["coeffs"]

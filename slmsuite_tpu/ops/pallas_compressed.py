@@ -23,6 +23,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from slmsuite_tpu.ops.pallas_fft import _sincos_reduced
+
 #: Flattened pixels per tile (lane-aligned).
 PIXEL_TILE = 1024
 #: Spots per tile.
@@ -39,8 +41,10 @@ def _f2n_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, scale_ref, outr_ref, ou
     phases = jnp.dot(
         coeffs_ref[:, :].T, basis_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
-    cos = jnp.cos(phases)
-    sin = jnp.sin(phases)
+    # Mosaic's range-reduced sin/cos cost ~40 cycles/element; the minimax
+    # pair with a two-term period reduction is ~6x cheaper at the same
+    # (f32-ulp-limited) accuracy for these multi-radian phases.
+    sin, cos = _sincos_reduced(phases)
 
     ffr = ffr_ref[:, :]  # (1, S)
     ffi = ffi_ref[:, :]
@@ -76,8 +80,7 @@ def _n2f_kernel(coeffs_ref, nfr_ref, nfi_ref, basis_ref, scale_ref, outr_ref, ou
     phases = jnp.dot(
         coeffs_ref[:, :].T, basis_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
-    cos = jnp.cos(phases)
-    sin = jnp.sin(phases)
+    sin, cos = _sincos_reduced(phases)
 
     nfr = nfr_ref[:, :]  # (1, T)
     nfi = nfi_ref[:, :]

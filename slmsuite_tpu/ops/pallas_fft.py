@@ -42,17 +42,20 @@ BLOCK = 128
 
 @functools.lru_cache(maxsize=32)
 def _plan_f32(n, inverse):
-    """Four-step plan matrices as float32 (re, im) pairs."""
+    """Four-step plan matrices as float32: (re, im, re+im) triples —
+    the sum matrix feeds the Karatsuba complex contraction."""
     n1, n2, w1, tw, w2 = _plan(n, inverse)
+    w1r = np.ascontiguousarray(w1.real, np.float32)
+    w1i = np.ascontiguousarray(w1.imag, np.float32)
+    # W2 pre-transposed: contractions run as (m, n) x (n, ..) dots.
+    w2tr = np.ascontiguousarray(w2.real.T, np.float32)
+    w2ti = np.ascontiguousarray(w2.imag.T, np.float32)
     return (
         n1, n2,
-        np.ascontiguousarray(w1.real, np.float32),
-        np.ascontiguousarray(w1.imag, np.float32),
+        w1r, w1i, w1r + w1i,
         np.ascontiguousarray(tw.real, np.float32),
         np.ascontiguousarray(tw.imag, np.float32),
-        # W2 pre-transposed: contractions run as (m, n) x (n, ..) dots.
-        np.ascontiguousarray(w2.real.T, np.float32),
-        np.ascontiguousarray(w2.imag.T, np.float32),
+        w2tr, w2ti, w2tr + w2ti,
     )
 
 
@@ -121,21 +124,31 @@ def _dot3(w, x):
     )
 
 
-def _cdot3(wr, wi, xr, xi):
-    """Complex (wr + i wi) contracted over x's leading axis."""
-    return (
-        _dot3(wr, xr) - _dot3(wi, xi),
-        _dot3(wr, xi) + _dot3(wi, xr),
-    )
+def _cdot3(wr, wi, ws, xr, xi):
+    """
+    Complex (wr + i wi) contracted over x's leading axis — Karatsuba
+    form: three real dots instead of four. ``ws = wr + wi`` is
+    precomputed in the plan; the extra elementwise adds run against
+    VMEM and are far cheaper than a fourth MXU pass (unlike on the
+    HBM-bound einsum path, where this trade was measured to lose).
+
+        re = m1 - m2,  im = m3 - m1 - m2
+        m1 = wr·xr,  m2 = wi·xi,  m3 = (wr+wi)·(xr+xi)
+    """
+    m1 = _dot3(wr, xr)
+    m2 = _dot3(wi, xi)
+    m3 = _dot3(ws, xr + xi)
+    return m1 - m2, m3 - m1 - m2
 
 
-def _fft_core(xr, xi, w1r, w1i, twr, twi, w2tr, w2ti, n1, n2, inverse):
+def _fft_core(xr, xi, w1r, w1i, w1s, twr, twi, w2tr, w2ti, w2ts,
+              n1, n2, inverse):
     """
     Four-step FFT of an ``(n, L)`` pair along axis 0 (L lanes ride free).
 
     Forward: natural axis-0 order in -> scrambled ``(k1, k2)`` out.
     Inverse: scrambled in -> natural out (conjugate plan, mirrored
-    contraction order).
+    contraction order). ``w1s``/``w2ts`` are the Karatsuba sum matrices.
     """
     L = xr.shape[1]
     xr = xr.reshape(n1, n2, L)
@@ -143,7 +156,7 @@ def _fft_core(xr, xi, w1r, w1i, twr, twi, w2tr, w2ti, n1, n2, inverse):
 
     if not inverse:
         # Stage 1: contract n1 -> k1.
-        ar, ai = _cdot3(w1r, w1i, xr, xi)               # (k1, n2, L)
+        ar, ai = _cdot3(w1r, w1i, w1s, xr, xi)          # (k1, n2, L)
         # Stage 2: twiddle (k1, n2).
         tr = twr[:, :, None]
         ti = twi[:, :, None]
@@ -151,34 +164,36 @@ def _fft_core(xr, xi, w1r, w1i, twr, twi, w2tr, w2ti, n1, n2, inverse):
         # Stage 3: contract n2 -> k2.
         ar = ar.transpose(1, 0, 2)                      # (n2, k1, L)
         ai = ai.transpose(1, 0, 2)
-        br, bi = _cdot3(w2tr, w2ti, ar, ai)             # (k2, k1, L)
+        br, bi = _cdot3(w2tr, w2ti, w2ts, ar, ai)       # (k2, k1, L)
         br = br.transpose(1, 0, 2)                      # (k1, k2, L)
         bi = bi.transpose(1, 0, 2)
     else:
         # Input (k1, k2, L): contract k2 with conj W2 first.
         ar = xr.transpose(1, 0, 2)                      # (k2, k1, L)
         ai = xi.transpose(1, 0, 2)
-        ar, ai = _cdot3(w2tr, w2ti, ar, ai)             # (m2, k1, L)
+        ar, ai = _cdot3(w2tr, w2ti, w2ts, ar, ai)       # (m2, k1, L)
         # Conjugate twiddle, indexed (k1, m2) -> broadcast as (m2, k1).
         tr = twr.T[:, :, None]
         ti = twi.T[:, :, None]
         ar, ai = ar * tr - ai * ti, ar * ti + ai * tr
         ar = ar.transpose(1, 0, 2)                      # (k1, m2, L)
         ai = ai.transpose(1, 0, 2)
-        br, bi = _cdot3(w1r, w1i, ar, ai)               # (m1, m2, L)
+        br, bi = _cdot3(w1r, w1i, w1s, ar, ai)          # (m1, m2, L)
 
     return br.reshape(n1 * n2, L), bi.reshape(n1 * n2, L)
 
 
-def _rows_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-                 w2tr_ref, w2ti_ref, outr_ref, outi_ref, *, n1, n2, inverse):
+def _rows_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
+                 twi_ref, w2tr_ref, w2ti_ref, w2ts_ref, outr_ref, outi_ref,
+                 *, n1, n2, inverse):
     """FFT along the LAST axis of a (BLOCK, n) block: transpose in VMEM
     so the transform axis is sublane-major, then run the core."""
     xr = xr_ref[...].T                                  # (n, R)
     xi = xi_ref[...].T
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
-        w2tr_ref[...], w2ti_ref[...], n1, n2, inverse,
+        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
+        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        n1, n2, inverse,
     )
     outr_ref[...] = br.T
     outi_ref[...] = bi.T
@@ -216,6 +231,27 @@ def _sincos(x):
     return s, jnp.where(fold, -c, c)
 
 
+def _sincos_reduced(x):
+    """
+    Elementwise (sin, cos) for unbounded ``x``: round-to-nearest period
+    reduction with a two-term 2*pi split (the residual stays accurate to
+    ~|k| * 1e-7 rad — below the f32 ulp of the input itself for the
+    multi-radian phases this serves), then the bounded minimax pair.
+    """
+    two_pi_hi = jnp.float32(6.28125)
+    two_pi_lo = jnp.float32(1.9353071795864769e-3)
+    two_pi = jnp.float32(2.0 * np.pi)
+    pi = jnp.float32(np.pi)
+    k = jnp.round(x * jnp.float32(1.0 / (2.0 * np.pi)))
+    y = (x - k * two_pi_hi) - k * two_pi_lo
+    # The f32 multiply inside round() can pick k off by one near period
+    # boundaries, leaving |y| up to |x|*eps beyond pi — FOLD it back
+    # (clipping here would cost ~1e-3 at 1e4 rad).
+    y = jnp.where(y > pi, y - two_pi, y)
+    y = jnp.where(y < -pi, y + two_pi, y)
+    return _sincos(y)
+
+
 def _atan2(y, x):
     """
     Elementwise atan2 built from supported Mosaic ops (no atan/atan2
@@ -245,17 +281,17 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _cols_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-                 w2tr_ref, w2ti_ref, outr_ref, outi_ref, *, n1, n2, inverse,
-                 polar_out=False, scale=1.0):
+def _cols_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
+                 twi_ref, w2tr_ref, w2ti_ref, w2ts_ref, outr_ref, outi_ref,
+                 *, n1, n2, inverse, polar_out=False, scale=1.0):
     """FFT along the FIRST axis of an (n, BLOCK) block: already
     sublane-major, no transposes at all. With ``polar_out`` the epilogue
     emits (amplitude, phase) instead of (re, im) — fusing the GS loop's
     abs/arctan2 into the FFT so the complex farfield never hits HBM."""
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
         twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        n1, n2, inverse,
+        w2ts_ref[...], n1, n2, inverse,
     )
     if polar_out:
         br = br * scale
@@ -380,24 +416,25 @@ def ifft2_scrambled_pallas(xr, xi):
 # --------------------------------------------------------------------------
 
 
-def _rows_phase_kernel(psi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-                       w2tr_ref, w2ti_ref, outr_ref, outi_ref,
-                       *, n1, n2):
+def _rows_phase_kernel(psi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
+                       twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
+                       outr_ref, outi_ref, *, n1, n2):
     """Forward rows FFT whose input is synthesized as e^{i psi}
     (scalar amplitudes fold into the output scale by linearity)."""
     psi = psi_ref[...].T                                # (n, R)
     xi, xr = _sincos(psi)
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
-        w2tr_ref[...], w2ti_ref[...], n1, n2, False,
+        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
+        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        n1, n2, False,
     )
     outr_ref[...] = br.T
     outi_ref[...] = bi.T
 
 
-def _rows_phase_amp_kernel(psi_ref, amp_ref, w1r_ref, w1i_ref, twr_ref,
-                           twi_ref, w2tr_ref, w2ti_ref, outr_ref, outi_ref,
-                           *, n1, n2):
+def _rows_phase_amp_kernel(psi_ref, amp_ref, w1r_ref, w1i_ref, w1s_ref,
+                           twr_ref, twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
+                           outr_ref, outi_ref, *, n1, n2):
     """Like :meth:`_rows_phase_kernel` with a per-pixel amplitude array."""
     psi = psi_ref[...].T
     amp = amp_ref[...].T
@@ -405,20 +442,22 @@ def _rows_phase_amp_kernel(psi_ref, amp_ref, w1r_ref, w1i_ref, twr_ref,
     xr = amp * xr
     xi = amp * xi
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
-        w2tr_ref[...], w2ti_ref[...], n1, n2, False,
+        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
+        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        n1, n2, False,
     )
     outr_ref[...] = br.T
     outi_ref[...] = bi.T
 
 
-def _cols_phase_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-                       w2tr_ref, w2ti_ref, out_ref, *, n1, n2):
+def _cols_phase_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
+                       twi_ref, w2tr_ref, w2ti_ref, w2ts_ref, out_ref,
+                       *, n1, n2):
     """Inverse cols FFT emitting only the phase of the result."""
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
         twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        n1, n2, True,
+        w2ts_ref[...], n1, n2, True,
     )
     out_ref[...] = _atan2(bi, br)
 
@@ -633,17 +672,18 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
     return re, im
 
 
-def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
-                     w2tr_ref, w2ti_ref, w_ref, t_ref, scal_ref, *refs,
+def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
+                     twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
+                     w_ref, t_ref, scal_ref, *refs,
                      n1, n2, rule, kim, stats_on):
     """Forward cols FFT + fused WGS epilogue on an (H, block) column tile.
 
     Variadic refs: ``[mask], [pff] | re, im, wout, [pffout], accs, accm``.
     """
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
         twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        n1, n2, False,
+        w2ts_ref[...], n1, n2, False,
     )
     r = _parse_wgs_refs(refs, kim, stats_on)
     re, im = _wgs_epilogue(
@@ -655,10 +695,10 @@ def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
 
 
 def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
-                               w1r_ref, w1i_ref, twr_ref, twi_ref,
-                               w2tr_ref, w2ti_ref,
-                               v1r_ref, v1i_ref, vtr_ref, vti_ref,
-                               v2tr_ref, v2ti_ref,
+                               w1r_ref, w1i_ref, w1s_ref, twr_ref, twi_ref,
+                               w2tr_ref, w2ti_ref, w2ts_ref,
+                               v1r_ref, v1i_ref, v1s_ref, vtr_ref, vti_ref,
+                               v2tr_ref, v2ti_ref, v2ts_ref,
                                w_ref, t_ref, scal_ref, *refs,
                                n1, n2, rule, kim, stats_on):
     """
@@ -675,9 +715,9 @@ def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
     row-axis still scrambled) field.
     """
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...],
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
         twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        n1, n2, False,
+        w2ts_ref[...], n1, n2, False,
     )
     r = _parse_wgs_refs(refs, kim, stats_on)
     re, im = _wgs_epilogue(
@@ -685,24 +725,26 @@ def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
         rule=rule, kim=kim, stats_on=stats_on,
     )
     cr, ci = _fft_core(
-        re, im, v1r_ref[...], v1i_ref[...], vtr_ref[...], vti_ref[...],
-        v2tr_ref[...], v2ti_ref[...], n1, n2, True,
+        re, im, v1r_ref[...], v1i_ref[...], v1s_ref[...], vtr_ref[...],
+        vti_ref[...], v2tr_ref[...], v2ti_ref[...], v2ts_ref[...],
+        n1, n2, True,
     )
     r["re"][...] = cr
     r["im"][...] = ci
 
 
-def _rows_phase_extract_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, twr_ref,
-                               twi_ref, w2tr_ref, w2ti_ref, out_ref,
-                               *, n1, n2):
+def _rows_phase_extract_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref,
+                               twr_ref, twi_ref, w2tr_ref, w2ti_ref,
+                               w2ts_ref, out_ref, *, n1, n2):
     """Inverse ROW-axis FFT of a (block, W) row tile, emitting only the
     result's phase (the GS psi update): transpose in VMEM, inverse core,
     atan2, transpose back."""
     xr = xr_ref[...].T
     xi = xi_ref[...].T
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], twr_ref[...], twi_ref[...],
-        w2tr_ref[...], w2ti_ref[...], n1, n2, True,
+        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
+        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        n1, n2, True,
     )
     out_ref[...] = _atan2(bi, br).T
 
