@@ -584,6 +584,15 @@ class CompressedSpotHologram(_AbstractSpotHologram):
     #: ``optimize(mesh=...)`` shards the pixel axis over the mesh.
     _supports_mesh = True
 
+    #: Device-resident copy of the optimized (flat) nearfield phase.
+    #: Valid only while ``_raw_phase`` is None (i.e. the host copy has
+    #: never been materialized since the last engine run) — this keeps
+    #: back-to-back ``optimize()`` calls free of the 4 MB psi round-trip
+    #: over the device tunnel while staying correct if a user reads (and
+    #: possibly mutates in place) ``holo.phase`` between calls.
+    _psi_dev = None
+    _raw_phase = None
+
     def __init__(self, spot_vectors, basis="kxy", spot_amp=None, cameraslm=None, cuda=None, **kwargs):
         """
         Initialize from ``(D, N)`` spot vectors in basis ``"kxy"``,
@@ -782,19 +791,48 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             use_pallas=self.cuda,
         )
 
+    def _dev_const(self, key, host, make):
+        """Device copy of a (possibly large) host constant, reused
+        across calls while the host object is the SAME array — uploads
+        of the Zernike basis and source amplitude dominate the per-call
+        cost of ``optimize()`` over a tunneled device otherwise."""
+        if not hasattr(self, "_dev_cache"):
+            self._dev_cache = {}
+        cached = self._dev_cache.get(key)
+        if cached is not None and cached[0] is host:
+            return cached[1]
+        dev = make(host)
+        # Hold the host reference so the identity check stays valid.
+        self._dev_cache[key] = (host, dev)
+        return dev
+
     def _compressed_consts(self):
         amp = self.amp
         if np.isscalar(amp):
             amp_flat = jnp.float32(amp)
         else:
-            amp_flat = jnp.asarray(np.asarray(amp, np.float32).ravel())
-        target = np.nan_to_num(np.asarray(self.target, np.float32))
+            amp_flat = self._dev_const(
+                "amp", amp,
+                lambda a: jnp.asarray(np.asarray(a, np.float32).ravel()),
+            )
+        target_dev, mask_dev = self._dev_const(
+            "target", self.target,
+            lambda t: (
+                jnp.asarray(np.nan_to_num(np.asarray(t, np.float32))),
+                jnp.asarray(np.nan_to_num(np.asarray(t, np.float32)) != 0),
+            ),
+        )
         return {
             "amp": amp_flat,
-            "coeffs": jnp.asarray(self.spot_zernike, dtype=jnp.float32),
-            "basis": jnp.asarray(self._basis),
-            "target": jnp.asarray(target),
-            "stat_mask": jnp.asarray(target != 0),
+            "coeffs": self._dev_const(
+                "coeffs", self.spot_zernike,
+                lambda c: jnp.asarray(c, dtype=jnp.float32),
+            ),
+            "basis": self._dev_const(
+                "basis", self._basis, jnp.asarray
+            ),
+            "target": target_dev,
+            "stat_mask": mask_dev,
             "feedback_exponent": jnp.float32(self.flags.get("feedback_exponent", 0.8)),
             "feedback_factor": jnp.float32(self.flags.get("feedback_factor", 0.1)),
             "fix_phase_iteration": jnp.int32(self.flags.get("fix_phase_iteration", 10)),
@@ -838,7 +876,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         start_iter = self.iter
 
         state = _comp.CompressedGSState(
-            psi=jnp.asarray(np.asarray(self.phase, np.float32).ravel()),
+            psi=self._psi_device_flat(),
             weights=jnp.asarray(np.nan_to_num(np.asarray(self.weights, np.float32))),
             phase_ff=(
                 jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
@@ -954,7 +992,10 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         )
 
     def _sync_compressed_state(self, state):
-        self.phase = np.asarray(state.psi).reshape(self.slm_shape)
+        # Keep psi on device; the host copy materializes lazily through
+        # the ``phase`` property (it is a 4 MB download per megapixel
+        # that back-to-back optimize calls never need).
+        self._set_psi_device(state.psi)
         self.weights = np.array(state.weights)
         self._phase_ff_folded = np.asarray(state.phase_ff)
         self.flags["fixed_phase"] = bool(state.fixed_phase)
@@ -963,6 +1004,10 @@ class CompressedSpotHologram(_AbstractSpotHologram):
     # The compressed hologram's phase is stored directly (no fold).
     @property
     def phase(self):
+        if self._raw_phase is None and self._psi_dev is not None:
+            self._raw_phase = np.asarray(
+                self._psi_dev, dtype=self.dtype
+            ).reshape(self.slm_shape)
         return self._raw_phase
 
     @phase.setter
@@ -970,7 +1015,32 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         self._raw_phase = (
             None if value is None else np.asarray(value, dtype=self.dtype)
         )
-        self._psi = self._raw_phase  # Alias for shared code paths.
+        self._psi_dev = None
+
+    # Alias for shared code paths (the base class stores the folded
+    # nearfield phase in ``_psi``; compressed holograms store it
+    # directly, so the two views coincide).
+    @property
+    def _psi(self):
+        return self.phase
+
+    @_psi.setter
+    def _psi(self, value):
+        self.phase = value
+
+    def _psi_device_flat(self):
+        """Flat float32 psi on device, reusing the engine's copy when
+        the host copy was never materialized (and so cannot have been
+        mutated behind our back)."""
+        if self._psi_dev is not None and self._raw_phase is None:
+            return self._psi_dev
+        return jnp.asarray(np.asarray(self.phase, np.float32).ravel())
+
+    def _set_psi_device(self, psi):
+        """Adopt a device-resident flat psi as the current phase; the
+        host copy materializes lazily through the ``phase`` property."""
+        self._raw_phase = None
+        self._psi_dev = psi
 
     @property
     def phase_ff(self):
@@ -985,19 +1055,39 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         """Compute the (N,) farfield from the current phase."""
         from slmsuite_tpu.ops import compressed as _comp
 
-        config = self._compressed_config() if "method" in self.flags else None
         consts = self._compressed_consts()
-        psi = jnp.asarray(np.asarray(self.phase, np.float32).ravel())
-        nf_re = consts["amp"] * jnp.cos(psi)
-        nf_im = consts["amp"] * jnp.sin(psi)
-        ff_re, ff_im = _comp.nearfield_to_farfield(
-            nf_re, nf_im, consts["coeffs"], consts["basis"], len(self)
+        psi = self._psi_device_flat()
+
+        fn = getattr(self, "_populate_fn", None)
+        if fn is None:
+            n_spots = len(self)
+            use_pallas = self.cuda
+            import functools
+
+            @functools.partial(jax.jit)
+            def fn(psi, amp, coeffs, basis):
+                nf_re = amp * jnp.cos(psi)
+                nf_im = amp * jnp.sin(psi)
+                if use_pallas:
+                    from slmsuite_tpu.ops.pallas_compressed import (
+                        nearfield_to_farfield as n2f,
+                    )
+                else:
+                    n2f = _comp.nearfield_to_farfield
+                ff_re, ff_im = n2f(nf_re, nf_im, coeffs, basis, n_spots)
+                return (
+                    jnp.sqrt(ff_re**2 + ff_im**2),
+                    jnp.arctan2(ff_im, ff_re),
+                )
+
+            self._populate_fn = fn
+
+        amp_ff, phase_ff = fn(
+            psi, consts["amp"], consts["coeffs"], consts["basis"]
         )
-        ff_re = np.asarray(ff_re)
-        ff_im = np.asarray(ff_im)
         self._farfield_folded = None
-        self.amp_ff = np.sqrt(ff_re**2 + ff_im**2)
-        self._phase_ff_folded = np.arctan2(ff_im, ff_re)
+        self.amp_ff = np.asarray(amp_ff)
+        self._phase_ff_folded = np.asarray(phase_ff)
 
     @property
     def farfield(self):
@@ -1095,7 +1185,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             updates, opt_state = optimizer.update(grads, opt_state, psi)
             return optax.apply_updates(psi, updates), opt_state, value
 
-        psi = jnp.asarray(np.asarray(self.phase, np.float32).ravel())
+        psi = self._psi_device_flat()
         opt_state = optimizer.init(psi)
 
         for _ in iterations:
@@ -1104,16 +1194,16 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             if hasattr(iterations, "set_description"):
                 iterations.set_description(f"loss={float(value):.3e}")
             if callback is not None:
-                self.phase = np.asarray(psi).reshape(self.slm_shape)
+                self._set_psi_device(psi)
                 if callback(self):
                     break
             if self.flags.get("stat_groups"):
-                self.phase = np.asarray(psi).reshape(self.slm_shape)
+                self._set_psi_device(psi)
                 self._populate_results()
                 self._update_stats(self.flags["stat_groups"])
             self.iter += 1
 
-        self.phase = np.asarray(psi).reshape(self.slm_shape)
+        self._set_psi_device(psi)
         self._populate_results()
 
     # ------------------------------------------------------------------
