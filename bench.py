@@ -373,7 +373,13 @@ def config_4(argv):
         [[160.0, 256, 352, 256], [256.0, 160, 256, 352]]
     )
     holo = SpotHologram((1024, 1024), spot_ij, basis="ij", cameraslm=fs)
-    holo.optimize("WGS-Kim", maxiter=5, verbose=False)  # Warm caches.
+    holo.optimize("WGS-Kim", maxiter=5, verbose=False)  # Warm computational.
+    # Warm the stepwise experimental path too (jitted forward/backward and
+    # the camera sampler compile on first use).
+    holo.optimize(
+        "WGS-Kim", maxiter=2, verbose=False,
+        feedback="experimental_spot", stat_groups=["experimental_spot"],
+    )
 
     t0 = time.time()
     holo.optimize(

@@ -13,8 +13,9 @@ noise injection, and quantization happen host-side.
 
 import warnings
 
+import jax
+import jax.numpy as jnp
 import numpy as np
-from scipy.ndimage import map_coordinates
 
 from slmsuite_tpu.hardware.cameras.camera import Camera
 from slmsuite_tpu.holography import toolbox
@@ -195,6 +196,50 @@ class SimulatedCamera(Camera):
     def _set_exposure_hw(self, exposure_s):
         self.exposure_s = exposure_s
 
+    def _device_sampler(self):
+        """
+        Jitted device-side camera sampling: |amp_ff|^2 gathered at the
+        camera pixel coordinates (nearest-neighbor, matching
+        ``scipy.ndimage.map_coordinates(order=0, mode='constant')``),
+        scaled by exposure*gain. Cached per ``knm_cam`` identity.
+        """
+        cached = getattr(self, "_sampler_cache", None)
+        key = id(self.knm_cam) if self._interpolate else None
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        if self._interpolate:
+            # Nearest-neighbor rounding identical to scipy's order-0
+            # spline: floor(x + 0.5).
+            coords = np.floor(np.asarray(self.knm_cam, np.float64) + 0.5)
+            Hp, Wp = self.shape_padded
+            valid = (
+                (coords[0] >= 0) & (coords[0] <= Hp - 1)
+                & (coords[1] >= 0) & (coords[1] <= Wp - 1)
+            )
+            flat = (
+                np.clip(coords[0], 0, Hp - 1).astype(np.int32) * Wp
+                + np.clip(coords[1], 0, Wp - 1).astype(np.int32)
+            )
+            flat_dev = jnp.asarray(flat)
+            valid_dev = jnp.asarray(valid.astype(np.float32))
+
+            @jax.jit
+            def sample(amp_ff, scale):
+                pwr = jnp.square(amp_ff).ravel()
+                return jnp.take(pwr, flat_dev) * valid_dev * scale
+        else:
+            cam_shape = tuple(self.shape)
+
+            @jax.jit
+            def sample(amp_ff, scale):
+                # amp_ff.shape is static at trace time.
+                y0, y1, x0, x1 = toolbox.unpad(amp_ff.shape, cam_shape)
+                return jnp.square(amp_ff[y0:y1, x0:x1]) * scale
+
+        self._sampler_cache = (key, sample)
+        return sample
+
     def _get_image_hw(self, timeout_s=None):
         """
         Form an image: propagate the SLM's quantized display (+ simulated
@@ -221,14 +266,15 @@ class SimulatedCamera(Camera):
         )
 
         self._hologram._populate_results()
-        pwr = np.square(self._hologram.amp_ff)
-
-        if self._interpolate:
-            img = map_coordinates(pwr, self.knm_cam, order=0)
-        else:
-            img = toolbox.unpad(pwr, self.shape)
-
-        img = img * (self.exposure_s * self.gain)
+        # Sample |farfield|^2 at the camera pixels ON DEVICE and download
+        # only the camera-sized frame — the padded farfield plane is
+        # several times larger and dominates the transfer cost otherwise.
+        img = np.asarray(
+            self._device_sampler()(
+                self._hologram._amp_ff_device(),
+                jnp.float32(self.exposure_s * self.gain),
+            )
+        )
 
         if self.noise is not None:
             for key in self.noise:
@@ -241,5 +287,5 @@ class SimulatedCamera(Camera):
                 else:
                     raise RuntimeError(f"Unknown noise source {key} specified!")
 
-        img[img > self.bitresolution - 1] = self.bitresolution - 1
+        img = np.minimum(img, self.bitresolution - 1)
         return img.astype(self.dtype)

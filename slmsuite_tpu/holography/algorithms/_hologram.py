@@ -221,8 +221,107 @@ class Hologram(_HologramStats):
         self.reset(reset_phase=False, reset_flags=False)
 
     # ------------------------------------------------------------------
-    # Phase fold bookkeeping.
+    # Phase fold bookkeeping — dual-store device/host arrays.
+    #
+    # The stepwise (host-in-the-loop) path runs one jitted call per
+    # half-iteration with host code between them; over a tunneled device
+    # a full-plane download costs more than the compute, so the three
+    # per-iteration planes (``_psi``, ``amp_ff``, ``_phase_ff_folded``)
+    # each keep a device-resident copy and materialize the host numpy
+    # view lazily on first read. Writes accept either kind. A device
+    # copy is trusted only while the host view has never been
+    # materialized (so it cannot have been mutated behind our back).
     # ------------------------------------------------------------------
+
+    _psi_host = None
+    _psi_dev = None
+    _amp_ff_host = None
+    _amp_ff_dev = None
+    _pff_host = None
+    _pff_dev = None
+
+    @staticmethod
+    def _is_device(value):
+        return isinstance(value, jax.Array)
+
+    @property
+    def _psi(self):
+        """Folded nearfield phase (host view; see dual-store note)."""
+        if self._psi_host is None and self._psi_dev is not None:
+            self._psi_host = np.asarray(self._psi_dev, dtype=self.dtype)
+        return self._psi_host
+
+    @_psi.setter
+    def _psi(self, value):
+        if value is None:
+            self._psi_host = self._psi_dev = None
+        elif self._is_device(value):
+            self._psi_host = None
+            self._psi_dev = value
+        else:
+            self._psi_host = np.asarray(value, dtype=self.dtype)
+            self._psi_dev = None
+
+    def _psi_device(self):
+        """Folded psi as a device float32 array (no copy when resident)."""
+        if self._psi_dev is not None and self._psi_host is None:
+            return self._psi_dev
+        return jnp.asarray(self._psi, dtype=jnp.float32)
+
+    @property
+    def amp_ff(self):
+        """Farfield amplitude (host view; see dual-store note)."""
+        if self._amp_ff_host is None and self._amp_ff_dev is not None:
+            self._amp_ff_host = np.asarray(self._amp_ff_dev)
+        return self._amp_ff_host
+
+    @amp_ff.setter
+    def amp_ff(self, value):
+        if value is None:
+            self._amp_ff_host = self._amp_ff_dev = None
+        elif self._is_device(value):
+            self._amp_ff_host = None
+            self._amp_ff_dev = value
+        else:
+            self._amp_ff_host = np.asarray(value)
+            self._amp_ff_dev = None
+
+    def _amp_ff_device(self):
+        if self._amp_ff_dev is not None and self._amp_ff_host is None:
+            return self._amp_ff_dev
+        return jnp.asarray(self.amp_ff, dtype=jnp.float32)
+
+    @property
+    def _phase_ff_folded(self):
+        """Folded farfield phase (host view; see dual-store note)."""
+        if self._pff_host is None and self._pff_dev is not None:
+            self._pff_host = np.asarray(self._pff_dev)
+        return self._pff_host
+
+    @_phase_ff_folded.setter
+    def _phase_ff_folded(self, value):
+        if value is None:
+            self._pff_host = self._pff_dev = None
+        elif self._is_device(value):
+            self._pff_host = None
+            self._pff_dev = value
+        else:
+            self._pff_host = np.asarray(value)
+            self._pff_dev = None
+
+    def _phase_ff_folded_device(self):
+        if self._pff_dev is not None and self._pff_host is None:
+            return self._pff_dev
+        return jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
+
+    def _has_phase_ff(self):
+        """True when a stored farfield phase exists (without forcing the
+        device copy to materialize on host)."""
+        return self._pff_dev is not None or self._pff_host is not None
+
+    def _has_amp_ff(self):
+        """True when a farfield amplitude exists (no host materialization)."""
+        return self._amp_ff_dev is not None or self._amp_ff_host is not None
 
     @property
     def phase(self):
@@ -426,7 +525,7 @@ class Hologram(_HologramStats):
 
     def _populate_results(self):
         """Populate farfield/amp_ff/phase_ff from the current phase/amp."""
-        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        psi = self._psi_device()
         amp = (
             jnp.float32(self.amp)
             if np.isscalar(self.amp)
@@ -439,8 +538,8 @@ class Hologram(_HologramStats):
         )
         folded, amp_ff, theta = _prop.forward_fields(psi, amp, tuple(self.shape), kernel)
         self._farfield_folded = folded  # device array; complex stays on device
-        self.amp_ff = np.asarray(amp_ff)
-        self._phase_ff_folded = np.asarray(theta)
+        self.amp_ff = amp_ff  # device; host view materializes lazily
+        self._phase_ff_folded = theta
 
     # ------------------------------------------------------------------
     # Padded shape helper (ref :616-738).
@@ -716,13 +815,13 @@ class Hologram(_HologramStats):
 
     def _build_state(self, config):
         return _engine.GSState(
-            psi=jnp.asarray(self._psi, dtype=jnp.float32),
+            psi=self._psi_device(),
             weights=jnp.asarray(
                 np.nan_to_num(np.asarray(self.weights, dtype=np.float32))
             ),
             phase_ff=(
-                jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
-                if self._phase_ff_folded is not None
+                self._phase_ff_folded_device()
+                if (self._pff_dev is not None or self._pff_host is not None)
                 else jnp.zeros(config.shape, dtype=jnp.float32)
             ),
             zero_weights=(
@@ -740,10 +839,11 @@ class Hologram(_HologramStats):
         )
 
     def _sync_from_state(self, state):
-        """Write device scan state back into the host-facing attributes."""
-        self._psi = np.asarray(state.psi)
+        """Write device scan state back into the host-facing attributes
+        (planes stay on device; host views materialize lazily)."""
+        self._psi = state.psi
         self.weights = np.array(state.weights)
-        self._phase_ff_folded = np.asarray(state.phase_ff)
+        self._phase_ff_folded = state.phase_ff
         if state.zero_weights.size:
             self.zero_weights = np.asarray(state.zero_weights)
         self._final_fixed_phase = bool(state.fixed_phase)
@@ -878,13 +978,13 @@ class Hologram(_HologramStats):
         self._break_requested = False
 
         # Forward (jitted; complex farfield stays on device).
-        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        psi = self._psi_device()
         kernel = consts.get("kernel") if config.has_kernel else None
         farfield, amp_ff, theta = _prop.forward_fields(
             psi, consts["amp"], config.shape, kernel
         )
         self._farfield_folded = farfield
-        self.amp_ff = np.asarray(amp_ff)
+        self.amp_ff = amp_ff  # device; host view materializes on demand
         self._midloop_cleaning()
 
         # Callback + stats (host).
@@ -900,19 +1000,17 @@ class Hologram(_HologramStats):
             self._kim_decision_host()
         # Save the phase while unfixed, including the fixing transition
         # (ref `_hologram.py:1585-1605`).
-        if was_not_fixed or self._phase_ff_folded is None:
-            self._phase_ff_folded = np.asarray(theta)
+        if was_not_fixed or not self._has_phase_ff():
+            self._phase_ff_folded = theta
 
         # Constraint + backward on device (single jitted call).
         weights = jnp.asarray(np.nan_to_num(np.asarray(self.weights, dtype=np.float32)))
         backward = _stepwise_backward(config)
-        self._psi = np.asarray(
-            backward(
-                farfield,
-                weights,
-                jnp.asarray(self._phase_ff_folded, dtype=jnp.float32),
-                consts,
-            )
+        self._psi = backward(
+            farfield,
+            weights,
+            self._phase_ff_folded_device(),
+            consts,
         )
         self.iter += 1
 
@@ -1012,7 +1110,7 @@ class Hologram(_HologramStats):
             updates, opt_state = optimizer.update(grads, opt_state, psi)
             return optax.apply_updates(psi, updates), opt_state, value
 
-        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        psi = self._psi_device()
         opt_state = optimizer.init(psi)
 
         for _ in iterations:
@@ -1021,16 +1119,16 @@ class Hologram(_HologramStats):
             if hasattr(iterations, "set_description"):
                 iterations.set_description(f"loss={float(value):.3e}")
             if callback is not None:
-                self._psi = np.asarray(psi)
+                self._psi = psi
                 if callback(self):
                     break
             if self.flags["stat_groups"]:
-                self._psi = np.asarray(psi)
+                self._psi = psi
                 self._populate_results()
                 self._update_stats(self.flags["stat_groups"])
             self.iter += 1
 
-        self._psi = np.asarray(psi)
+        self._psi = psi
         self._populate_results()
 
     # ------------------------------------------------------------------

@@ -279,7 +279,7 @@ class MultiplaneHologram(Hologram):
             fix_phase_iteration=self.flags.get("fix_phase_iteration", 10),
             fix_phase_efficiency=self.flags.get("fix_phase_efficiency"),
         )
-        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        psi = self._psi_device()
         axis = self._mesh.axis_names[0]
 
         progress = tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
@@ -292,7 +292,7 @@ class MultiplaneHologram(Hologram):
             progress.close()
 
         # Scatter the state back into the children (gather across shards).
-        self._psi = np.asarray(psi)
+        self._psi = np.asarray(psi)  # host: children share the same view
         stats = np.asarray(stats)  # (n, B, 5): 4 metrics + Kim flag history.
         weights = np.asarray(weights)
         for b, h in enumerate(children):
@@ -350,18 +350,19 @@ class MultiplaneHologram(Hologram):
             windows = []
             stop = False
 
+            psi_dev = self._psi_device()
             for h, config, c in zip(children, configs, consts):
                 # Forward with the child's kernel, from the shared phase.
-                h._psi = self._psi
+                h._psi = psi_dev
                 kernel = c.get("kernel") if config.has_kernel else None
                 farfield, amp_ff, theta = _prop.forward_fields(
-                    jnp.asarray(self._psi, dtype=jnp.float32),
+                    psi_dev,
                     amp,
                     config.shape,
                     kernel,
                 )
                 h._farfield_folded = farfield
-                h.amp_ff = np.asarray(amp_ff)
+                h.amp_ff = amp_ff  # device; host view materializes lazily
                 h._midloop_cleaning()
                 h.iter = self.iter
 
@@ -371,8 +372,8 @@ class MultiplaneHologram(Hologram):
                 if "WGS" in h.flags["method"] and h.iter > 0:
                     h._update_weights()
                     h._kim_decision_host()
-                if was_not_fixed or h._phase_ff_folded is None:
-                    h._phase_ff_folded = np.asarray(theta)
+                if was_not_fixed or not h._has_phase_ff():
+                    h._phase_ff_folded = theta
 
                 weights = jnp.asarray(
                     np.nan_to_num(np.asarray(h.weights, dtype=np.float32))
@@ -382,13 +383,13 @@ class MultiplaneHologram(Hologram):
                     backward(
                         farfield,
                         weights,
-                        jnp.asarray(h._phase_ff_folded, dtype=jnp.float32),
+                        h._phase_ff_folded_device(),
                         jnp.float32(self.weights[children.index(h)]),
                         c,
                     )
                 )
 
-            self._psi = np.asarray(_combine_windows(tuple(windows)))
+            self._psi = _combine_windows(tuple(windows))  # stays on device
 
             if callback is not None and callback(self):
                 stop = True
@@ -462,7 +463,7 @@ class MultiplaneHologram(Hologram):
             updates, opt_state = optimizer.update(grads, opt_state, psi)
             return optax.apply_updates(psi, updates), opt_state, value
 
-        psi = jnp.asarray(self._psi, dtype=jnp.float32)
+        psi = self._psi_device()
         opt_state = optimizer.init(psi)
 
         for _ in iterations:
@@ -471,13 +472,13 @@ class MultiplaneHologram(Hologram):
             if hasattr(iterations, "set_description"):
                 iterations.set_description(f"loss={float(value):.3e}")
             if callback is not None:
-                self._psi = np.asarray(psi)
+                self._psi = psi
                 if callback(self):
                     break
             self.iter += 1
 
-        self._psi = np.asarray(psi)
+        self._psi = psi
         for h in children:
-            h._psi = self._psi
+            h._psi = psi
             h.iter = self.iter
         self._populate_results()

@@ -879,8 +879,8 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             psi=self._psi_device_flat(),
             weights=jnp.asarray(np.nan_to_num(np.asarray(self.weights, np.float32))),
             phase_ff=(
-                jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
-                if self._phase_ff_folded is not None
+                self._phase_ff_folded_device()
+                if self._has_phase_ff()
                 else jnp.zeros(len(self), jnp.float32)
             ),
             fixed_phase=jnp.asarray(bool(self.flags.get("fixed_phase", False))),
@@ -1248,7 +1248,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         )
 
     def _populate_stats(self, stats, stat_groups):
-        if "computational_spot" in stat_groups and self.amp_ff is not None:
+        if "computational_spot" in stat_groups and self._has_amp_ff():
             stats["computational_spot"] = self._calculate_stats(
                 self.amp_ff,
                 np.nan_to_num(np.asarray(self.target)),

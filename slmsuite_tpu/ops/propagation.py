@@ -64,14 +64,27 @@ def checkerboard(slm_shape, window_offset=(0, 0), dtype=np.float32):
     r"""
     The fold phase :math:`\pi \cdot ((i + j + o_y + o_x) \bmod 2)` on the SLM
     window, where the offset accounts for the window position in the canvas.
-    Host-side (numpy): used only at user boundaries.
+    Host-side (numpy): used only at user boundaries. Cached per
+    shape/offset (host-in-the-loop paths fold every iteration) and
+    returned read-only.
     """
-    iy, ix = np.meshgrid(
-        np.arange(slm_shape[0]) + window_offset[0],
-        np.arange(slm_shape[1]) + window_offset[1],
-        indexing="ij",
+    return _checkerboard_cached(
+        tuple(int(v) for v in slm_shape),
+        (int(window_offset[0]), int(window_offset[1])),
+        np.dtype(dtype).str,
     )
-    return (np.pi * ((iy + ix) % 2)).astype(dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _checkerboard_cached(slm_shape, window_offset, dtype_str):
+    parity = (window_offset[0] + window_offset[1]) % 2
+    row = np.arange(slm_shape[1], dtype=np.int64)
+    col = np.arange(slm_shape[0], dtype=np.int64)
+    board = (np.pi * ((col[:, None] + row[None, :] + parity) % 2)).astype(
+        np.dtype(dtype_str)
+    )
+    board.setflags(write=False)
+    return board
 
 
 def fold_phase(phase, shape):
