@@ -796,3 +796,74 @@ class TestNumericChecks:
         with pytest.raises(Exception, match="nan"):
             state, stats = E.run_gs(config, state, consts, 3)
             np.asarray(stats)
+
+
+class TestDualStoreState:
+    """
+    The per-iteration planes (psi, amp_ff, stored farfield phase) keep a
+    device-resident copy with a lazily materialized host view. These pin
+    the invariants: reads see current data, and HOST-SIDE writes (both
+    assignment and in-place mutation of a previously read view) take
+    precedence over any stale device copy on the next engine run.
+    """
+
+    def _small_holo(self, spot_target):
+        target, slm_shape = spot_target
+        np.random.seed(0)
+        return Hologram(target, slm_shape=slm_shape)
+
+    def test_phase_read_after_optimize(self, spot_target):
+        holo = self._small_holo(spot_target)
+        holo.optimize("GS", maxiter=3, verbose=False)
+        p1 = holo.phase
+        assert p1.shape == holo.slm_shape
+        # The folded host view materializes once (no re-download); the
+        # user-facing ``phase`` is derived from it on each read.
+        assert holo._psi is holo._psi
+        np.testing.assert_array_equal(holo.phase, p1)
+
+    def test_materialized_view_is_readonly(self, spot_target):
+        # The lazily materialized host view aliases the device buffer, so
+        # it is read-only: in-place mutation raises loudly instead of
+        # silently diverging from the device copy. Mutations go through
+        # assignment (which invalidates the device copy).
+        holo = self._small_holo(spot_target)
+        holo.optimize("GS", maxiter=3, verbose=False)
+        with pytest.raises(ValueError, match="read-only"):
+            holo._psi[:, :] = 0.25
+
+        holo2 = self._small_holo(spot_target)
+        holo2.optimize("GS", maxiter=3, verbose=False)
+        holo2._psi = np.full(holo2.slm_shape, 0.25, np.float32)
+        assert holo2._psi_dev is None  # assignment invalidates device copy
+        holo2.optimize("GS", maxiter=1, verbose=False)
+        assert np.isfinite(holo2.phase).all()
+
+    def test_phase_assignment_respected(self, spot_target):
+        holo = self._small_holo(spot_target)
+        holo.optimize("GS", maxiter=3, verbose=False)
+        custom = np.full(holo.slm_shape, 0.5, np.float32)
+        holo.phase = custom
+        np.testing.assert_allclose(holo.phase, custom, atol=1e-6)
+
+    def test_amp_ff_matches_populate(self, spot_target):
+        holo = self._small_holo(spot_target)
+        holo.optimize("GS", maxiter=2, verbose=False)
+        lazy = np.asarray(holo.amp_ff)
+        holo._populate_results()
+        np.testing.assert_allclose(lazy, np.asarray(holo.amp_ff), atol=1e-6)
+
+    def test_assignment_invalidates_device(self, spot_target):
+        holo = self._small_holo(spot_target)
+        holo.optimize("GS", maxiter=2, verbose=False)
+        holo.amp_ff = np.zeros(holo.shape, np.float32)
+        assert holo._amp_ff_dev is None
+        assert float(np.max(holo.amp_ff)) == 0.0
+
+    def test_reset_clears_both_stores(self, spot_target):
+        holo = self._small_holo(spot_target)
+        holo.optimize("GS", maxiter=2, verbose=False)
+        holo.reset()
+        assert holo.amp_ff is None
+        assert not holo._has_phase_ff()
+        assert holo.phase is not None  # reset_phase re-randomizes
