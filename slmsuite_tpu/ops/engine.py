@@ -134,14 +134,8 @@ def _compute_group_stats(group, config, consts, amp_ff, spot_feedback):
 _FUSABLE_METHODS = ("WGS-Leonardo", "WGS-Kim", "WGS-Wu", "WGS-tanh")
 
 
-def _fused_active(config: GSConfig):
-    """True when the fully-fused scrambled WGS step applies to ``config``.
-
-    Requires the phase-in/phase-out geometry (farfield == SLM shape, no
-    propagation kernel), plain computational feedback, a fusable weight
-    rule, and no couplings that need a reduction before the constraint
-    (Kim's efficiency trigger, MRAF masks, spot integration).
-    """
+def _fused_common(config: GSConfig):
+    """Shared gate for the fused/semi-fused scrambled WGS steps."""
     needs_spot = (
         config.feedback == "computational_spot"
         or "computational_spot" in config.stat_groups
@@ -153,11 +147,40 @@ def _fused_active(config: GSConfig):
         and config.is_wgs
         and config.feedback == "computational"
         and not needs_spot
-        and not config.mraf
         and config.method in _FUSABLE_METHODS
         and not config.kim_efficiency_trigger
         and config.nan_checks
         and all(g == "computational" for g in config.stat_groups)
+    )
+
+
+def _fused_active(config: GSConfig):
+    """True when the fully-fused scrambled WGS step applies to ``config``.
+
+    Requires the phase-in/phase-out geometry (farfield == SLM shape, no
+    propagation kernel), plain computational feedback, a fusable weight
+    rule, and no couplings that need a reduction before the constraint
+    (Kim's efficiency trigger, MRAF masks, spot integration).
+    """
+    return _fused_common(config) and not config.mraf
+
+
+def _mraf_fused_active(config: GSConfig):
+    """True when the MRAF semi-fused step applies: like the fused WGS
+    gate but WITH MRAF masks (the signal:noise mix needs the exact
+    current weight norm, so one scalar reduction syncs between the
+    forward and inverse column passes). Evolving zero-region weights
+    (``zero_factor``) carry extra complex state and stay on the
+    standard path. Restricted to Leonardo/Kim: their correction factor
+    is exactly 1 on the cleaned (noise -> 0) target, matching the
+    standard path's NaN guard; Wu/tanh propagate the NaN target into
+    1e-4 noise weights (reference behavior) whose norm contribution the
+    kernels would not reproduce."""
+    return (
+        _fused_common(config)
+        and config.mraf
+        and not config.zero_factor
+        and config.method in ("WGS-Leonardo", "WGS-Kim")
     )
 
 
@@ -181,6 +204,28 @@ def _augment_fused_consts(config: GSConfig, consts):
         consts["_inv_tsum"] = 1.0 / jnp.sum(jnp.square(consts["target"]))
     else:
         consts["_inv_tsum"] = jnp.float32(1.0)
+    if config.mraf:
+        # Region code plane for the semi-fused MRAF mix:
+        # 1 = signal, 2 = noise, 0 = zero.
+        consts["_mraf_code"] = (
+            consts["signal_mask"].astype(jnp.float32)
+            + 2.0 * consts["noise_mask"].astype(jnp.float32)
+        )
+        consts["_mraf_k"] = (
+            consts["mraf_factor"]
+            if config.mraf_factor
+            else jnp.float32(1.0)
+        )
+        # The user-facing target carries NaN in the noise region; the
+        # kernels consume the cleaned plane (noise -> 0). For the
+        # Leonardo/Kim rule the zero target lands on correction factor 1
+        # exactly like the NaN guard, and the stats match
+        # calculate_stats' internal nan_to_num.
+        consts["target"] = jnp.nan_to_num(consts["target"])
+        if config.stat_groups:
+            consts["_inv_tsum"] = 1.0 / jnp.sum(
+                jnp.square(consts["target"])
+            )
     return consts
 
 
@@ -288,6 +333,108 @@ def _make_fused_step(config: GSConfig):
     return step
 
 
+def _make_mraf_fused_step(config: GSConfig):
+    """MRAF semi-fused step: four Pallas kernels + one exact scalar norm
+    sync (see :meth:`slmsuite_tpu.ops.fft.mraf_fused_step`). The weight
+    carry is unnormalized with its norm in ``w_norm`` (finalized on
+    exit), exactly like the fused WGS step."""
+    from slmsuite_tpu.ops import fft as _fft
+
+    stats_on = bool(config.stat_groups)
+    rule = config.method[4:].lower()
+
+    def step(state, consts):
+        was_not_fixed = jnp.logical_not(state.fixed_phase)
+        apply_update = state.iteration > 0
+        scalars = {
+            "inv_prev_norm": 1.0 / state.w_norm,
+            "apply_update": apply_update.astype(jnp.float32),
+            "use_theta": was_not_fixed.astype(jnp.float32),
+            "feedback_exponent": consts["feedback_exponent"],
+            "feedback_factor": consts["feedback_factor"],
+            "inv_fnorm": consts["_inv_fnorm"],
+            "inv_tsum": consts["_inv_tsum"],
+            "inv_fsum": consts["_inv_fsum"],
+            "mraf_factor": consts["_mraf_k"],
+        }
+        psi, weights, pff_out, sums, maxs = _fft.mraf_fused_step(
+            state.psi,
+            consts["amp"],
+            state.weights,
+            state.phase_ff if config.is_kim else None,
+            consts["target"],
+            consts.get("_stat_mask_f32"),
+            consts["_mraf_code"],
+            scalars,
+            rule=rule,
+            kim=config.is_kim,
+            stats_on=stats_on,
+        )
+
+        if config.is_kim:
+            streak = jnp.where(
+                was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak
+            )
+            iter_trigger = jnp.logical_and(
+                jnp.logical_and(
+                    was_not_fixed,
+                    state.iteration >= consts["fix_phase_iteration"] - 1,
+                ),
+                streak >= consts["fix_phase_iteration"],
+            )
+            fixed = jnp.logical_or(state.fixed_phase, iter_trigger)
+            fixed = jnp.logical_and(fixed, state.iteration > 0)
+            phase_ff = pff_out
+        else:
+            fixed = jnp.zeros((), dtype=bool)
+            streak = state.unfixed_streak
+            phase_ff = state.phase_ff
+
+        w_norm = jnp.where(apply_update, jnp.sqrt(sums[3]), state.w_norm)
+
+        if stats_on:
+            count = consts["_stat_count"]
+            efficiency = (
+                jnp.square(sums[0]) * consts["_inv_tsum"] * consts["_inv_fsum"]
+            )
+            u_max, u_min = maxs[1], -maxs[3]
+            uniformity = 1 - (u_max - u_min) / (u_max + u_min)
+            err_mean = sums[1] / count
+            err_var = sums[2] / count - jnp.square(err_mean)
+            pkpk_err = count * (maxs[0] - (-maxs[2]))
+            std_err = count * jnp.sqrt(jnp.maximum(err_var, 0.0))
+            stats_rows = [
+                jnp.stack([efficiency, uniformity, pkpk_err, std_err]).astype(
+                    jnp.float32
+                )
+            ]
+        else:
+            efficiency = jnp.float32(jnp.nan)
+            stats_rows = []
+
+        new_state = GSState(
+            psi=psi,
+            weights=weights,
+            phase_ff=phase_ff,
+            zero_weights=state.zero_weights,
+            fixed_phase=fixed,
+            unfixed_streak=streak,
+            iteration=state.iteration + 1,
+            w_norm=w_norm,
+        )
+        internal = jnp.stack(
+            [
+                efficiency,
+                state.fixed_phase.astype(jnp.float32),
+                jnp.float32(0),
+                jnp.float32(0),
+            ]
+        )
+        return new_state, jnp.stack(stats_rows + [internal])
+
+    return step
+
+
 def make_gs_step(config: GSConfig):
     """
     Build the pure per-iteration step function
@@ -299,6 +446,8 @@ def make_gs_step(config: GSConfig):
     """
     if _fused_active(config):
         return _make_fused_step(config)
+    if _mraf_fused_active(config):
+        return _make_mraf_fused_step(config)
 
     needs_spot_feedback = (
         config.feedback == "computational_spot"
@@ -527,7 +676,7 @@ def set_numeric_checks(enable):
 def _compiled_run(config: GSConfig, n_iterations: int):
     """Compile ``scan(step, state, length=n)`` with donated state."""
     step = make_gs_step(config)
-    fused = _fused_active(config)
+    fused = _fused_active(config) or _mraf_fused_active(config)
 
     def run(state, consts):
         if fused:
@@ -674,7 +823,7 @@ def run_gs(config: GSConfig, state: GSState, consts: dict, n_iterations: int):
 
 def _provision_fused(config: GSConfig, state: GSState):
     """Give the fused loop its deferred-normalization scalar."""
-    if _fused_active(config) and state.w_norm is None:
+    if (_fused_active(config) or _mraf_fused_active(config)) and state.w_norm is None:
         state = state._replace(w_norm=jnp.ones((), jnp.float32))
     return state
 
@@ -682,7 +831,9 @@ def _provision_fused(config: GSConfig, state: GSState):
 def _finalize_fused(config: GSConfig, state: GSState):
     """Renormalize the deferred-norm weights once on exit (the in-loop
     trajectory is weight-scale-invariant; see ``_make_fused_step``)."""
-    if _fused_active(config) and state.w_norm is not None:
+    if (
+        _fused_active(config) or _mraf_fused_active(config)
+    ) and state.w_norm is not None:
         state = state._replace(
             weights=state.weights / state.w_norm,
             w_norm=jnp.ones((), jnp.float32),

@@ -508,6 +508,117 @@ def wgs_fused_forward(psi, amp, weights, phase_ff, target, mask, scalars,
     )
 
 
+def _mraf_fused_step_jnp(psi, amp, weights, phase_ff, target, mask,
+                         mcode, scalars, *, rule, kim, stats_on):
+    """Reference (einsum/XLA) implementation of the MRAF semi-fused step.
+
+    ``weights`` is the UNNORMALIZED carry; the exact current norm is
+    computed internally (the one reduction MRAF fundamentally needs
+    between the forward transform and the constraint)."""
+    re0 = amp * jnp.cos(psi)
+    im0 = amp * jnp.sin(psi)
+    fr, fi = fft2_scrambled_pair(re0, im0)
+    f = jnp.sqrt(jnp.square(fr) + jnp.square(fi))
+    theta = jnp.arctan2(fi, fr)
+
+    uw = weights * _mraf_correction(f, target, scalars, rule)
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    # Keep the carry bounded via the previous norm; the mix renormalizes
+    # exactly below.
+    uw = jnp.where(
+        scalars["apply_update"] > 0, uw * scalars["inv_prev_norm"], weights
+    )
+    norm_sq = jnp.sum(jnp.square(uw))
+    inv_norm = jax.lax.rsqrt(norm_sq)
+
+    if kim:
+        phase = jnp.where(scalars["use_theta"] > 0, theta, phase_ff)
+        pff_out = phase
+    else:
+        phase = theta
+        pff_out = None
+
+    k = scalars["mraf_factor"]
+    wn = uw * inv_norm
+    sig = mcode == 1.0
+    noi = mcode == 2.0
+    cre = jnp.where(sig, wn * jnp.cos(phase), jnp.where(noi, k * f * jnp.cos(theta), 0.0))
+    cim = jnp.where(sig, wn * jnp.sin(phase), jnp.where(noi, k * f * jnp.sin(theta), 0.0))
+    nr, ni = ifft2_scrambled_pair(cre, cim)
+
+    neg = jnp.float32(_WGS_NEG_FILL)
+    if stats_on:
+        fsq = jnp.square(f)
+        tsq = jnp.square(target)
+        overlap = jnp.sum(target * f)
+        err_full = tsq * scalars["inv_tsum"] - fsq * scalars["inv_fsum"]
+        err = err_full * mask
+        on = mask > 0
+        u = fsq / jnp.where(on, tsq, 1.0)
+        sums = jnp.stack(
+            [overlap, jnp.sum(err), jnp.sum(jnp.square(err)), norm_sq]
+        )
+        maxs = jnp.stack(
+            [
+                jnp.max(jnp.where(on, err_full, neg)),
+                jnp.max(jnp.where(on, u, neg)),
+                jnp.max(jnp.where(on, -err_full, neg)),
+                jnp.max(jnp.where(on, -u, neg)),
+            ]
+        )
+    else:
+        zero = jnp.float32(0.0)
+        sums = jnp.stack([zero, zero, zero, norm_sq])
+        maxs = jnp.full((4,), neg)
+    return jnp.arctan2(ni, nr), uw, pff_out, sums, maxs
+
+
+def _mraf_correction(f, target, scalars, rule):
+    """jnp twin of the kernel's ``_weight_correction``."""
+    p = scalars["feedback_exponent"]
+    if rule in ("leonardo", "kim"):
+        on = target != 0
+        c = f / jnp.where(on, target, 1.0)
+        c = jnp.where(on & (c > 0) & jnp.isfinite(c), c, 1.0)
+        c = jnp.exp(-p * jnp.log(c))
+    elif rule == "wu":
+        c = jnp.exp(p * (target - p * f * scalars["inv_fnorm"]))
+    elif rule == "tanh":
+        c = 1.0 + scalars["feedback_factor"] * jnp.tanh(
+            p * (target - p * f * scalars["inv_fnorm"])
+        )
+    else:
+        raise ValueError(f"Unfusable rule '{rule}'.")
+    return jnp.where(jnp.isinf(c), 1.0, c)
+
+
+def mraf_fused_step(psi, amp, weights, phase_ff, target, mask, mcode,
+                    scalars, *, rule, kim, stats_on):
+    """
+    One complete MRAF WGS iteration (scrambled layout), psi in -> psi
+    out. ``mcode`` is the farfield region code plane (1 = signal,
+    2 = noise, 0 = zero); ``scalars["mraf_factor"]`` the noise retention
+    factor. The weight carry is unnormalized (norm = sqrt(sums[3])).
+
+    On TPU this runs as FOUR Pallas kernels with one exact scalar norm
+    sync between the forward and inverse column passes (see
+    :meth:`slmsuite_tpu.ops.pallas_fft.mraf_fused_step_pallas`); the
+    complex farfield never exists in HBM. Elsewhere it composes the jnp
+    twins.
+    """
+    if _use_pallas_scrambled(psi.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.mraf_fused_step_pallas(
+            psi, amp, weights, phase_ff, target, mask, mcode, scalars,
+            rule=rule, kim=kim, stats_on=stats_on,
+        )
+    return _mraf_fused_step_jnp(
+        psi, amp, weights, phase_ff, target, mask, mcode, scalars,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )
+
+
 def wgs_fused_step(psi, amp, weights, phase_ff, target, mask, scalars,
                    *, rule, kim, stats_on):
     """

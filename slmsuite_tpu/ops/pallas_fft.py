@@ -539,6 +539,28 @@ _SC_FACTOR = 5          # feedback_factor
 _SC_INV_FNORM = 6       # 1 / sqrt(Parseval feedback power)
 _SC_INV_TSUM = 7        # 1 / sum(target^2)
 _SC_INV_FSUM = 8        # 1 / Parseval feedback power
+_SC_MRAF_K = 9          # MRAF noise-region retention factor
+_SC_INV_WNORM = 10      # 1 / ||w * c|| (exact, MRAF semi-fused step)
+
+
+def _weight_correction(f, t, scal_ref, rule):
+    """Elementwise WGS weight-correction factor ``c`` (never depends on
+    the weight scale); guards mirror ``update_weights_generic``."""
+    p = scal_ref[0, _SC_EXPONENT]
+    if rule in ("leonardo", "kim"):
+        # (f/t)^(-p) via exp/log.
+        c = f / t
+        c = jnp.where(jnp.isfinite(c) & (t != 0), c, 1.0)
+        c = jnp.exp(-p * jnp.log(c))
+    elif rule == "wu":
+        term = t - p * f * scal_ref[0, _SC_INV_FNORM]
+        c = jnp.exp(p * term)
+    elif rule == "tanh":
+        term = t - p * f * scal_ref[0, _SC_INV_FNORM]
+        c = 1.0 + scal_ref[0, _SC_FACTOR] * jnp.tanh(p * term)
+    else:
+        raise ValueError(f"Unfusable rule '{rule}'.")
+    return jnp.where(jnp.isinf(c), 1.0, c)
 
 
 def _parse_wgs_refs(refs, kim, stats_on):
@@ -589,22 +611,7 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
     t = t_ref[...]
     w = w_ref[...]
 
-    # Weight correction factor (never depends on w: scale-covariant).
-    if rule in ("leonardo", "kim"):
-        # (f/t)^(-p) via exp/log; guards mirror update_weights_generic.
-        c = f / t
-        c = jnp.where(jnp.isfinite(c) & (t != 0), c, 1.0)
-        c = jnp.exp(-p * jnp.log(c))
-    elif rule == "wu":
-        # Matches update_weights_generic: term = t - p * f_hat.
-        term = t - p * f * scal_ref[0, _SC_INV_FNORM]
-        c = jnp.exp(p * term)
-    elif rule == "tanh":
-        term = t - p * f * scal_ref[0, _SC_INV_FNORM]
-        c = 1.0 + scal_ref[0, _SC_FACTOR] * jnp.tanh(p * term)
-    else:
-        raise ValueError(f"Unfusable rule '{rule}'.")
-    c = jnp.where(jnp.isinf(c), 1.0, c)
+    c = _weight_correction(f, t, scal_ref, rule)
 
     uw = w * c
     uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
@@ -622,15 +629,24 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
 
     # --- Accumulators (revisited (8, 128) tiles; grid is sequential). ---
     norm_p = jnp.sum(wout * wout)
+    sums_tile, maxs_tile = _acc_tiles(
+        f, t, mask_ref[...] if stats_on else None, scal_ref, norm_p
+    )
+    _acc_update(accs_ref, accm_ref, sums_tile, maxs_tile)
+    return re, im
 
+
+def _acc_tiles(f, t, mask, scal_ref, norm_p):
+    """Per-tile stats partials packed into (8, 128) accumulator tiles:
+    sums rows = [overlap, err_sum, err_sq_sum, norm_sq], maxs rows =
+    [err_max, u_max, -err_min, -u_min]. ``mask=None`` skips stats."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
     def at(j, value, fill=0.0):
         return jnp.where((rows == j) & (cols == 0), value, jnp.float32(fill))
 
-    if stats_on:
-        mask = mask_ref[...]
+    if mask is not None:
         inv_tsum = scal_ref[0, _SC_INV_TSUM]
         inv_fsum = scal_ref[0, _SC_INV_FSUM]
         fsq = f * f
@@ -659,7 +675,11 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
     else:
         sums_tile = at(3, norm_p)
         maxs_tile = jnp.full((8, 128), jnp.float32(_NEG_FILL))
+    return sums_tile, maxs_tile
 
+
+def _acc_update(accs_ref, accm_ref, sums_tile, maxs_tile):
+    """Zero-init on the first grid step, then accumulate (sequential grid)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -669,7 +689,6 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
 
     accs_ref[...] += sums_tile
     accm_ref[...] = jnp.maximum(accm_ref[...], maxs_tile)
-    return re, im
 
 
 def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
@@ -988,6 +1007,275 @@ def wgs_fused_step_pallas(psi, amp, weights, phase_ff, target, mask,
     )(hr, hi, *[jnp.asarray(m) for m in rmats])
 
     return psi_out, wout, pff_out, accs[:4, 0], accm[:4, 0]
+
+
+# --------------------------------------------------------------------------
+# MRAF semi-fused step (four kernels + one exact scalar sync).
+#
+# MRAF (mixed-region amplitude freedom) mixes the *normalized* updated
+# weights in the signal region with the free-evolving farfield in the
+# noise region — the signal:noise relative scale requires the EXACT
+# current weight norm, so the one-kernel round trip of the plain WGS step
+# (which defers normalization by a whole iteration) cannot apply. Instead:
+#
+#   K1  rows forward (synthesize amp * e^{i psi})
+#   K2f cols forward + polar + unnormalized weight update uw = w*c +
+#       stats partials + sum(uw^2) accumulator
+#   (XLA: inv_norm = rsqrt(sum(uw^2)) — one scalar op)
+#   K2b constraint mix (signal: uw*inv_norm * e^{i phi}; noise:
+#       k * f * e^{i theta}; zero: 0) + INVERSE cols pass
+#   K3  rows inverse + phase extraction
+#
+# The complex farfield still never exists in HBM; only f, theta, uw (and
+# the half-transformed field) cross between kernels. The weight state is
+# carried UNNORMALIZED with its norm as a scalar (same convention as the
+# fused WGS step) and renormalized once on exit.
+# --------------------------------------------------------------------------
+
+
+def _cols_mraf_fwd_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref,
+                          twr_ref, twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
+                          w_ref, t_ref, scal_ref, *refs,
+                          n1, n2, rule, stats_on):
+    """Forward cols FFT + polar + unnormalized WGS weight update.
+
+    Variadic refs: ``[mask] | f, theta, uw, accs, accm``.
+    """
+    br, bi = _fft_core(
+        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
+        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
+        w2ts_ref[...], n1, n2, False,
+    )
+    idx = 0
+    mask_ref = refs[idx] if stats_on else None
+    idx += 1 if stats_on else 0
+    f_ref, th_ref, uw_ref, accs_ref, accm_ref = refs[idx:idx + 5]
+
+    post = scal_ref[0, _SC_POST_SCALE]
+    apply_u = scal_ref[0, _SC_APPLY_UPDATE]
+    inv_prev = scal_ref[0, _SC_INV_PREV_NORM]
+
+    f = jnp.sqrt(br * br + bi * bi) * post
+    theta = _atan2(bi, br)
+    t = t_ref[...]
+    w = w_ref[...]
+
+    c = _weight_correction(f, t, scal_ref, rule)
+    uw = w * c
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    # Scale by the PREVIOUS norm to keep the carry bounded across long
+    # scans; the mix below renormalizes EXACTLY via _SC_INV_WNORM.
+    uw = jnp.where(apply_u > 0, uw * inv_prev, w)
+
+    f_ref[...] = f
+    th_ref[...] = theta
+    uw_ref[...] = uw
+
+    norm_p = jnp.sum(uw * uw)
+    sums_tile, maxs_tile = _acc_tiles(
+        f, t, mask_ref[...] if stats_on else None, scal_ref, norm_p
+    )
+    _acc_update(accs_ref, accm_ref, sums_tile, maxs_tile)
+
+
+def _cols_mraf_inv_kernel(f_ref, th_ref, uw_ref, mc_ref,
+                          v1r_ref, v1i_ref, v1s_ref, vtr_ref, vti_ref,
+                          v2tr_ref, v2ti_ref, v2ts_ref,
+                          scal_ref, *refs, n1, n2, kim):
+    """MRAF constraint mix + INVERSE cols FFT on an (H, block) tile.
+
+    Variadic refs: ``[pff] | hr, hi, [pffout]``. ``mc`` codes the
+    farfield regions: 1 = signal, 2 = noise, 0 = zero.
+    """
+    idx = 0
+    pff_ref = refs[idx] if kim else None
+    idx += 1 if kim else 0
+    hr_ref, hi_ref = refs[idx:idx + 2]
+    idx += 2
+    pffout_ref = refs[idx] if kim else None
+
+    f = f_ref[...]
+    theta = th_ref[...]
+    uw = uw_ref[...]
+    mc = mc_ref[...]
+
+    inv_norm = scal_ref[0, _SC_INV_WNORM]
+    k = scal_ref[0, _SC_MRAF_K]
+
+    if kim:
+        phase = jnp.where(scal_ref[0, _SC_USE_THETA] > 0, theta, pff_ref[...])
+        pffout_ref[...] = phase
+    else:
+        phase = theta
+    sin_p, cos_p = _sincos(phase)
+
+    wn = uw * inv_norm
+    if kim:
+        sin_t, cos_t = _sincos(theta)
+    else:
+        sin_t, cos_t = sin_p, cos_p
+
+    sig = mc == 1.0
+    noi = mc == 2.0
+    re = jnp.where(sig, wn * cos_p, jnp.where(noi, k * f * cos_t, 0.0))
+    im = jnp.where(sig, wn * sin_p, jnp.where(noi, k * f * sin_t, 0.0))
+
+    cr, ci = _fft_core(
+        re, im, v1r_ref[...], v1i_ref[...], v1s_ref[...], vtr_ref[...],
+        vti_ref[...], v2tr_ref[...], v2ti_ref[...], v2ts_ref[...],
+        n1, n2, True,
+    )
+    hr_ref[...] = cr
+    hi_ref[...] = ci
+
+
+def mraf_fused_step_pallas(psi, amp, weights, phase_ff, target, mask,
+                           mcode, scalars, *, rule, kim, stats_on):
+    """
+    One complete MRAF WGS iteration (scrambled layout), psi in -> psi out.
+
+    ``weights`` is the UNNORMALIZED carry (its norm rides in
+    ``scalars["inv_prev_norm"]``'s place conventionally — but MRAF needs
+    the exact CURRENT norm, which this step computes internally between
+    the forward and inverse column passes).
+
+    Returns ``(psi_out, uw, phase_ff_out | None, sums, maxs)`` where
+    ``uw`` is the new unnormalized weight plane and ``sums[3]`` its
+    squared norm (stats partials follow the fused WGS conventions, with
+    the stats' weight norm row being sum(uw^2)).
+    """
+    H, W = psi.shape
+    scalar_amp = jnp.ndim(amp) == 0
+
+    # --- K1: rows pass, nearfield synthesized from phase. ---
+    n1, n2, *mats = _plan_f32(W, False)
+    block = min(BLOCK, H)
+    row_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    const_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if scalar_amp:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[row_spec] + const_specs,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(psi, *[jnp.asarray(m) for m in mats])
+        post = jnp.float32(1.0 / np.sqrt(H * W)) * amp
+    else:
+        xr, xi = pl.pallas_call(
+            functools.partial(_rows_phase_amp_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[row_spec, row_spec] + const_specs,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(psi, amp, *[jnp.asarray(m) for m in mats])
+        post = jnp.float32(1.0 / np.sqrt(H * W))
+
+    def scal_vec(extra=()):
+        vec = jnp.zeros((128,), jnp.float32)
+        vec = vec.at[_SC_POST_SCALE].set(post)
+        vec = vec.at[_SC_INV_PREV_NORM].set(scalars["inv_prev_norm"])
+        vec = vec.at[_SC_APPLY_UPDATE].set(scalars["apply_update"])
+        vec = vec.at[_SC_USE_THETA].set(
+            scalars.get("use_theta", jnp.float32(1.0))
+        )
+        vec = vec.at[_SC_EXPONENT].set(scalars["feedback_exponent"])
+        vec = vec.at[_SC_FACTOR].set(scalars["feedback_factor"])
+        vec = vec.at[_SC_INV_FNORM].set(scalars["inv_fnorm"])
+        vec = vec.at[_SC_INV_TSUM].set(scalars["inv_tsum"])
+        vec = vec.at[_SC_INV_FSUM].set(scalars["inv_fsum"])
+        vec = vec.at[_SC_MRAF_K].set(scalars["mraf_factor"])
+        for j, v in extra:
+            vec = vec.at[j].set(v)
+        return vec.reshape(1, 128)
+
+    # --- K2f: cols forward + polar + unnormalized weight update. ---
+    n1c, n2c, *fmats = _plan_f32(H, False)
+    blockc = min(BLOCK, W)
+    col_spec = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    fconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in fmats]
+    scal_spec = pl.BlockSpec((1, 128), lambda i: (0, 0))
+    acc_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    acc = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+
+    in_specs = [col_spec, col_spec] + fconst + [col_spec, col_spec, scal_spec]
+    operands = (
+        [xr, xi] + [jnp.asarray(m) for m in fmats]
+        + [weights, target, scal_vec()]
+    )
+    if stats_on:
+        in_specs.append(col_spec)
+        operands.append(mask)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _cols_mraf_fwd_kernel, n1=n1c, n2=n2c, rule=rule,
+            stats_on=stats_on,
+        ),
+        grid=(W // blockc,),
+        in_specs=in_specs,
+        out_specs=[col_spec, col_spec, col_spec, acc_spec, acc_spec],
+        out_shape=[plane, plane, plane, acc, acc],
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(*operands)
+    f, theta, uw, accs, accm = outs
+
+    # --- Exact norm sync (the one reduction MRAF fundamentally needs). ---
+    inv_norm = jax.lax.rsqrt(accs[3, 0])
+
+    # --- K2b: constraint mix + inverse cols pass. ---
+    _, _, *imats = _plan_f32(H, True)
+    iconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in imats]
+    in_specs = (
+        [col_spec, col_spec, col_spec, col_spec] + iconst + [scal_spec]
+    )
+    operands = (
+        [f, theta, uw, mcode] + [jnp.asarray(m) for m in imats]
+        + [scal_vec(extra=((_SC_INV_WNORM, inv_norm),))]
+    )
+    if kim:
+        in_specs.append(col_spec)
+        operands.append(phase_ff)
+    out_specs = [col_spec, col_spec]
+    out_shape = [plane, plane]
+    if kim:
+        out_specs.append(col_spec)
+        out_shape.append(plane)
+
+    outs = pl.pallas_call(
+        functools.partial(_cols_mraf_inv_kernel, n1=n1c, n2=n2c, kim=kim),
+        grid=(W // blockc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(*operands)
+    hr, hi = outs[0], outs[1]
+    pff_out = outs[2] if kim else None
+
+    # --- K3: inverse rows pass + phase extraction. ---
+    n1r, n2r, *rmats = _plan_f32(W, True)
+    rconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in rmats]
+    psi_out = pl.pallas_call(
+        functools.partial(_rows_phase_extract_kernel, n1=n1r, n2=n2r),
+        grid=(H // block,),
+        in_specs=[row_spec, row_spec] + rconst,
+        out_specs=row_spec,
+        out_shape=plane,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(hr, hi, *[jnp.asarray(m) for m in rmats])
+
+    return psi_out, uw, pff_out, accs[:4, 0], accm[:4, 0]
 
 
 @jax.jit

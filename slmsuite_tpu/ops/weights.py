@@ -113,8 +113,10 @@ def update_weights_generic(
         if nan_checks:
             # Pre-guarded division (identical result to dividing then
             # masking, but never produces the transient inf/nan that
-            # checkify instrumentation would flag).
-            on = target_amp != 0
+            # checkify instrumentation would flag). NaN targets (MRAF
+            # noise regions) are guarded too: they land on factor 1,
+            # exactly as the isfinite mask would have produced.
+            on = (target_amp != 0) & ~jnp.isnan(target_amp)
             corrected = feedback / jnp.where(on, target_amp, 1.0)
             corrected = jnp.where(jnp.isfinite(corrected) & on, corrected, 1.0)
         else:

@@ -596,6 +596,69 @@ class TestScrambledEngine:
                     err_msg=f"{rule}/{name}",
                 )
 
+    def test_mraf_step_pallas_kernel_interpret(self):
+        """The four-kernel Pallas MRAF semi-fused step matches its jnp
+        twin psi-for-psi (interpreter mode)."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import fft as F
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        N = 128
+        rng = np.random.default_rng(13)
+        psi = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        target = np.zeros((N, N), np.float32)
+        target[rng.integers(0, N, 12), rng.integers(0, N, 12)] = 1.0
+        target /= np.sqrt((target**2).sum())
+        phase_ff = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        mask = (target != 0).astype(np.float32)
+        noise = np.zeros((N, N), bool)
+        noise[: N // 4] = True
+        mcode = (
+            ((target > 0) & ~noise).astype(np.float32)
+            + 2.0 * noise.astype(np.float32)
+        )
+
+        scalars = {
+            "inv_prev_norm": jnp.float32(1.0),
+            "apply_update": jnp.float32(1.0),
+            "use_theta": jnp.float32(1.0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.2),
+            "inv_fnorm": jnp.float32(1.0),
+            "inv_tsum": jnp.float32(1.0 / (target**2).sum()),
+            "inv_fsum": jnp.float32(1.0),
+            "mraf_factor": jnp.float32(0.4),
+        }
+        args = (
+            jnp.asarray(psi), jnp.float32(1.0 / N), jnp.asarray(target.copy()),
+            jnp.asarray(phase_ff), jnp.asarray(target), jnp.asarray(mask),
+            jnp.asarray(mcode), scalars,
+        )
+
+        for rule, kim in (("kim", True), ("leonardo", False), ("wu", False)):
+            ref = F._mraf_fused_step_jnp(*args, rule=rule, kim=kim, stats_on=True)
+            PF._INTERPRET = True
+            try:
+                got = PF.mraf_fused_step_pallas(
+                    *args, rule=rule, kim=kim, stats_on=True
+                )
+            finally:
+                PF._INTERPRET = False
+            names = ("psi", "weights", "phase_ff", "sums", "maxs")
+            for name, a, b in zip(names, ref, got):
+                if a is None:
+                    assert b is None
+                    continue
+                # psi is ill-conditioned where the back-propagated field
+                # is near zero (MRAF zeroes whole regions): allow the
+                # same phase tolerance as the engine parity suite there.
+                atol = 2e-4 if name == "psi" else 3e-5
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=atol, rtol=1e-4,
+                    err_msg=f"{rule}/{name}",
+                )
+
     def test_non_pow2_stays_natural(self):
         from slmsuite_tpu.ops import engine as E
 

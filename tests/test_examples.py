@@ -29,7 +29,15 @@ EXAMPLES = [
 @pytest.mark.parametrize("script", EXAMPLES)
 def test_example_runs(script):
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(EXAMPLES_DIR) + os.pathsep + env.get("PYTHONPATH", "")
+    # Drop site-customization entries that force a hardware jax platform
+    # (they override JAX_PLATFORMS=cpu); the smoke runs must stay on CPU.
+    inherited = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(EXAMPLES_DIR)] + inherited
+    )
     env["JAX_PLATFORMS"] = "cpu"
     result = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES_DIR, script)],
