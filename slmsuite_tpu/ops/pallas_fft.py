@@ -42,20 +42,28 @@ BLOCK = 128
 
 @functools.lru_cache(maxsize=32)
 def _plan_f32(n, inverse):
-    """Four-step plan matrices as float32: (re, im, re+im) triples —
-    the sum matrix feeds the Karatsuba complex contraction."""
+    """Four-step plan matrices as float32: each DFT factor is packed as
+    the real BLOCK-COMPLEX matrix ``[[re, -im], [im, re]]`` so a stage's
+    whole complex contraction runs as ONE real dot on stacked [re; im]
+    data. On the MXU a dot with dims <= 128 costs one full (padded)
+    pass regardless of size, so one (2n, 2n) block dot is ~3x cheaper
+    than the three Karatsuba dots (and exactly as accurate as the plain
+    four-dot complex arithmetic)."""
     n1, n2, w1, tw, w2 = _plan(n, inverse)
-    w1r = np.ascontiguousarray(w1.real, np.float32)
-    w1i = np.ascontiguousarray(w1.imag, np.float32)
-    # W2 pre-transposed: contractions run as (m, n) x (n, ..) dots.
-    w2tr = np.ascontiguousarray(w2.real.T, np.float32)
-    w2ti = np.ascontiguousarray(w2.imag.T, np.float32)
+
+    def block(w):
+        re = np.ascontiguousarray(w.real, np.float32)
+        im = np.ascontiguousarray(w.imag, np.float32)
+        top = np.concatenate([re, -im], axis=1)
+        bot = np.concatenate([im, re], axis=1)
+        return np.ascontiguousarray(np.concatenate([top, bot], axis=0))
+
     return (
         n1, n2,
-        w1r, w1i, w1r + w1i,
+        block(w1),
         np.ascontiguousarray(tw.real, np.float32),
         np.ascontiguousarray(tw.imag, np.float32),
-        w2tr, w2ti, w2tr + w2ti,
+        block(w2),
     )
 
 
@@ -102,9 +110,8 @@ def _split_bf16(a):
     return hi_f.astype(jnp.bfloat16), (a - hi_f).astype(jnp.bfloat16)
 
 
-def _dot3(w, x):
+def _dot3(w, x, dims=(((1,), (0,)), ((), ()))):
     """(m, a) contract (a, b, lanes) -> (m, b, lanes); lanes ride free."""
-    dims = (((1,), (0,)), ((), ()))
     if _DOT_PRECISION == "BF16X3":
         wh, wl = _split_bf16(w)
         xh, xl = _split_bf16(x)
@@ -124,75 +131,71 @@ def _dot3(w, x):
     )
 
 
-def _cdot3(wr, wi, ws, xr, xi):
-    """
-    Complex (wr + i wi) contracted over x's leading axis — Karatsuba
-    form: three real dots instead of four. ``ws = wr + wi`` is
-    precomputed in the plan; the extra elementwise adds run against
-    VMEM and are far cheaper than a fourth MXU pass (unlike on the
-    HBM-bound einsum path, where this trade was measured to lose).
-
-        re = m1 - m2,  im = m3 - m1 - m2
-        m1 = wr·xr,  m2 = wi·xi,  m3 = (wr+wi)·(xr+xi)
-    """
-    m1 = _dot3(wr, xr)
-    m2 = _dot3(wi, xi)
-    m3 = _dot3(ws, xr + xi)
-    return m1 - m2, m3 - m1 - m2
+#: Contract the lhs's last axis with the MIDDLE axis of a 3D rhs:
+#: (m, a) x (b, a, lanes) -> (m, b, lanes). The DFT factor matrices are
+#: symmetric, so stage contractions can run in either orientation — this
+#: one keeps the data stationary (no VMEM relayout before the dot).
+_MID_DIMS = (((1,), (1,)), ((), ()))
 
 
-def _fft_core(xr, xi, w1r, w1i, w1s, twr, twi, w2tr, w2ti, w2ts,
-              n1, n2, inverse):
+def _fft_core(xr, xi, w1b, twr, twi, w2b, n1, n2, inverse):
     """
     Four-step FFT of an ``(n, L)`` pair along axis 0 (L lanes ride free).
 
     Forward: natural axis-0 order in -> scrambled ``(k1, k2)`` out.
     Inverse: scrambled in -> natural out (conjugate plan, mirrored
-    contraction order). ``w1s``/``w2ts`` are the Karatsuba sum matrices.
+    contraction order — relayout-free via middle-axis contractions; the
+    DFT factors are symmetric, so orientation is free).
+
+    Each stage is ONE real block-complex dot (``w1b``/``w2b`` pack
+    ``[[re, -im], [im, re]]``) over [re; im]-stacked data: on the MXU a
+    dot costs one padded pass regardless of dims <= 128, so this is ~3x
+    fewer passes than per-component dots.
     """
     L = xr.shape[1]
     xr = xr.reshape(n1, n2, L)
     xi = xi.reshape(n1, n2, L)
 
     if not inverse:
-        # Stage 1: contract n1 -> k1.
-        ar, ai = _cdot3(w1r, w1i, w1s, xr, xi)          # (k1, n2, L)
+        # Stage 1: contract n1 -> k1 on [re; im] stacked along axis 0.
+        x = jnp.concatenate([xr, xi], axis=0)           # (2n1, n2, L)
+        a = _dot3(w1b, x)                               # (2k1, n2, L)
+        ar, ai = a[:n1], a[n1:]
         # Stage 2: twiddle (k1, n2).
         tr = twr[:, :, None]
         ti = twi[:, :, None]
         ar, ai = ar * tr - ai * ti, ar * ti + ai * tr
-        # Stage 3: contract n2 -> k2.
-        ar = ar.transpose(1, 0, 2)                      # (n2, k1, L)
-        ai = ai.transpose(1, 0, 2)
-        br, bi = _cdot3(w2tr, w2ti, w2ts, ar, ai)       # (k2, k1, L)
-        br = br.transpose(1, 0, 2)                      # (k1, k2, L)
-        bi = bi.transpose(1, 0, 2)
+        # Stage 3: contract the MIDDLE axis (n2 -> k2) directly.
+        a2 = jnp.concatenate([ar, ai], axis=1)          # (k1, 2n2, L)
+        b = _dot3(w2b, a2, _MID_DIMS)                   # (2k2, k1, L)
+        br = b[:n2].transpose(1, 0, 2)                  # (k1, k2, L)
+        bi = b[n2:].transpose(1, 0, 2)
     else:
-        # Input (k1, k2, L): contract k2 with conj W2 first.
-        ar = xr.transpose(1, 0, 2)                      # (k2, k1, L)
-        ai = xi.transpose(1, 0, 2)
-        ar, ai = _cdot3(w2tr, w2ti, w2ts, ar, ai)       # (m2, k1, L)
+        # Input (k1, k2, L): contract k2 (middle axis) with conj W2
+        # first, then k1 (middle axis again) — fully relayout-free.
+        x2 = jnp.concatenate([xr, xi], axis=1)          # (k1, 2k2, L)
+        a = _dot3(w2b, x2, _MID_DIMS)                   # (2m2, k1, L)
+        ar, ai = a[:n2], a[n2:]
         # Conjugate twiddle, indexed (k1, m2) -> broadcast as (m2, k1).
         tr = twr.T[:, :, None]
         ti = twi.T[:, :, None]
         ar, ai = ar * tr - ai * ti, ar * ti + ai * tr
-        ar = ar.transpose(1, 0, 2)                      # (k1, m2, L)
-        ai = ai.transpose(1, 0, 2)
-        br, bi = _cdot3(w1r, w1i, w1s, ar, ai)          # (m1, m2, L)
+        a2 = jnp.concatenate([ar, ai], axis=1)          # (m2, 2k1, L)
+        b = _dot3(w1b, a2, _MID_DIMS)                   # (2m1, m2, L)
+        br, bi = b[:n1], b[n1:]
 
     return br.reshape(n1 * n2, L), bi.reshape(n1 * n2, L)
 
 
-def _rows_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
-                 twi_ref, w2tr_ref, w2ti_ref, w2ts_ref, outr_ref, outi_ref,
+def _rows_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref, outr_ref, outi_ref,
                  *, n1, n2, inverse):
     """FFT along the LAST axis of a (BLOCK, n) block: transpose in VMEM
     so the transform axis is sublane-major, then run the core."""
     xr = xr_ref[...].T                                  # (n, R)
     xi = xi_ref[...].T
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
-        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        xr, xi, w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...],
         n1, n2, inverse,
     )
     outr_ref[...] = br.T
@@ -281,17 +284,15 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _cols_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
-                 twi_ref, w2tr_ref, w2ti_ref, w2ts_ref, outr_ref, outi_ref,
+def _cols_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref, outr_ref, outi_ref,
                  *, n1, n2, inverse, polar_out=False, scale=1.0):
     """FFT along the FIRST axis of an (n, BLOCK) block: already
     sublane-major, no transposes at all. With ``polar_out`` the epilogue
     emits (amplitude, phase) instead of (re, im) — fusing the GS loop's
     abs/arctan2 into the FFT so the complex farfield never hits HBM."""
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
-        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        w2ts_ref[...], n1, n2, inverse,
+        xr_ref[...], xi_ref[...], w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...], n1, n2, inverse,
     )
     if polar_out:
         br = br * scale
@@ -416,25 +417,23 @@ def ifft2_scrambled_pallas(xr, xi):
 # --------------------------------------------------------------------------
 
 
-def _rows_phase_kernel(psi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
-                       twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
+def _rows_phase_kernel(psi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref,
                        outr_ref, outi_ref, *, n1, n2):
     """Forward rows FFT whose input is synthesized as e^{i psi}
     (scalar amplitudes fold into the output scale by linearity)."""
     psi = psi_ref[...].T                                # (n, R)
     xi, xr = _sincos(psi)
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
-        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        xr, xi, w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...],
         n1, n2, False,
     )
     outr_ref[...] = br.T
     outi_ref[...] = bi.T
 
 
-def _rows_phase_amp_kernel(psi_ref, amp_ref, w1r_ref, w1i_ref, w1s_ref,
-                           twr_ref, twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
-                           outr_ref, outi_ref, *, n1, n2):
+def _rows_phase_amp_kernel(psi_ref, amp_ref, w1b_ref, twr_ref, twi_ref,
+                           w2b_ref, outr_ref, outi_ref, *, n1, n2):
     """Like :meth:`_rows_phase_kernel` with a per-pixel amplitude array."""
     psi = psi_ref[...].T
     amp = amp_ref[...].T
@@ -442,22 +441,20 @@ def _rows_phase_amp_kernel(psi_ref, amp_ref, w1r_ref, w1i_ref, w1s_ref,
     xr = amp * xr
     xi = amp * xi
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
-        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        xr, xi, w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...],
         n1, n2, False,
     )
     outr_ref[...] = br.T
     outi_ref[...] = bi.T
 
 
-def _cols_phase_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
-                       twi_ref, w2tr_ref, w2ti_ref, w2ts_ref, out_ref,
+def _cols_phase_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref, out_ref,
                        *, n1, n2):
     """Inverse cols FFT emitting only the phase of the result."""
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
-        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        w2ts_ref[...], n1, n2, True,
+        xr_ref[...], xi_ref[...], w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...], n1, n2, True,
     )
     out_ref[...] = _atan2(bi, br)
 
@@ -691,8 +688,7 @@ def _acc_update(accs_ref, accm_ref, sums_tile, maxs_tile):
     accm_ref[...] = jnp.maximum(accm_ref[...], maxs_tile)
 
 
-def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
-                     twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
+def _cols_wgs_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref,
                      w_ref, t_ref, scal_ref, *refs,
                      n1, n2, rule, kim, stats_on):
     """Forward cols FFT + fused WGS epilogue on an (H, block) column tile.
@@ -700,9 +696,8 @@ def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
     Variadic refs: ``[mask], [pff] | re, im, wout, [pffout], accs, accm``.
     """
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
-        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        w2ts_ref[...], n1, n2, False,
+        xr_ref[...], xi_ref[...], w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...], n1, n2, False,
     )
     r = _parse_wgs_refs(refs, kim, stats_on)
     re, im = _wgs_epilogue(
@@ -714,10 +709,8 @@ def _cols_wgs_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref, twr_ref,
 
 
 def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
-                               w1r_ref, w1i_ref, w1s_ref, twr_ref, twi_ref,
-                               w2tr_ref, w2ti_ref, w2ts_ref,
-                               v1r_ref, v1i_ref, v1s_ref, vtr_ref, vti_ref,
-                               v2tr_ref, v2ti_ref, v2ts_ref,
+                               w1b_ref, twr_ref, twi_ref, w2b_ref,
+                               v1b_ref, vtr_ref, vti_ref, v2b_ref,
                                w_ref, t_ref, scal_ref, *refs,
                                n1, n2, rule, kim, stats_on):
     """
@@ -734,9 +727,8 @@ def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
     row-axis still scrambled) field.
     """
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
-        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        w2ts_ref[...], n1, n2, False,
+        xr_ref[...], xi_ref[...], w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...], n1, n2, False,
     )
     r = _parse_wgs_refs(refs, kim, stats_on)
     re, im = _wgs_epilogue(
@@ -744,25 +736,23 @@ def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
         rule=rule, kim=kim, stats_on=stats_on,
     )
     cr, ci = _fft_core(
-        re, im, v1r_ref[...], v1i_ref[...], v1s_ref[...], vtr_ref[...],
-        vti_ref[...], v2tr_ref[...], v2ti_ref[...], v2ts_ref[...],
+        re, im, v1b_ref[...], vtr_ref[...],
+        vti_ref[...], v2b_ref[...],
         n1, n2, True,
     )
     r["re"][...] = cr
     r["im"][...] = ci
 
 
-def _rows_phase_extract_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref,
-                               twr_ref, twi_ref, w2tr_ref, w2ti_ref,
-                               w2ts_ref, out_ref, *, n1, n2):
+def _rows_phase_extract_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref, out_ref, *, n1, n2):
     """Inverse ROW-axis FFT of a (block, W) row tile, emitting only the
     result's phase (the GS psi update): transpose in VMEM, inverse core,
     atan2, transpose back."""
     xr = xr_ref[...].T
     xi = xi_ref[...].T
     br, bi = _fft_core(
-        xr, xi, w1r_ref[...], w1i_ref[...], w1s_ref[...], twr_ref[...],
-        twi_ref[...], w2tr_ref[...], w2ti_ref[...], w2ts_ref[...],
+        xr, xi, w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...],
         n1, n2, True,
     )
     out_ref[...] = _atan2(bi, br).T
@@ -1033,18 +1023,16 @@ def wgs_fused_step_pallas(psi, amp, weights, phase_ff, target, mask,
 # --------------------------------------------------------------------------
 
 
-def _cols_mraf_fwd_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref,
-                          twr_ref, twi_ref, w2tr_ref, w2ti_ref, w2ts_ref,
-                          w_ref, t_ref, scal_ref, *refs,
+def _cols_mraf_fwd_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref,
+                          w2b_ref, w_ref, t_ref, scal_ref, *refs,
                           n1, n2, rule, stats_on):
     """Forward cols FFT + polar + unnormalized WGS weight update.
 
     Variadic refs: ``[mask] | f, theta, uw, accs, accm``.
     """
     br, bi = _fft_core(
-        xr_ref[...], xi_ref[...], w1r_ref[...], w1i_ref[...], w1s_ref[...],
-        twr_ref[...], twi_ref[...], w2tr_ref[...], w2ti_ref[...],
-        w2ts_ref[...], n1, n2, False,
+        xr_ref[...], xi_ref[...], w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...], n1, n2, False,
     )
     idx = 0
     mask_ref = refs[idx] if stats_on else None
@@ -1079,8 +1067,7 @@ def _cols_mraf_fwd_kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w1s_ref,
 
 
 def _cols_mraf_inv_kernel(f_ref, th_ref, uw_ref, mc_ref,
-                          v1r_ref, v1i_ref, v1s_ref, vtr_ref, vti_ref,
-                          v2tr_ref, v2ti_ref, v2ts_ref,
+                          v1b_ref, vtr_ref, vti_ref, v2b_ref,
                           scal_ref, *refs, n1, n2, kim):
     """MRAF constraint mix + INVERSE cols FFT on an (H, block) tile.
 
@@ -1121,8 +1108,8 @@ def _cols_mraf_inv_kernel(f_ref, th_ref, uw_ref, mc_ref,
     im = jnp.where(sig, wn * sin_p, jnp.where(noi, k * f * sin_t, 0.0))
 
     cr, ci = _fft_core(
-        re, im, v1r_ref[...], v1i_ref[...], v1s_ref[...], vtr_ref[...],
-        vti_ref[...], v2tr_ref[...], v2ti_ref[...], v2ts_ref[...],
+        re, im, v1b_ref[...], vtr_ref[...],
+        vti_ref[...], v2b_ref[...],
         n1, n2, True,
     )
     hr_ref[...] = cr

@@ -591,8 +591,12 @@ class TestScrambledEngine:
                 if a is None:
                     assert b is None
                     continue
+                # psi is ill-conditioned where the back-propagated field
+                # is near zero: allow the engine parity suite's phase
+                # tolerance there.
+                atol = 2e-4 if name == "psi" else 3e-5
                 np.testing.assert_allclose(
-                    np.asarray(b), np.asarray(a), atol=3e-5, rtol=1e-4,
+                    np.asarray(b), np.asarray(a), atol=atol, rtol=1e-4,
                     err_msg=f"{rule}/{name}",
                 )
 
