@@ -42,54 +42,15 @@ def _emit(metric, value, unit, baseline, **extra):
     print(json.dumps(result))
 
 
-def _spot_target(N, n_spots_side, spacing_div):
-    target = np.zeros((N, N), dtype=np.float32)
-    idx = (
-        (np.arange(n_spots_side) - (n_spots_side - 1) / 2) * (N // spacing_div)
-        + N / 2
-    ).astype(int)
-    xs, ys = np.meshgrid(idx, idx)
-    target[ys.ravel(), xs.ravel()] = 1.0
-    return target / np.sqrt((target**2).sum())
+def bench_engine(model, iters):
+    """Time the scanned engine on a flagship model
+    (:mod:`slmsuite_tpu.models`); returns (iter/s, stats)."""
+    from slmsuite_tpu.ops.engine import run_gs
 
-
-def bench_engine(N, iters, method, target, mraf=False, mraf_factor=None):
-    """Time the scanned engine on a prebuilt target; returns (iter/s, stats)."""
-    import jax.numpy as jnp
-
-    from slmsuite_tpu.ops.engine import GSConfig, init_gs_state, run_gs
-    from slmsuite_tpu.ops.propagation import fold_phase
-
-    shape = (N, N)
-    rng = np.random.default_rng(0)
-    phase0 = rng.uniform(-np.pi, np.pi, shape).astype(np.float32)
-
-    config = GSConfig(
-        method=method, shape=shape, slm_shape=shape,
-        stat_groups=("computational",), mraf=mraf,
-        mraf_factor=mraf_factor is not None,
-    )
-    clean = np.nan_to_num(target)
-    consts = {
-        "amp": jnp.float32(1.0 / N),
-        "target": jnp.asarray(clean),
-        "stat_mask": jnp.asarray(clean != 0),
-        "feedback_exponent": jnp.float32(0.8),
-        "feedback_factor": jnp.float32(0.1),
-        "fix_phase_iteration": jnp.int32(10),
-        "fix_phase_efficiency": jnp.float32(np.nan),
-    }
-    if mraf:
-        nan_mask = np.isnan(target)
-        consts["signal_mask"] = jnp.asarray(~nan_mask & (clean > 0))
-        consts["noise_mask"] = jnp.asarray(nan_mask)
-        consts["zero_mask"] = jnp.asarray(~nan_mask & (clean == 0))
-        consts["mraf_factor"] = jnp.float32(
-            mraf_factor if mraf_factor is not None else 0.5
-        )
+    config, consts = model.config, model.consts
 
     def once(n):
-        state = init_gs_state(config, fold_phase(phase0, shape), clean.copy())
+        state = model.init_state()
         # Force the initial-state H2D uploads BEFORE the timed window:
         # over a tunneled device they jitter by far more than the loop
         # itself and would corrupt the difference estimate below.
@@ -252,7 +213,9 @@ def config_2(argv):
 
     N = int(argv[0]) if argv else 2048
     iters = int(argv[1]) if len(argv) > 1 else 100
-    rate, stats = bench_engine(N, iters, "WGS-Kim", _spot_target(N, 32, 70))
+    from slmsuite_tpu.models import spot_array_wgs
+
+    rate, stats = bench_engine(spot_array_wgs(N=N, n_side=32, spacing_div=70), iters)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     extra = {}
@@ -319,7 +282,11 @@ def config_1(argv):
     """GS, 1024^2, 10x10 grid, 50 iters."""
     N = int(argv[0]) if argv else 1024
     iters = int(argv[1]) if len(argv) > 1 else 50
-    rate, stats = bench_engine(N, iters, "GS", _spot_target(N, 10, 24))
+    from slmsuite_tpu.models import spot_array_wgs
+
+    rate, stats = bench_engine(
+        spot_array_wgs(N=N, n_side=10, spacing_div=24, method="GS"), iters
+    )
     _emit(
         f"GS iterations/sec at {N}x{N} (10x10 spots)",
         rate, "iter/s", 1000.0,
@@ -331,14 +298,10 @@ def config_3(argv):
     """MRAF ring-image hologram with nan noise region."""
     N = int(argv[0]) if argv else 2048
     iters = int(argv[1]) if len(argv) > 1 else 100
-    yy, xx = np.meshgrid(*(np.arange(N) - N / 2 for _ in range(2)), indexing="ij")
-    radius = np.sqrt(xx**2 + yy**2)
-    target = np.where(np.abs(radius - N / 8) < N / 80, 1.0, 0.0).astype(np.float32)
-    target /= np.sqrt(np.nansum(target**2))
-    target[radius > N / 4] = np.nan  # Noise region: amplitude freedom.
-    rate, stats = bench_engine(
-        N, iters, "WGS-Leonardo", target, mraf=True, mraf_factor=0.5
-    )
+
+    from slmsuite_tpu.models import image_mraf
+
+    rate, stats = bench_engine(image_mraf(N=N, mraf_factor=0.5), iters)
     _emit(
         f"MRAF WGS-Leonardo iterations/sec at {N}x{N} (ring target)",
         rate, "iter/s", 1000.0,
