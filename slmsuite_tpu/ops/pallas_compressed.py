@@ -6,10 +6,14 @@ The jnp path (:mod:`slmsuite_tpu.ops.compressed`) round-trips each
 phase/cos/sin tiles entirely in VMEM — per pass the HBM traffic is just
 the basis stack, the nearfield, and the ``(N,)`` farfield, which is
 bandwidth-optimal. This is the TPU equivalent of the reference's
-``cuda.cu`` ``compressed_*`` kernels (``cuda.cu:95-288``); where the CUDA
-kernel rebuilds Zernike polynomials per pixel from monomial maps, the
-MXU makes the (D x tile) basis contraction cheap enough to use the
-precomputed basis stack directly.
+``cuda.cu`` ``compressed_*`` kernels (``cuda.cu:95-288``).
+
+Everything runs on the VPU: the phase synthesis contracts only D ~ 3-6
+Zernike terms (an MXU dot would pad that K to 128 and waste >95% of
+every pass) and the spot/pixel reductions are matvecs (M or N of 1-2 —
+equally pass-wasteful), so broadcast FMAs + axis reductions are the
+fast formulation; the per-element sin/cos dominates, putting the
+kernels at the VPU roofline for their ~50 ops/element.
 
 Grid layout: ``(spot_tiles, pixel_tiles)`` with pixels innermost; the
 farfield reduction accumulates its VMEM output block across pixel steps.
@@ -35,29 +39,36 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
+def _tile_phases(coeffs_ref, basis_ref):
+    """(S, T) phase tile as VPU broadcast-MACs over the D basis terms.
+
+    The contraction depth D is tiny (3-6 Zernike terms): as an MXU dot it
+    wastes >95% of every pass (K padded to 128), and the reduction
+    matvecs that follow waste rows/lanes the same way — these kernels
+    run entirely on the VPU, where the arithmetic is exactly the
+    D*S*T FMAs it looks like. f32 native, so no HIGHEST emulation.
+    """
+    D = coeffs_ref.shape[0]
+    phases = coeffs_ref[0, :][:, None] * basis_ref[0, :][None, :]
+    for d in range(1, D):
+        phases += coeffs_ref[d, :][:, None] * basis_ref[d, :][None, :]
+    return phases
+
+
 def _f2n_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, scale_ref, outr_ref, outi_ref):
     """One (spot-tile, pixel-tile) step of the farfield->nearfield expansion."""
-    # (S, D) @ (D, T) -> (S, T) phases, entirely in VMEM.
-    phases = jnp.dot(
-        coeffs_ref[:, :].T, basis_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
+    phases = _tile_phases(coeffs_ref, basis_ref)
     # Mosaic's range-reduced sin/cos cost ~40 cycles/element; the minimax
     # pair with a two-term period reduction is ~6x cheaper at the same
     # (f32-ulp-limited) accuracy for these multi-radian phases.
     sin, cos = _sincos_reduced(phases)
 
-    ffr = ffr_ref[:, :]  # (1, S)
+    ffr = ffr_ref[:, :]  # (S, 1): per-spot scalars on sublanes.
     ffi = ffi_ref[:, :]
 
-    # All dots HIGHEST: phases are many radians so the basis matmul needs
-    # full f32, and Mosaic only lowers DEFAULT/HIGHEST — the reduction
-    # matvecs are a small fraction of the FLOPs, so HIGHEST costs little.
-    re = jnp.dot(ffr, cos, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.dot(
-        ffi, sin, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
-    im = jnp.dot(ffr, sin, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.dot(
-        ffi, cos, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
+    # Spot reduction along sublanes (axis 0): nf_p = sum_s ff_s e^{i phi}.
+    re = jnp.sum(ffr * cos - ffi * sin, axis=0)
+    im = jnp.sum(ffr * sin + ffi * cos, axis=0)
 
     # Grid is (pixel_tiles, spot_tiles) with spots innermost: the output
     # pixel block stays resident in VMEM across the spot reduction.
@@ -66,45 +77,39 @@ def _f2n_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, scale_ref, outr_ref, ou
 
     @pl.when(s == 0)
     def _():
-        outr_ref[:, :] = re * scale
-        outi_ref[:, :] = im * scale
+        outr_ref[0, :] = re * scale
+        outi_ref[0, :] = im * scale
 
     @pl.when(s != 0)
     def _():
-        outr_ref[:, :] += re * scale
-        outi_ref[:, :] += im * scale
+        outr_ref[0, :] += re * scale
+        outi_ref[0, :] += im * scale
 
 
 def _n2f_kernel(coeffs_ref, nfr_ref, nfi_ref, basis_ref, scale_ref, outr_ref, outi_ref):
     """One (spot-tile, pixel-tile) step of the nearfield->farfield reduction."""
-    phases = jnp.dot(
-        coeffs_ref[:, :].T, basis_ref[:, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
+    phases = _tile_phases(coeffs_ref, basis_ref)
     sin, cos = _sincos_reduced(phases)
 
-    nfr = nfr_ref[:, :]  # (1, T)
+    nfr = nfr_ref[:, :]  # (1, T): per-pixel values on lanes.
     nfi = nfi_ref[:, :]
 
-    # conj(kernel) . nf accumulated over pixels: (S, T) @ (T, 1).
-    re = jnp.dot(cos, nfr.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.dot(
-        sin, nfi.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
-    im = jnp.dot(cos, nfi.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.dot(
-        sin, nfr.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
+    # conj(kernel) . nf: pixel reduction along lanes (axis 1).
+    re = jnp.sum(cos * nfr + sin * nfi, axis=1)[:, None]
+    im = jnp.sum(cos * nfi - sin * nfr, axis=1)[:, None]
 
     scale = scale_ref[0]
     p = pl.program_id(1)
 
     @pl.when(p == 0)
     def _():
-        outr_ref[:, :] = re.T * scale
-        outi_ref[:, :] = im.T * scale
+        outr_ref[:, :] = re * scale
+        outi_ref[:, :] = im * scale
 
     @pl.when(p != 0)
     def _():
-        outr_ref[:, :] += re.T * scale
-        outi_ref[:, :] += im.T * scale
+        outr_ref[:, :] += re * scale
+        outi_ref[:, :] += im * scale
 
 
 def _pad_axis(x, size, axis):
@@ -127,8 +132,8 @@ def farfield_to_nearfield(ff_re, ff_im, coeffs, basis, n_spots):
 
     basis_p = _pad_axis(basis, P_pad, 1)
     coeffs_p = _pad_axis(coeffs, N_pad, 1)
-    ffr = _pad_axis(ff_re, N_pad, 0).reshape(1, N_pad)
-    ffi = _pad_axis(ff_im, N_pad, 0).reshape(1, N_pad)
+    ffr = _pad_axis(ff_re, N_pad, 0).reshape(N_pad, 1)
+    ffi = _pad_axis(ff_im, N_pad, 0).reshape(N_pad, 1)
     scale = jnp.full((1,), 1.0 / np.sqrt(P), jnp.float32)
 
     outr, outi = _f2n_call(coeffs_p, ffr, ffi, basis_p, scale, D, sg, pg, P_pad)
@@ -141,8 +146,8 @@ def _f2n_call(coeffs_p, ffr, ffi, basis_p, scale, D, sg, pg, P_pad):
         grid=(pg, sg),  # Spot (reduction) axis innermost.
         in_specs=[
             pl.BlockSpec((D, SPOT_TILE), lambda p, s: (0, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SPOT_TILE), lambda p, s: (0, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SPOT_TILE), lambda p, s: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SPOT_TILE, 1), lambda p, s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SPOT_TILE, 1), lambda p, s: (s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, PIXEL_TILE), lambda p, s: (0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,), lambda p, s: (0,), memory_space=pltpu.SMEM),
         ],
@@ -183,12 +188,12 @@ def nearfield_to_farfield(nf_re, nf_im, coeffs, basis, n_spots):
             pl.BlockSpec((1,), lambda s, p: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, SPOT_TILE), lambda s, p: (0, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SPOT_TILE), lambda s, p: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SPOT_TILE, 1), lambda s, p: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SPOT_TILE, 1), lambda s, p: (s, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
+            jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
         ],
     )(coeffs_p, nfr, nfi, basis_p, scale)
 
