@@ -19,9 +19,10 @@ Methodology notes for this environment:
 - Device work is a single jitted `lax.scan` of dependent iterations, so
   a caching runtime cannot skip it; timing brackets a full value fetch
   (block_until_ready is unreliable over the axon tunnel).
-- The available dev slice is severely bandwidth-limited (~4-23 GB/s
-  measured vs 819 GB/s for a full v5e) and its throughput varies by
-  >10x between sessions; compare numbers only within a session.
+- The tunneled dev slice's throughput varies widely between sessions
+  (measured 4-730 GB/s copy bandwidth on different days); compare
+  numbers only within a session — the dimensionless roofline fields
+  (config 2) are the session-independent evidence.
 """
 
 import json
@@ -180,7 +181,7 @@ def measure_matmul_seconds(N=2048):
 
 def step_model(N, fused, stats_on=True):
     """
-    Analytic per-iteration HBM bytes and f32 FLOPs of the scrambled
+    Analytic per-iteration HBM bytes and MXU passes of the scrambled
     WGS-Kim loop at ``N x N`` (Pallas four-step path).
 
     Bytes: one (N, N) f32 plane crossing HBM = one "tile". Fully fused
@@ -193,18 +194,27 @@ def step_model(N, fused, stats_on=True):
     written+read, weights/phase_ff round-trip, constrained re/im
     written) plus the separate inverse-cols round trip ~= 13 more tiles.
 
-    FLOPs: the four-step FFT with n = n1*n2 costs N*(n1+n2) complex MACs
-    per line per axis; 4 real-mult + 2 add ~= 6 flops per complex MAC,
-    x 2 axes x 2 directions.
+    MXU cost is PASS-count, not FLOPs: a systolic-array pass runs a
+    (<=128)^3 MAC block in the same time whatever its actual dims, so
+    each four-step stage — one block-complex (2n, 2n) dot over the
+    plane — charges ceil(2n/128)^2 * (other_factor * N / 128) passes.
+    Four axis passes per iteration (rows fwd, cols fwd + inv in the
+    round-trip kernel, rows inv).
     """
     tile = N * N * 4
     n1 = 2 ** ((int(np.log2(N)) + 1) // 2)
     n2 = N // n1
-    fft_flops = 2 * 2 * N * N * (n1 + n2) * 6  # Both axes, fwd + inv.
+
+    def stage_passes(n_stage, other):
+        m = -(-2 * n_stage // 128)  # ceil(2n/128): M- and K-tile count.
+        return m * m * max(1, other * N // 128)
+
+    axis_passes = stage_passes(n1, n2) + stage_passes(n2, n1)
+    mxu_passes = 4 * axis_passes
     tiles = 16 if fused else 29
     if not stats_on:
         tiles -= 1  # No mask read.
-    return tiles * tile, fft_flops
+    return tiles * tile, mxu_passes
 
 
 def config_2(argv):
@@ -232,7 +242,7 @@ def config_2(argv):
                 scrambled=True,
             )
         )
-        step_bytes, step_flops = step_model(N, fused)
+        step_bytes, step_passes = step_model(N, fused)
         t_copy, copy_noise = measure_copy_pass_seconds(N)
         t_mm, mm_noise = measure_matmul_seconds(N)
         t_step = 1.0 / rate
@@ -240,16 +250,17 @@ def config_2(argv):
         # The tunneled dev slice's absolute throughput varies >30x
         # between sessions, so the defensible evidence is the
         # *dimensionless* step cost in same-session roofline units:
-        # a step that costs ~model-tiles copy passes is at its
-        # bandwidth roofline; one that costs ~model-matmuls matmul
-        # times is at its MXU roofline.
+        # bytes vs a measured HBM copy pass, and MXU passes vs a
+        # measured dense HIGHEST matmul (ceil(N/128)^3 passes).
         model_tiles = step_bytes / tile
-        # FFT matmul work per step, in units of one N^3 dense matmul.
-        model_matmuls = step_flops / (2 * N**3)
+        mm_passes = (-(-N // 128)) ** 3
+        model_matmuls = step_passes / mm_passes
+        bw_time = (model_tiles / 2) * t_copy
+        mxu_time = model_matmuls * t_mm
         extra = {
             "fused_step": fused,
             "bytes_per_step_mb": round(step_bytes / 1e6, 1),
-            "flops_per_step_g": round(step_flops / 1e9, 1),
+            "mxu_passes_per_step": step_passes,
             "est_copy_bw_gbs": round(2 * tile / t_copy / 1e9, 1),
             "est_matmul_tflops": round(2 * N**3 / t_mm / 1e12, 2),
             # Relative interquartile spread of the roofline timing
@@ -259,13 +270,13 @@ def config_2(argv):
             "step_cost_copy_passes": round(t_step / t_copy, 1),
             "model_tiles": round(model_tiles, 1),
             "step_cost_matmuls": round(t_step / t_mm, 1),
-            "model_matmuls": round(model_matmuls, 1),
-            # Roofline fractions vs the same-session measured units; the
-            # larger is the binding constraint on this device.
-            "bandwidth_utilization": round(
-                (model_tiles / 2) * t_copy / t_step, 3
-            ),
-            "mxu_utilization": round(model_matmuls * t_mm / t_step, 3),
+            "model_matmuls": round(model_matmuls, 2),
+            # Fractions of the same-session measured units; the larger
+            # is the binding constraint, and their max is the combined
+            # (DMA/MXU overlapped) roofline utilization of the step.
+            "bandwidth_utilization": round(bw_time / t_step, 3),
+            "mxu_utilization": round(mxu_time / t_step, 3),
+            "roofline_utilization": round(max(bw_time, mxu_time) / t_step, 3),
         }
 
     _emit(
