@@ -188,11 +188,12 @@ class MultiplaneHologram(Hologram):
     #: ``optimize(mesh=...)`` runs planes data-parallel over the mesh.
     _supports_mesh = True
 
-    def _mesh_eligible(self, callback):
+    def _mesh_eligible(self, callback, n_dev=None, warn=True):
         """Whether the data-parallel batched engine covers this problem:
-        homogeneous plain-Hologram children, computational feedback, a
-        weight rule without cross-iteration farfield state (no Kim phase
-        fixing), no MRAF, plane count divisible by the mesh axis."""
+        homogeneous plain-Hologram children, computational feedback,
+        no MRAF, plane count divisible by the device count. With
+        ``n_dev=1`` (the meshless scanned promotion) the check is
+        silent unless ``warn``."""
         import warnings
 
         children = self.holograms
@@ -211,23 +212,27 @@ class MultiplaneHologram(Hologram):
         groups = set(self.flags.get("stat_groups", []))
         if groups - {"computational"}:
             reasons.append("only 'computational' stats are device-side here")
-        n_dev = int(np.prod(list(self._mesh.shape.values())))
+        if n_dev is None:
+            n_dev = int(np.prod(list(self._mesh.shape.values())))
         if len(children) % n_dev:
             reasons.append(
                 f"plane count {len(children)} must divide the mesh ({n_dev})"
             )
         if reasons:
-            warnings.warn(
-                "mesh-sharded multiplane optimization unavailable ("
-                + "; ".join(reasons) + "); running the host meta loop."
-            )
+            if warn:
+                warnings.warn(
+                    "mesh-sharded multiplane optimization unavailable ("
+                    + "; ".join(reasons) + "); running the host meta loop."
+                )
             return False
         return True
 
-    def _optimize_gs_mesh(self, maxiter, verbose, name):
+    def _optimize_gs_mesh(self, maxiter, verbose, name, mesh=None):
         """Data-parallel multiplane GS: planes shard over the mesh, the
         nearfield accumulation is one psum per iteration
-        (:mod:`slmsuite_tpu.parallel.multiplane`)."""
+        (:mod:`slmsuite_tpu.parallel.multiplane`). With a single-device
+        ``mesh`` this is the meshless scanned promotion: the whole run is
+        one on-device scan instead of per-iteration host-paced calls."""
         from slmsuite_tpu.parallel.multiplane import (
             BatchedGSConfig,
             make_multiplane_consts,
@@ -280,12 +285,14 @@ class MultiplaneHologram(Hologram):
             fix_phase_efficiency=self.flags.get("fix_phase_efficiency"),
         )
         psi = self._psi_device()
-        axis = self._mesh.axis_names[0]
+        if mesh is None:
+            mesh = self._mesh
+        axis = mesh.axis_names[0]
 
         progress = tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
         psi, weights, stats = run_batched_gs(
             config, psi, weights0, consts, maxiter,
-            mesh=self._mesh, axis_name=axis,
+            mesh=mesh, axis_name=axis,
         )
         if progress is not None:
             progress.update(maxiter)
@@ -331,6 +338,16 @@ class MultiplaneHologram(Hologram):
 
         if self._mesh is not None and self._mesh_eligible(callback):
             return self._optimize_gs_mesh(maxiter, verbose, name)
+        if self._mesh is None and self._mesh_eligible(callback, n_dev=1, warn=False):
+            # Meshless scanned promotion: run the batched engine on one
+            # device — a single jitted scan replaces per-iteration
+            # host-paced child calls.
+            from slmsuite_tpu.parallel import make_mesh
+
+            import jax as _jax
+
+            mesh = make_mesh(axis_names=("data",), devices=_jax.devices()[:1])
+            return self._optimize_gs_mesh(maxiter, verbose, name, mesh=mesh)
 
         children = self.holograms
         configs = [h._build_config() for h in children]

@@ -252,3 +252,41 @@ class TestWavefrontSuperpixel:
         assert processed["phase"].shape == fs.slm.shape
         assert processed["amplitude"].shape == fs.slm.shape
         assert "phase" in fs.slm.source
+
+
+def test_multiplane_meshless_scanned_promotion(monkeypatch):
+    """Fully-computational meshless multiplane runs route through the
+    batched scanned engine (single-device mesh), not the host loop."""
+    import numpy as np
+
+    from slmsuite_tpu.holography.algorithms import Hologram, MultiplaneHologram
+
+    N = 64
+    children = []
+    for b in range(2):
+        t = np.zeros((N, N), np.float32)
+        t[20 + 8 * b, 24] = 1.0
+        children.append(Hologram(t, slm_shape=(N, N)))
+    np.random.seed(0)
+    mp = MultiplaneHologram(children)
+
+    called = {}
+    orig = MultiplaneHologram._optimize_gs_mesh
+
+    def spy(self, maxiter, verbose, name, mesh=None):
+        called["mesh"] = mesh
+        return orig(self, maxiter, verbose, name, mesh=mesh)
+
+    monkeypatch.setattr(MultiplaneHologram, "_optimize_gs_mesh", spy)
+    mp.optimize("WGS-Leonardo", maxiter=4, verbose=False,
+                stat_groups=["computational"])
+    assert "mesh" in called and called["mesh"] is not None
+    assert int(np.prod(list(called["mesh"].shape.values()))) == 1
+    assert np.isfinite(np.asarray(mp.phase)).all()
+
+    # A callback forces the host meta loop (promotion must NOT engage).
+    called.clear()
+    mp.optimize("WGS-Leonardo", maxiter=2, verbose=False,
+                callback=lambda h: False,
+                stat_groups=["computational"])
+    assert "mesh" not in called
