@@ -594,6 +594,33 @@ def make_gs_step(config: GSConfig):
 
         # The constraint phase: current angle while unfixed (including the
         # iteration that fixes), stored phase once fixed (ref :1589-1605).
+        if full_fuse and not config.mraf:
+            # Backward half fused: the constraint w * e^{i phi}
+            # synthesizes inside the inverse kernel's prologue — the
+            # complex farfield never exists in HBM.
+            from slmsuite_tpu.ops import fft as _fft
+
+            psi = _fft.wexp_ifft2_scrambled_phase(weights, phase_ff)
+            new_state = GSState(
+                psi=psi,
+                weights=weights,
+                phase_ff=phase_ff,
+                zero_weights=state.zero_weights,
+                fixed_phase=fixed,
+                unfixed_streak=streak,
+                iteration=state.iteration + 1,
+                w_norm=state.w_norm,
+            )
+            internal = jnp.stack(
+                [
+                    stats_rows[-1][0] if stats_rows else jnp.float32(jnp.nan),
+                    state.fixed_phase.astype(jnp.float32),
+                    jnp.float32(0),
+                    jnp.float32(0),
+                ]
+            )
+            return new_state, jnp.stack(stats_rows + [internal])
+
         constrained = weights * jnp.exp(1j * phase_ff)
         if config.mraf:
             # Reconstruct the free-evolution farfield from polar form

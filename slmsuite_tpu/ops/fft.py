@@ -389,6 +389,24 @@ def ifft2_scrambled_phase(xr, xi):
     return jnp.arctan2(im, re)
 
 
+def wexp_ifft2_scrambled_phase(weights, phase):
+    """
+    ``arg(ifft2_scrambled(weights * e^{i phase}))`` — the backward half
+    of every non-fused full-fuse-geometry WGS/GS step. On TPU the
+    constraint synthesis runs in the inverse kernel's prologue, so the
+    complex farfield never exists in HBM; elsewhere it composes the
+    einsum pieces.
+    """
+    if _use_pallas_scrambled(weights.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.wexp_ifft2_scrambled_phase(weights, phase)
+    re, im = ifft2_scrambled_pair(
+        weights * jnp.cos(phase), weights * jnp.sin(phase)
+    )
+    return jnp.arctan2(im, re)
+
+
 # --------------------------------------------------------------------------
 # Fused WGS forward half: FFT + stats partials + weight update + Kim
 # select + amplitude constraint, all in the scrambled layout. The jnp

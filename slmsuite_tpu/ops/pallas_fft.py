@@ -1265,6 +1265,63 @@ def mraf_fused_step_pallas(psi, amp, weights, phase_ff, target, mask,
     return psi_out, uw, pff_out, accs[:4, 0], accm[:4, 0]
 
 
+def _cols_wexp_inv_kernel(w_ref, pff_ref, v1b_ref, vtr_ref, vti_ref,
+                          v2b_ref, hr_ref, hi_ref, *, n1, n2):
+    """Synthesize the constrained farfield ``w * e^{i phase}`` in VMEM
+    and run the INVERSE cols pass — the complex farfield never exists
+    in HBM. Used by every non-fused full-fuse-geometry step (spot
+    feedback, Nogrette, GS, Kim's efficiency trigger)."""
+    w = w_ref[...]
+    sin_p, cos_p = _sincos(pff_ref[...])
+    cr, ci = _fft_core(
+        w * cos_p, w * sin_p, v1b_ref[...], vtr_ref[...], vti_ref[...],
+        v2b_ref[...], n1, n2, True,
+    )
+    hr_ref[...] = cr
+    hi_ref[...] = ci
+
+
+@jax.jit
+def wexp_ifft2_scrambled_phase(weights, phase):
+    """
+    psi = arg(ifft2_scrambled(weights * e^{i phase})) in two kernels:
+    constraint synthesis + inverse cols, then inverse rows + phase
+    extraction — neither the complex farfield nor the complex nearfield
+    ever exists in HBM.
+    """
+    H, W = weights.shape
+    n1c, n2c, *imats = _plan_f32(H, True)
+    blockc = min(BLOCK, W)
+    col_spec = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    iconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in imats]
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    hr, hi = pl.pallas_call(
+        functools.partial(_cols_wexp_inv_kernel, n1=n1c, n2=n2c),
+        grid=(W // blockc,),
+        in_specs=[col_spec, col_spec] + iconst,
+        out_specs=[col_spec, col_spec],
+        out_shape=[plane, plane],
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(weights, phase, *[jnp.asarray(m) for m in imats])
+
+    n1r, n2r, *rmats = _plan_f32(W, True)
+    block = min(BLOCK, H)
+    row_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    rconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in rmats]
+    return pl.pallas_call(
+        functools.partial(_rows_phase_extract_kernel, n1=n1r, n2=n2r),
+        grid=(H // block,),
+        in_specs=[row_spec, row_spec] + rconst,
+        out_specs=row_spec,
+        out_shape=plane,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(hr, hi, *[jnp.asarray(m) for m in rmats])
+
+
 @jax.jit
 def ifft2_scrambled_phase(xr, xi):
     """
