@@ -934,3 +934,36 @@ class TestDualStoreState:
         assert holo.amp_ff is None
         assert not holo._has_phase_ff()
         assert holo.phase is not None  # reset_phase re-randomizes
+
+
+class TestWexpKernel:
+    def test_wexp_inverse_kernel_interpret(self):
+        """The constraint-synthesizing inverse kernel matches the jnp
+        composition (interpreter mode)."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import fft as F
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        N = 128
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.random((N, N)).astype(np.float32))
+        phase = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        )
+        re, im = F.ifft2_scrambled_pair(
+            w * jnp.cos(phase), w * jnp.sin(phase)
+        )
+        ref = np.arctan2(np.asarray(im), np.asarray(re))
+
+        PF._INTERPRET = True
+        try:
+            got = np.asarray(PF.wexp_ifft2_scrambled_phase(w, phase))
+        finally:
+            PF._INTERPRET = False
+        # Phase is ill-conditioned where |field| ~ 0; compare via the
+        # wrapped difference on significant pixels.
+        mag = np.hypot(np.asarray(re), np.asarray(im))
+        sig = mag > mag.max() * 1e-3
+        diff = np.angle(np.exp(1j * (got - ref)))
+        assert np.abs(diff[sig]).max() < 2e-4

@@ -21,6 +21,7 @@ EXAMPLES = [
     "computational_holography.py",
     "zernike_holography.py",
     "experimental_holography.py",
+    "multichip_scaling.py",
     pytest.param("wavefront_calibration.py", marks=pytest.mark.slow),
     pytest.param("multipoint_calibration.py", marks=pytest.mark.slow),
 ]
