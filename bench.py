@@ -113,7 +113,10 @@ def _per_iter_seconds(make_run, n_small, n_large, repeats=7):
     )
     median = diffs[len(diffs) // 2]
     quart = max(1, len(diffs) // 4)
-    spread = diffs[-1 - quart + 1] - diffs[quart - 1] if len(diffs) > 2 else 0.0
+    # Interquartile spread: drop ``quart`` samples from EACH end (the
+    # previous indexing degenerated to the full min-to-max range, so a
+    # single outlier repeat flagged healthy sessions as untrusted).
+    spread = diffs[-quart - 1] - diffs[quart] if len(diffs) > 2 else 0.0
     noise = abs(spread) / max(abs(median), 1e-12)
     return max(median, 1e-9), round(noise, 2)
 

@@ -196,14 +196,16 @@ class SLMWindow:
             self.texture = self._make_texture(tex_shape)
 
             # Interleaved tex/vertex array for a single quad; the texture
-            # coordinates stop at the unpadded extent.
+            # coordinates stop at the unpadded extent. GL's ortho is
+            # bottom-up, so buffer row 0 (texture v=0) must land on the
+            # window TOP (y = h) to match the modern path's orientation.
             x2, y2 = float(w), float(h)
             ub, vb = self._tex_ratio[1], self._tex_ratio[0]
             self._quad = (gl.GLfloat * 32)(
-                0.0, 0.0, 0.0, 1.0,   0.0, 0.0, 0.0, 1.0,
-                ub, 0.0, 0.0, 1.0,    x2, 0.0, 0.0, 1.0,
-                ub, vb, 0.0, 1.0,     x2, y2, 0.0, 1.0,
-                0.0, vb, 0.0, 1.0,    0.0, y2, 0.0, 1.0,
+                0.0, vb, 0.0, 1.0,    0.0, 0.0, 0.0, 1.0,
+                ub, vb, 0.0, 1.0,     x2, 0.0, 0.0, 1.0,
+                ub, 0.0, 0.0, 1.0,    x2, y2, 0.0, 1.0,
+                0.0, 0.0, 0.0, 1.0,   0.0, y2, 0.0, 1.0,
             )
             gl.glBindTexture(gl.GL_TEXTURE_2D, 0)
             gl.glFlush()

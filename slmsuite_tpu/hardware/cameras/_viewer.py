@@ -261,7 +261,23 @@ class _CameraViewer:
 
         self.image = Image(value=self.parse(self.cam.get_image()) or b"",
                            format="png")
-        self.image.on_click = self.on_click
+        # ipywidgets.Image has no native click events; wire through
+        # ipyevents when available (assigning an ``on_click`` attribute
+        # would be a silent no-op).
+        try:
+            from ipyevents import Event
+
+            self._click_events = Event(source=self.image,
+                                       watched_events=["click"])
+
+            def _on_dom_click(event):
+                self.on_click(
+                    {"x": event.get("relativeX"), "y": event.get("relativeY")}
+                )
+
+            self._click_events.on_dom_event(_on_dom_click)
+        except ImportError:
+            pass  # Click-to-pixel needs ipyevents; viewer works without.
         display(self.image)
 
     def init_widgets(self):

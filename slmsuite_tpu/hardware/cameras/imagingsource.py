@@ -103,6 +103,12 @@ class ImagingSource(Camera):
         Call ``cb(*args, **kwargs)``, converting an SDK failure into an
         exception (``to_raise``) or a printed warning. Returns the result
         or the caught exception.
+
+        Reference-API parity (ref ``imagingsource.py:68``): the
+        reference wraps its legacy DLL calls with this; the modern ic4
+        binding used here raises natively, so internal paths do not need
+        it — it remains public for user scripts written against the
+        reference.
         """
         try:
             return cb(*args, **kwargs)

@@ -204,8 +204,11 @@ class SimulatedCamera(Camera):
         scaled by exposure*gain. Cached per ``knm_cam`` identity.
         """
         cached = getattr(self, "_sampler_cache", None)
-        key = id(self.knm_cam) if self._interpolate else None
-        if cached is not None and cached[0] == key:
+        # Key by IDENTITY with the host array held in the cache — an
+        # id()-only key could alias a recalibrated knm_cam allocated at
+        # a reused address and silently serve stale gather indices.
+        key = self.knm_cam if self._interpolate else None
+        if cached is not None and cached[0] is key:
             return cached[1]
 
         if self._interpolate:

@@ -152,11 +152,24 @@ class ThorCam(Camera):
 
     def set_binning(self, bx=None, by=None):
         """Set sensor binning (errors if the value is unsupported);
-        the camera is disarmed during the change and re-armed after."""
+        ``None`` leaves that axis unchanged. The camera is disarmed
+        during the change and re-armed after, and the software-facing
+        geometry (``shape``/WOI) is refreshed to the binned sensor
+        dimensions."""
         profile = self.profile
         self.setup(None)
-        self.cam.binx = int(bx if bx is not None else 1)
-        self.cam.biny = int(by if by is not None else 1)
+        if bx is not None:
+            self.cam.binx = int(bx)
+        if by is not None:
+            self.cam.biny = int(by)
+        # Binning changes the sensor geometry every downstream consumer
+        # (calibration grids, viewer range, software crops) reads.
+        self.shape = (
+            int(self.cam.image_height_pixels),
+            int(self.cam.image_width_pixels),
+        )
+        self.default_shape = self.shape
+        self.set_woi()
         self.setup(profile)
 
     def is_capturing(self):

@@ -420,7 +420,6 @@ class Cheetah640(Camera):
         """
         if profile == "triggered":
             self.set_exposure(100e-6)
-            self.setup_input_trigger(mode=2, source=0, fpt=1)
             self.setup_input_trigger(mode=2, source=0, fpt=fpt)
             self.set_low_gain(False)
         elif profile == "free":

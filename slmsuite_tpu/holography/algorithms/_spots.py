@@ -894,6 +894,17 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                 # Pixel-sharded multi-chip path: each device owns a pixel
                 # slab; one (N,) psum per transform direction per
                 # iteration (see slmsuite_tpu.parallel.compressed).
+                n_dev = int(np.prod(list(mesh.shape.values())))
+                if config.n_pixels % n_dev:
+                    # Degrade like the other mesh paths: warn and run
+                    # single-device rather than aborting mid-optimize.
+                    warnings.warn(
+                        f"mesh-sharded compressed optimization unavailable "
+                        f"(pixel count {config.n_pixels} must divide the "
+                        f"mesh ({n_dev})); running on a single device."
+                    )
+                    mesh = None
+            if mesh is not None:
                 from slmsuite_tpu.parallel.compressed import (
                     run_sharded_compressed_gs,
                     shard_compressed_consts,

@@ -320,6 +320,18 @@ def test_slm_window_headless_smoke(monkeypatch, gl_version, mode):
         assert "vertex_list.draw" in calls
     else:
         assert "glDrawArrays" in calls and "glInterleavedArrays" in calls
+        # Orientation parity with the modern path: GL's ortho is
+        # bottom-up, so buffer row 0 (texture v = 0) must land on the
+        # window TOP (vertex y = h) — a v=0-at-y=0 quad displays the SLM
+        # phase vertically flipped.
+        quad = np.array(window._quad, np.float32).reshape(4, 8)
+        h = float(window.shape[0])
+        vb = window._tex_ratio[0]
+        for u, v, _, _, x, y, _, _ in quad:
+            if y == 0.0:
+                assert v == np.float32(vb)
+            if y == h:
+                assert v == 0.0
 
     with pytest.raises(ValueError):
         window.render(np.zeros((8, 8), np.uint8))

@@ -475,3 +475,29 @@ class TestPublicMeshAPI:
         assert wrapped.max() < 1e-3
         np.testing.assert_allclose(amp_mesh, amp_single, atol=1e-5, rtol=0)
         assert abs(unif_mesh - unif_single) < 1e-4
+
+
+def test_compressed_mesh_indivisible_falls_back():
+    """A pixel count that does not divide the mesh warns and completes on
+    a single device instead of aborting mid-optimize."""
+    import warnings
+
+    import numpy as np
+
+    from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+    from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+    from slmsuite_tpu.parallel import make_mesh
+
+    slm = SimulatedSLM(resolution=(30, 34), pitch_um=(8, 8), wav_um=0.78)
+    kx, ky = np.meshgrid(np.linspace(-8e-3, 8e-3, 2), np.linspace(-8e-3, 8e-3, 2))
+    spots = np.vstack([kx.ravel(), ky.ravel(), np.zeros(kx.size)])
+    np.random.seed(0)
+    holo = CompressedSpotHologram(spots, basis="kxy", cameraslm=slm)
+
+    mesh = make_mesh(axis_names=("pixels",))  # 8 virtual devices; 1020 % 8 != 0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        holo.optimize("WGS-Kim", maxiter=3, verbose=False, mesh=mesh,
+                      stat_groups=["computational_spot"])
+    assert any("must divide the mesh" in str(w.message) for w in caught)
+    assert np.isfinite(np.asarray(holo.phase)).all()
