@@ -273,3 +273,60 @@ class TestSuperpixelProcessing:
         fs.wavefront_calibration_superpixel_process(smooth=2, apply=True)
         assert "phase" in fs.slm.source and "amplitude" in fs.slm.source
         assert fs.slm.source["phase"].shape == fs.slm.shape
+
+
+class TestWavefrontSmokeFast:
+    """Default-CI smoke of the full superpixel wavefront loop (tiny rig):
+    sweep + process + verified Strehl improvement. The full-size variant
+    lives in the slow examples."""
+
+    def test_superpixel_sweep_corrects_aberration(self):
+        from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+        from slmsuite_tpu.holography.toolbox import phase as tphase
+
+        slm = SimulatedSLM(resolution=(256, 256), pitch_um=(8, 8), wav_um=0.78)
+        slm.set_source_analytic(
+            "gaussian2d", sim=True, x0=0, y0=0, a=1, c=0,
+            wx=0.35 * 256 * slm.pitch[0], wy=0.35 * 256 * slm.pitch[1],
+        )
+        cam = SimulatedCamera(
+            slm, resolution=(256, 256), pitch_um=(5.5, 5.5),
+            M=np.array([[4.0e3, 100.0], [-100.0, 4.0e3]]),
+            b=np.array([[128.0], [128.0]]),
+        )
+        cam.set_exposure(1.0)
+        fs = FourierSLM(cam, slm)
+        fs.fourier_calibrate(array_shape=5, array_pitch=8, verbose=False)
+
+        aberration = tphase.zernike_sum(
+            fs.slm, (4, 3), (1.5, -1.0)
+        ).astype(np.float32)
+        fs.slm.source["phase_sim"] = aberration
+
+        fs.wavefront_calibrate(
+            method="superpixel",
+            calibration_points=np.array([[160.0], [110.0]]),
+            superpixel_size=32,
+            phase_steps=8,
+            plot=-1,
+        )
+        fs.wavefront_calibration_superpixel_process(
+            apply=True, smooth=2, plot=False
+        )
+
+        correction = fs.slm.source.get("phase")
+        assert correction is not None and np.isfinite(correction).all()
+
+        def spot_peak():
+            fs.slm.set_phase(None, settle=False)
+            return float(fs.cam.get_image().astype(float).max())
+
+        while spot_peak() >= 0.9 * fs.cam.bitresolution:
+            fs.cam.set_exposure(fs.cam.get_exposure() / 2)
+        after = spot_peak()
+        fs.slm.source.pop("phase")
+        before = spot_peak()
+        fs.slm.source["phase"] = correction
+        # The corrected spot concentrates more power at the peak.
+        assert after > 1.1 * before
