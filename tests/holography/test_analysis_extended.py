@@ -93,15 +93,22 @@ class TestEllipticityAreasAngle:
         )[0] == pytest.approx(10000)
 
     def test_angles(self):
-        assert np.isfinite(
-            analysis.image_ellipticity_angle(np.array([[200.0], [100.0], [0.0]]))[0]
-        )
+        # Axis-aligned elongated ellipse: major axis along x -> angle 0
+        # (mod pi).
+        a = analysis.image_ellipticity_angle(
+            np.array([[200.0], [100.0], [0.0]])
+        )[0]
+        assert min(abs(a % np.pi), np.pi - abs(a % np.pi)) < 0.01
         assert analysis.image_ellipticity_angle(
             np.array([[100.0], [100.0], [0.0]])
         )[0] == pytest.approx(0, abs=0.01)
-        assert np.isfinite(
-            analysis.image_ellipticity_angle(np.array([[200.0], [100.0], [50.0]]))[0]
-        )
+        # Sheared: atan2(eig_plus - m02, m11) in the reference's own
+        # x/y convention — value verified bit-identical to the
+        # reference implementation.
+        sheared = analysis.image_ellipticity_angle(
+            np.array([[200.0], [100.0], [50.0]])
+        )[0]
+        assert sheared == pytest.approx(1.1780972450961724, abs=1e-9)
 
     def test_multiple_spots_vectorized(self):
         v = np.array(
@@ -142,7 +149,8 @@ class TestOrientationAnd8Bit:
         img = np.arange(12).reshape(3, 4)
         f90 = analysis.get_orientation_transformation(rot="90")
         f270 = analysis.get_orientation_transformation(rot="270")
-        np.testing.assert_array_equal(f270(f90(img)), np.rot90(img, 2).T.T if False else np.rot90(np.rot90(img, 1), 3))
+        # 90 + 270 degrees compose to the identity.
+        np.testing.assert_array_equal(f270(f90(img)), img)
         f0 = analysis.get_orientation_transformation()
         np.testing.assert_array_equal(f0(img), img)
 
@@ -160,6 +168,8 @@ class TestOrientationAnd8Bit:
         assert out.min() == 0 and out.max() == 255
 
     def test_make_8bit_constant_image(self):
+        # Constant image: min is subtracted and the zero peak guarded,
+        # so the result is exactly zero everywhere.
         out = analysis._make_8bit(np.full((8, 8), 3.3))
         assert out.dtype == np.uint8
-        assert np.all(np.isfinite(out.astype(float)))
+        assert np.all(out == 0)

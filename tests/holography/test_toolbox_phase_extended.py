@@ -149,7 +149,8 @@ class TestLensExtended:
 
     def test_one_axis_infinite_is_cylindrical(self, grid):
         p = phase.lens(grid, (2.0, np.inf))
-        assert np.allclose(p[:, 0], p[:, -1])  # No y dependence... x only.
+        # No y dependence: every row is identical.
+        assert np.allclose(p[0, :], p[-1, :])
         expected = (np.pi / 2.0) * grid[0] ** 2
         np.testing.assert_allclose(p, expected, atol=1e-7)
 
@@ -233,13 +234,16 @@ class TestStructuredLightExtended:
         # p=1 adds a pi ring: the two phase maps differ by exactly pi on
         # an annulus and 0 elsewhere.
         diff = np.angle(np.exp(1j * (p1 - p0)))
-        vals = np.unique(np.round(np.abs(diff), 3))
-        assert set(vals).issubset({0.0, round(np.pi, 3)})
+        vals = set(np.unique(np.round(np.abs(diff), 3)))
+        assert vals.issubset({0.0, round(np.pi, 3)})
+        # The pi ring must actually be present (a p-ignoring regression
+        # would make the maps identical).
+        assert round(np.pi, 3) in vals
 
     def test_hg_separable_sign_structure(self, grid):
         p = np.asarray(phase.hermite_gaussian(grid, n=1, m=0))
         # HG10: one sign flip across x -> phase steps of pi along x.
         diff = np.angle(np.exp(1j * (p[:, 1:] - p[:, :-1])))
-        assert set(np.unique(np.round(np.abs(diff), 3))).issubset(
-            {0.0, round(np.pi, 3)}
-        )
+        vals = set(np.unique(np.round(np.abs(diff), 3)))
+        assert vals.issubset({0.0, round(np.pi, 3)})
+        assert round(np.pi, 3) in vals  # The sign flip must exist.

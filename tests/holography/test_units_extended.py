@@ -141,11 +141,6 @@ class TestImprintExtended:
         toolbox.imprint(canvas, (0, 8, 0, 8), f, grid=grid)
         assert canvas[4, 4] == pytest.approx(7.0)
 
-    def test_clip_out_of_bounds(self, grid):
-        canvas = np.zeros((64, 64))
-        toolbox.imprint(canvas, (60, 16, 60, 16), 3.0, grid=grid, clip=True)
-        assert canvas[62, 62] == pytest.approx(3.0)
-
     def test_clip_truncates_to_bounds(self, grid):
         canvas = np.zeros((64, 64))
         toolbox.imprint(canvas, (60, 16, 60, 16), 3.0, grid=grid, clip=True)

@@ -12,10 +12,8 @@ the analytic ``bench.step_model`` invariants instead.
 import numpy as np
 import pytest
 
-
-@pytest.fixture()
-def rng():
-    return np.random.default_rng(0)
+# The shared `rng` fixture comes from tests/conftest.py (seeded from
+# SESSION_SEED); the traffic bounds below are seed-independent.
 
 
 def test_step_model_invariants():
@@ -94,25 +92,17 @@ def test_natural_step_traffic_bound(rng):
 def test_headline_config_is_fused():
     """The benchmarked headline configuration must keep taking the
     fully-fused path (a gate regression would silently run 2x slower)."""
-    import dataclasses
-
     from slmsuite_tpu.ops import engine as E
 
-    config = dataclasses.replace(
-        E.GSConfig(
-            method="WGS-Kim", shape=(2048, 2048), slm_shape=(2048, 2048),
-            stat_groups=("computational",),
-        ),
-        scrambled=True,
+    config = E.GSConfig(
+        method="WGS-Kim", shape=(2048, 2048), slm_shape=(2048, 2048),
+        stat_groups=("computational",), scrambled=True,
     )
     assert E._fused_active(config)
 
-    mraf = dataclasses.replace(
-        E.GSConfig(
-            method="WGS-Leonardo", shape=(2048, 2048),
-            slm_shape=(2048, 2048), stat_groups=("computational",),
-            mraf=True, mraf_factor=True,
-        ),
+    mraf = E.GSConfig(
+        method="WGS-Leonardo", shape=(2048, 2048), slm_shape=(2048, 2048),
+        stat_groups=("computational",), mraf=True, mraf_factor=True,
         scrambled=True,
     )
     assert E._mraf_fused_active(mraf)
