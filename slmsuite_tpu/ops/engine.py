@@ -148,7 +148,7 @@ def _fused_common(config: GSConfig):
         and config.feedback == "computational"
         and not needs_spot
         and config.method in _FUSABLE_METHODS
-        and not config.kim_efficiency_trigger
+        and (not config.kim_efficiency_trigger or bool(config.stat_groups))
         and config.nan_checks
         and all(g == "computational" for g in config.stat_groups)
     )
@@ -265,29 +265,6 @@ def _make_fused_step(config: GSConfig):
             stats_on=stats_on,
         )
 
-        # Kim iteration-trigger decision (the efficiency trigger is
-        # excluded from the fused path — it needs stats pre-constraint).
-        if config.is_kim:
-            streak = jnp.where(
-                was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak
-            )
-            iter_trigger = jnp.logical_and(
-                jnp.logical_and(
-                    was_not_fixed,
-                    state.iteration >= consts["fix_phase_iteration"] - 1,
-                ),
-                streak >= consts["fix_phase_iteration"],
-            )
-            fixed = jnp.logical_or(state.fixed_phase, iter_trigger)
-            fixed = jnp.logical_and(fixed, state.iteration > 0)
-            phase_ff = pff_out
-        else:
-            fixed = jnp.zeros((), dtype=bool)
-            streak = state.unfixed_streak
-            # phase_ff is only consumed by Kim; carry it unchanged (the
-            # wrapper repopulates it from the final phase after the run).
-            phase_ff = state.phase_ff
-
         w_norm = jnp.where(apply_update, jnp.sqrt(sums[3]), state.w_norm)
 
         if stats_on:
@@ -309,6 +286,37 @@ def _make_fused_step(config: GSConfig):
         else:
             efficiency = jnp.float32(jnp.nan)
             stats_rows = []
+
+        # Kim phase-fixing decision. The efficiency trigger compares the
+        # CURRENT (pre-constraint) efficiency — already accumulated by
+        # the fused kernel — so it fuses exactly like the iteration
+        # trigger (the in-kernel phase select always uses the PREVIOUS
+        # flag, matching the standard path).
+        if config.is_kim:
+            fixed = state.fixed_phase
+            if config.kim_efficiency_trigger:
+                fixed = jnp.logical_or(
+                    fixed, efficiency > consts["fix_phase_efficiency"]
+                )
+            streak = jnp.where(
+                was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak
+            )
+            iter_trigger = jnp.logical_and(
+                jnp.logical_and(
+                    was_not_fixed,
+                    state.iteration >= consts["fix_phase_iteration"] - 1,
+                ),
+                streak >= consts["fix_phase_iteration"],
+            )
+            fixed = jnp.logical_or(fixed, iter_trigger)
+            fixed = jnp.logical_and(fixed, state.iteration > 0)
+            phase_ff = pff_out
+        else:
+            fixed = jnp.zeros((), dtype=bool)
+            streak = state.unfixed_streak
+            # phase_ff is only consumed by Kim; carry it unchanged (the
+            # wrapper repopulates it from the final phase after the run).
+            phase_ff = state.phase_ff
 
         new_state = GSState(
             psi=psi,
@@ -371,25 +379,6 @@ def _make_mraf_fused_step(config: GSConfig):
             stats_on=stats_on,
         )
 
-        if config.is_kim:
-            streak = jnp.where(
-                was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak
-            )
-            iter_trigger = jnp.logical_and(
-                jnp.logical_and(
-                    was_not_fixed,
-                    state.iteration >= consts["fix_phase_iteration"] - 1,
-                ),
-                streak >= consts["fix_phase_iteration"],
-            )
-            fixed = jnp.logical_or(state.fixed_phase, iter_trigger)
-            fixed = jnp.logical_and(fixed, state.iteration > 0)
-            phase_ff = pff_out
-        else:
-            fixed = jnp.zeros((), dtype=bool)
-            streak = state.unfixed_streak
-            phase_ff = state.phase_ff
-
         w_norm = jnp.where(apply_update, jnp.sqrt(sums[3]), state.w_norm)
 
         if stats_on:
@@ -411,6 +400,30 @@ def _make_mraf_fused_step(config: GSConfig):
         else:
             efficiency = jnp.float32(jnp.nan)
             stats_rows = []
+
+        if config.is_kim:
+            fixed = state.fixed_phase
+            if config.kim_efficiency_trigger:
+                fixed = jnp.logical_or(
+                    fixed, efficiency > consts["fix_phase_efficiency"]
+                )
+            streak = jnp.where(
+                was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak
+            )
+            iter_trigger = jnp.logical_and(
+                jnp.logical_and(
+                    was_not_fixed,
+                    state.iteration >= consts["fix_phase_iteration"] - 1,
+                ),
+                streak >= consts["fix_phase_iteration"],
+            )
+            fixed = jnp.logical_or(fixed, iter_trigger)
+            fixed = jnp.logical_and(fixed, state.iteration > 0)
+            phase_ff = pff_out
+        else:
+            fixed = jnp.zeros((), dtype=bool)
+            streak = state.unfixed_streak
+            phase_ff = state.phase_ff
 
         new_state = GSState(
             psi=psi,

@@ -442,10 +442,20 @@ class TestScrambledEngine:
         config, _, _, _ = self._base()
         sconfig = dataclasses.replace(config, scrambled=True)
         assert E._fused_active(sconfig)
+        # The efficiency trigger now fuses WHEN stats are tracked (the
+        # fused kernel accumulates the current-step efficiency it needs);
+        # without stats it falls back.
+        assert E._fused_active(
+            dataclasses.replace(sconfig, kim_efficiency_trigger=True)
+        )
+        assert not E._fused_active(
+            dataclasses.replace(
+                sconfig, kim_efficiency_trigger=True, stat_groups=()
+            )
+        )
         # Exclusions that must fall back to the standard scrambled step.
         for change in (
             dict(mraf=True),
-            dict(kim_efficiency_trigger=True),
             dict(has_kernel=True),
             dict(feedback="computational_spot"),
             dict(method="WGS-Nogrette"),
