@@ -160,7 +160,10 @@ def _fused_active(config: GSConfig):
     Requires the phase-in/phase-out geometry (farfield == SLM shape, no
     propagation kernel), plain computational feedback, a fusable weight
     rule, and no couplings that need a reduction before the constraint
-    (Kim's efficiency trigger, MRAF masks, spot integration).
+    (MRAF masks, spot integration). Kim's efficiency trigger fuses when
+    stats are tracked: it compares the current-step efficiency that the
+    kernel already accumulates, and the in-kernel phase select always
+    uses the previous flag.
     """
     return _fused_common(config) and not config.mraf
 
