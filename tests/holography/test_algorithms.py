@@ -610,6 +610,21 @@ class TestScrambledEngine:
                     err_msg=f"{rule}/{name}",
                 )
 
+    def test_nogrette_parity(self):
+        """The scrambled Nogrette step (generic polar-forward +
+        constraint-fused inverse; the rule's plane-mean reduction stays
+        in XLA, which fuses it better than a dedicated kernel split —
+        measured) matches the natural engine."""
+        config, consts, psi0, target = self._base(method="WGS-Nogrette")
+        (ns, nstats), (ss, sstats) = self._run_both(config, consts, psi0, target)
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss.weights), np.asarray(ns.weights), atol=1e-5, rtol=0
+        )
+        np.testing.assert_allclose(sstats, nstats, atol=1e-4, rtol=0)
+
     def test_mraf_step_pallas_kernel_interpret(self):
         """The four-kernel Pallas MRAF semi-fused step matches its jnp
         twin psi-for-psi (interpreter mode)."""
