@@ -1,0 +1,215 @@
+"""
+Differential parity fuzz against the ACTUAL reference implementation.
+
+Skipped automatically when the reference checkout is not mounted at
+``SLMSUITE_REFERENCE_PATH`` (default ``/root/reference``) — unlike the
+committed golden traces (tests/holography/golden), these compare live
+outputs for randomized inputs across the pure toolbox/analysis surface.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_PATH = os.environ.get("SLMSUITE_REFERENCE_PATH", "/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if not os.path.isdir(REF_PATH):
+        pytest.skip("reference checkout not mounted")
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    try:
+        import slmsuite  # noqa: F401
+    except Exception as err:  # pragma: no cover
+        pytest.skip(f"reference not importable: {err}")
+    import types
+
+    from slmsuite.holography import analysis as ref_analysis
+    from slmsuite.holography import toolbox as ref_toolbox
+    from slmsuite.holography.toolbox import phase as ref_phase
+
+    return types.SimpleNamespace(
+        analysis=ref_analysis, toolbox=ref_toolbox, phase=ref_phase
+    )
+
+
+@pytest.fixture()
+def grid():
+    x = np.linspace(-0.4, 0.4, 96)
+    y = np.linspace(-0.3, 0.3, 64)
+    return np.meshgrid(x, y)
+
+
+class TestPhaseDifferential:
+    def test_blaze(self, ref, grid, rng):
+        from slmsuite_tpu.holography.toolbox import phase
+
+        for _ in range(5):
+            vec = rng.uniform(-0.2, 0.2, 2)
+            np.testing.assert_allclose(
+                np.asarray(phase.blaze(grid, vec)),
+                ref.phase.blaze(grid, vec),
+                atol=1e-5, rtol=1e-5,
+            )
+
+    def test_lens(self, ref, grid, rng):
+        from slmsuite_tpu.holography.toolbox import phase
+
+        for _ in range(5):
+            f = rng.uniform(0.5, 20.0, 2)
+            np.testing.assert_allclose(
+                np.asarray(phase.lens(grid, tuple(f))),
+                ref.phase.lens(grid, tuple(f)),
+                atol=1e-4, rtol=1e-5,
+            )
+
+    def test_axicon(self, ref, grid, rng):
+        from slmsuite_tpu.holography.toolbox import phase
+
+        for _ in range(3):
+            w = float(rng.uniform(0.05, 0.3))
+            np.testing.assert_allclose(
+                np.asarray(phase.axicon(grid, f=2.0, w=w)),
+                ref.phase.axicon(grid, f=2.0, w=w),
+                atol=1e-4, rtol=1e-4,
+            )
+
+    def test_zernike_sum(self, ref, grid, rng):
+        from slmsuite_tpu.holography.toolbox import phase
+
+        for _ in range(5):
+            indices = rng.choice(np.arange(1, 15), size=4, replace=False)
+            weights = rng.normal(size=4)
+            ours = np.asarray(
+                phase.zernike_sum(grid, indices, weights, aperture="cropped")
+            )
+            theirs = ref.phase.zernike_sum(
+                grid, indices, weights, aperture="cropped"
+            )
+            np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+    def test_polynomial(self, ref, grid, rng):
+        from slmsuite_tpu.holography.toolbox import phase
+
+        # Explicit terms: the reference's default-terms path crashes for
+        # some D (its own _inverse_cantor_pairing edge), so compare on
+        # the explicit-(a, b) common ground.
+        terms = np.array([[0, 0], [1, 0], [0, 1], [2, 0], [1, 1], [0, 2]])
+        for _ in range(5):
+            weights = rng.normal(size=terms.shape[0])
+            np.testing.assert_allclose(
+                np.asarray(phase.polynomial(grid, weights, terms=terms)),
+                np.asarray(ref.phase.polynomial(grid, weights, terms=terms)),
+                atol=1e-4, rtol=1e-4,
+            )
+
+    def test_laguerre_and_hermite(self, ref, grid):
+        from slmsuite_tpu.holography.toolbox import phase
+
+        for l, p in ((1, 0), (-2, 1), (3, 2)):
+            np.testing.assert_allclose(
+                np.asarray(phase.laguerre_gaussian(grid, l, p)),
+                ref.phase.laguerre_gaussian(grid, l, p),
+                atol=1e-5,
+            )
+        for n, m in ((1, 0), (2, 2)):
+            np.testing.assert_allclose(
+                np.asarray(phase.hermite_gaussian(grid, n, m)),
+                ref.phase.hermite_gaussian(grid, n, m),
+                atol=1e-5,
+            )
+
+    def test_zernike_index_conversions(self, ref, rng):
+        from slmsuite_tpu.holography.toolbox import phase
+
+        idx = np.arange(36)
+        for to in ("noll", "radial"):
+            ours = np.asarray(
+                phase.zernike_convert_index(idx, from_index="ansi", to_index=to)
+            )
+            theirs = np.asarray(
+                ref.phase.zernike_convert_index(
+                    idx, from_index="ansi", to_index=to
+                )
+            )
+            np.testing.assert_array_equal(
+                np.squeeze(ours), np.squeeze(theirs)
+            )
+
+
+class TestAnalysisDifferential:
+    def test_moments_and_variances(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        imgs = rng.random((3, 48, 56)).astype(np.float32)
+        for moment in ((0, 0), (1, 0), (0, 1), (2, 0), (1, 1)):
+            np.testing.assert_allclose(
+                analysis.image_moment(imgs, moment),
+                ref.analysis.image_moment(imgs, moment),
+                atol=1e-4, rtol=1e-4,
+            )
+        np.testing.assert_allclose(
+            analysis.image_variances(imgs),
+            ref.analysis.image_variances(imgs),
+            atol=1e-3, rtol=1e-3,
+        )
+
+    def test_take(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        img = rng.random((64, 64)).astype(np.float32)
+        vectors = np.array([[10.0, 30, 50], [12.0, 32, 52]])
+        ours = np.asarray(analysis.take(img, vectors, size=9, centered=True))
+        theirs = np.asarray(
+            ref.analysis.take(img, vectors, size=9, centered=True)
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    def test_fit_affine(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        M = np.array([[1.2, 0.1], [-0.2, 0.9]])
+        b = np.array([[3.0], [-2.0]])
+        x = rng.random((2, 30))
+        y = M @ x + b + rng.normal(scale=1e-9, size=(2, 30))
+        ours = analysis.fit_affine(x, y)
+        theirs = ref.analysis.fit_affine(x, y)
+        np.testing.assert_allclose(ours["M"], theirs["M"], atol=1e-6)
+        np.testing.assert_allclose(ours["b"], theirs["b"], atol=1e-6)
+
+
+class TestToolboxDifferential:
+    def test_pad_unpad(self, ref, rng):
+        from slmsuite_tpu.holography import toolbox
+
+        m = rng.random((30, 46)).astype(np.float32)
+        ours = toolbox.pad(m, (64, 64))
+        theirs = ref.toolbox.pad(m, (64, 64))
+        np.testing.assert_array_equal(ours, theirs)
+        np.testing.assert_array_equal(
+            toolbox.unpad(ours, (30, 46)), ref.toolbox.unpad(theirs, (30, 46))
+        )
+
+    def test_convert_vector_pure_units(self, ref, rng):
+        from slmsuite_tpu.holography import toolbox
+
+        v = rng.uniform(-0.2, 0.2, (2, 5))
+        for a, b in (("norm", "mrad"), ("mrad", "deg"), ("deg", "kxy")):
+            np.testing.assert_allclose(
+                np.asarray(toolbox.convert_vector(v, a, b)),
+                np.asarray(ref.toolbox.convert_vector(v, from_units=a, to_units=b)),
+                atol=1e-9,
+            )
+
+    def test_smallest_distance(self, ref, rng):
+        from slmsuite_tpu.holography import toolbox
+
+        v = rng.random((2, 40)) * 100
+        for metric in ("chebyshev", "euclidean"):
+            assert toolbox.smallest_distance(v, metric) == pytest.approx(
+                float(ref.toolbox.smallest_distance(v, metric)), rel=1e-6
+            )
