@@ -213,3 +213,48 @@ class TestToolboxDifferential:
             assert toolbox.smallest_distance(v, metric) == pytest.approx(
                 float(ref.toolbox.smallest_distance(v, metric)), rel=1e-6
             )
+
+
+class TestFitfunctionsDifferential:
+    def test_scalar_functions(self, ref, rng):
+        from slmsuite.holography.analysis import fitfunctions as rff
+
+        from slmsuite_tpu.holography.analysis import fitfunctions as ff
+
+        x = np.linspace(-3, 3, 101)
+        cases = [
+            ("linear", (x, 1.2, -0.3)),
+            ("parabola", (x, 0.7, 0.2, -1.0)),
+            ("hyperbola", (x, 1.0, 0.1, 2.0)),
+            ("cos", (x, 0.1, 2.0, 0.3)),
+            ("lorentzian", (x, 0.2, 3.0, 0.5, 1.1)),
+            ("gaussian", (x, -0.4, 2.0, 0.1, 0.8)),
+        ]
+        for name, args in cases:
+            np.testing.assert_allclose(
+                getattr(ff, name)(*args), getattr(rff, name)(*args),
+                atol=1e-6, rtol=1e-6, err_msg=name,
+            )
+
+    def test_2d_functions(self, ref, rng):
+        from slmsuite.holography.analysis import fitfunctions as rff
+
+        from slmsuite_tpu.holography.analysis import fitfunctions as ff
+
+        g = np.meshgrid(np.linspace(-2, 2, 40), np.linspace(-1, 1, 30))
+        xy = (g[0].ravel(), g[1].ravel())
+        np.testing.assert_allclose(
+            ff.gaussian2d(xy, 0.2, -0.1, 2.0, 0.1, 0.6, 0.9, 0.05),
+            rff.gaussian2d(xy, 0.2, -0.1, 2.0, 0.1, 0.6, 0.9, 0.05),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ff.tophat2d(xy, 0.1, 0.0, 0.7, 1.5, 0.2),
+            rff.tophat2d(xy, 0.1, 0.0, 0.7, 1.5, 0.2),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ff.sinc2d(xy, 0.0, 0.1, 0.8, 1.0, 0.2, 0.05, 0.01, 0.3, -0.2),
+            rff.sinc2d(xy, 0.0, 0.1, 0.8, 1.0, 0.2, 0.05, 0.01, 0.3, -0.2),
+            atol=1e-5,
+        )
