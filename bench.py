@@ -225,7 +225,10 @@ def config_2(argv):
     import jax
 
     N = int(argv[0]) if argv else 2048
-    iters = int(argv[1]) if len(argv) > 1 else 100
+    # 60 iterations: enough for the marginal (long-minus-short)
+    # estimator while staying inside driver timeouts when the tunneled
+    # slice hits a slow window (its throughput varies >30x).
+    iters = int(argv[1]) if len(argv) > 1 else 60
     from slmsuite_tpu.models import spot_array_wgs
 
     rate, stats = bench_engine(spot_array_wgs(N=N, n_side=32, spacing_div=70), iters)
