@@ -14,16 +14,17 @@ import pytest
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
 
-# The first four run in seconds on CPU and are exercised by default CI;
-# the wavefront-calibration demos take minutes and stay opt-in.
+# All seven examples run in default CI: since the subprocess platform
+# fix (no silent TPU-tunnel escape) the calibration demos take well
+# under a minute on CPU.
 EXAMPLES = [
     "structured_light.py",
     "computational_holography.py",
     "zernike_holography.py",
     "experimental_holography.py",
     "multichip_scaling.py",
-    pytest.param("wavefront_calibration.py", marks=pytest.mark.slow),
-    pytest.param("multipoint_calibration.py", marks=pytest.mark.slow),
+    "wavefront_calibration.py",
+    "multipoint_calibration.py",
 ]
 
 
