@@ -258,3 +258,41 @@ class TestFitfunctionsDifferential:
             rff.sinc2d(xy, 0.0, 0.1, 0.8, 1.0, 0.2, 0.05, 0.01, 0.3, -0.2),
             atol=1e-5,
         )
+
+
+class TestTransformGridDifferential:
+    def test_rev_matches_reference(self, ref, rng):
+        from slmsuite_tpu.holography import toolbox
+
+        x = np.linspace(-1, 1, 16)
+        grid = np.meshgrid(x, x)
+        M = np.array([[0.9, 0.2], [-0.1, 1.1]])
+        b = (0.3, -0.2)
+        ours = toolbox.transform_grid(grid, M, b, direction="rev")
+        theirs = ref.toolbox.transform_grid(grid, M, b, direction="rev")
+        np.testing.assert_allclose(np.asarray(ours[0]), theirs[0], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ours[1]), theirs[1], atol=1e-12)
+
+    def test_fwd_is_the_documented_divergence(self, ref):
+        """Our fwd mode implements the true affine M x + b (so fwd then
+        rev is the identity); the reference's fwd applies the shift
+        differently (a documented upstream bug) — pin both facts so the
+        intentional divergence is visible if either side changes."""
+        from slmsuite_tpu.holography import toolbox
+
+        x = np.linspace(-1, 1, 16)
+        grid = np.meshgrid(x, x)
+        M = np.array([[0.9, 0.2], [-0.1, 1.1]])
+        b = (0.3, -0.2)
+
+        # Ours: fwd then rev round-trips to the identity.
+        f = toolbox.transform_grid(grid, M, b, direction="fwd")
+        back = toolbox.transform_grid(f, M, b, direction="rev")
+        np.testing.assert_allclose(np.asarray(back[0]), grid[0], atol=1e-9)
+        np.testing.assert_allclose(np.asarray(back[1]), grid[1], atol=1e-9)
+
+        # The reference's fwd output differs from the true affine.
+        theirs = ref.toolbox.transform_grid(grid, M, b, direction="fwd")
+        true_x = M[0, 0] * grid[0] + M[0, 1] * grid[1] + b[0]
+        assert np.abs(np.asarray(theirs[0]) - true_x).max() > 1e-6
+        np.testing.assert_allclose(np.asarray(f[0]), true_x, atol=1e-12)
