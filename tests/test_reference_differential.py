@@ -296,3 +296,55 @@ class TestTransformGridDifferential:
         true_x = M[0, 0] * grid[0] + M[0, 1] * grid[1] + b[0]
         assert np.abs(np.asarray(theirs[0]) - true_x).max() > 1e-6
         np.testing.assert_allclose(np.asarray(f[0]), true_x, atol=1e-12)
+
+
+class TestWindowsAndFieldDifferential:
+    def test_window_slice(self, ref):
+        from slmsuite_tpu.holography import toolbox
+
+        for window in ((10, 20, 12, 24), (0, 5, 60, 10)):
+            assert toolbox.window_slice(window, shape=(64, 64)) == (
+                ref.toolbox.window_slice(window, shape=(64, 64))
+            )
+
+    def test_window_slice_circular(self, ref):
+        from slmsuite_tpu.holography import toolbox
+
+        ours = toolbox.window_slice(
+            (32, 20, 32, 20), shape=(64, 64), centered=True, circular=True
+        )
+        theirs = ref.toolbox.window_slice(
+            (32, 20, 32, 20), shape=(64, 64), centered=True, circular=True
+        )
+        np.testing.assert_array_equal(np.asarray(ours[0]), theirs[0])
+        np.testing.assert_array_equal(np.asarray(ours[1]), theirs[1])
+
+    def test_image_remove_field(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        img = rng.random((2, 48, 48)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(analysis.image_remove_field(img.copy(), deviations=1)),
+            ref.analysis.image_remove_field(img.copy(), deviations=1),
+            atol=1e-7,
+        )
+
+    def test_relative_strehl(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        img = rng.random((48, 48)).astype(np.float32)
+        img[20:24, 20:24] += 5
+        assert analysis.image_relative_strehl(img) == pytest.approx(
+            float(ref.analysis.image_relative_strehl(img)), rel=1e-6
+        )
+
+    def test_image_reduce_wraps(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        phase = np.cumsum(rng.normal(scale=0.8, size=(32, 32)), axis=1)
+        wrapped = np.mod(phase + np.pi, 2 * np.pi) - np.pi
+        np.testing.assert_allclose(
+            np.asarray(analysis.image_reduce_wraps(wrapped.copy())),
+            ref.analysis.image_reduce_wraps(wrapped.copy()),
+            atol=1e-7,
+        )
