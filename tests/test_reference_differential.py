@@ -348,3 +348,31 @@ class TestWindowsAndFieldDifferential:
             ref.analysis.image_reduce_wraps(wrapped.copy()),
             atol=1e-7,
         )
+
+
+class TestBlobDetectDifferential:
+    def test_blob_array_detect_bit_identical(self, ref, rng):
+        """The lattice fit returns BIT-identical M/b to the reference on
+        a synthetic spot array (the one SURVEY-licensed near-port)."""
+        import warnings as _w
+
+        from slmsuite_tpu.holography import analysis
+
+        img = np.zeros((128, 128), np.float32)
+        M = np.array([[14.0, 1.0], [-1.0, 14.0]])
+        b = np.array([[20.0], [24.0]])
+        for i in range(7):
+            for j in range(7):
+                p = M @ [[i], [j]] + b
+                x, y = int(round(p[0, 0])), int(round(p[1, 0]))
+                if 1 <= x < 127 and 1 <= y < 127:
+                    img[y - 1:y + 2, x - 1:x + 2] += 40
+        img += rng.normal(scale=1.0, size=img.shape).astype(np.float32)
+        img = np.clip(img, 0, 255)
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")  # Both warn about grid coverage.
+            ours = analysis.blob_array_detect(img, size=(7, 7), plot=False)
+            theirs = ref.analysis.blob_array_detect(img, size=(7, 7), plot=False)
+        np.testing.assert_array_equal(np.asarray(ours["M"]), theirs["M"])
+        np.testing.assert_array_equal(np.asarray(ours["b"]), theirs["b"])
