@@ -791,19 +791,36 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             use_pallas=self.cuda,
         )
 
+    @staticmethod
+    def _host_fingerprint(host):
+        """Cheap content fingerprint of a host array: shape + the exact
+        bytes of <= 1024 strided samples. Catches in-place mutation
+        (``holo.target[...] = new``, tweaked ``spot_zernike`` — standard
+        feedback-loop workflows in the reference) that an identity check
+        alone would miss; a mutation confined to non-sampled positions
+        of a > 1024-element array can still slip through, so prefer
+        reassigning attributes over partial in-place writes."""
+        if not isinstance(host, np.ndarray):
+            return None  # device arrays are immutable; identity suffices
+        flat = host.reshape(-1)
+        step = max(1, flat.size // 1024)
+        return (host.shape, flat[::step].tobytes())
+
     def _dev_const(self, key, host, make):
         """Device copy of a (possibly large) host constant, reused
-        across calls while the host object is the SAME array — uploads
-        of the Zernike basis and source amplitude dominate the per-call
-        cost of ``optimize()`` over a tunneled device otherwise."""
+        across calls while the host array is unchanged (identity +
+        strided content fingerprint) — uploads of the Zernike basis and
+        source amplitude dominate the per-call cost of ``optimize()``
+        over a tunneled device otherwise."""
         if not hasattr(self, "_dev_cache"):
             self._dev_cache = {}
+        fp = self._host_fingerprint(host)
         cached = self._dev_cache.get(key)
-        if cached is not None and cached[0] is host:
-            return cached[1]
+        if cached is not None and cached[0] is host and cached[1] == fp:
+            return cached[2]
         dev = make(host)
         # Hold the host reference so the identity check stays valid.
-        self._dev_cache[key] = (host, dev)
+        self._dev_cache[key] = (host, fp, dev)
         return dev
 
     def _compressed_consts(self):

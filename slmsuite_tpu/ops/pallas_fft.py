@@ -79,9 +79,7 @@ def _plan_f32(n, inverse):
 #:   converged uniformity, only for quality-tolerant preview loops.
 #:
 #: Overridable via SLMSUITE_TPU_FFT_KERNEL_PRECISION at import.
-_DOT_PRECISION = __import__("os").environ.get(
-    "SLMSUITE_TPU_FFT_KERNEL_PRECISION", "HIGHEST"
-)
+_DOT_PRECISION = "HIGHEST"
 
 
 def set_kernel_precision(precision):
@@ -96,6 +94,14 @@ def set_kernel_precision(precision):
     if precision not in ("HIGHEST", "BF16X3", "DEFAULT"):
         raise ValueError(f"Unknown precision '{precision}'.")
     _DOT_PRECISION = precision
+
+
+# Validate the env override HERE so a typo fails at import with the
+# clear ValueError above, not as an AttributeError deep in the first
+# FFT trace.
+set_kernel_precision(
+    __import__("os").environ.get("SLMSUITE_TPU_FFT_KERNEL_PRECISION", "HIGHEST")
+)
 
 
 def _split_bf16(a):
@@ -420,9 +426,14 @@ def ifft2_scrambled_pallas(xr, xi):
 def _rows_phase_kernel(psi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref,
                        outr_ref, outi_ref, *, n1, n2):
     """Forward rows FFT whose input is synthesized as e^{i psi}
-    (scalar amplitudes fold into the output scale by linearity)."""
+    (scalar amplitudes fold into the output scale by linearity).
+
+    psi is UNBOUNDED here: iteration-0 enters with the folded initial
+    phase (random init reaches 2*pi; quadratic/blaze/lens warm starts
+    span many radians), so the full-range reduction is mandatory —
+    the bounded ``_sincos`` diverges like |y|^9 outside ~3*pi/2."""
     psi = psi_ref[...].T                                # (n, R)
-    xi, xr = _sincos(psi)
+    xi, xr = _sincos_reduced(psi)
     br, bi = _fft_core(
         xr, xi, w1b_ref[...], twr_ref[...],
         twi_ref[...], w2b_ref[...],
@@ -434,10 +445,11 @@ def _rows_phase_kernel(psi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref,
 
 def _rows_phase_amp_kernel(psi_ref, amp_ref, w1b_ref, twr_ref, twi_ref,
                            w2b_ref, outr_ref, outi_ref, *, n1, n2):
-    """Like :meth:`_rows_phase_kernel` with a per-pixel amplitude array."""
+    """Like :meth:`_rows_phase_kernel` with a per-pixel amplitude array
+    (same unbounded-psi contract: full range reduction)."""
     psi = psi_ref[...].T
     amp = amp_ref[...].T
-    xi, xr = _sincos(psi)
+    xi, xr = _sincos_reduced(psi)
     xr = amp * xr
     xi = amp * xi
     br, bi = _fft_core(
@@ -744,6 +756,63 @@ def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
     r["im"][...] = ci
 
 
+def _rows_normfwd_kernel(xr_ref, xi_ref,
+                         i1b_ref, itr_ref, iti_ref, i2b_ref,
+                         f1b_ref, ftr_ref, fti_ref, f2b_ref,
+                         outr_ref, outi_ref, *, n1, n2):
+    """Rows round trip with amplitude replacement, on a (block, W) row
+    tile: inverse row-axis FFT of the half-inverted constrained field
+    -> complex nearfield Z -> replace |Z| by the source amplitude
+    (``Z/|Z|``: ONE rsqrt instead of the atan2 + sincos pair of the
+    separate extract/synthesize kernels; a scalar amplitude folds into
+    the cols kernel's post scale by linearity) -> forward row-axis FFT.
+    The nearfield phase never materializes in HBM inside the loop —
+    the carry between iterations is the rows-transformed field pair.
+    The ``i*``/``f*`` refs hold the inverse/forward plan matrices."""
+    xr = xr_ref[...].T
+    xi = xi_ref[...].T
+    zr, zi = _fft_core(
+        xr, xi, i1b_ref[...], itr_ref[...], iti_ref[...], i2b_ref[...],
+        n1, n2, True,
+    )
+    mag2 = zr * zr + zi * zi
+    inv = jax.lax.rsqrt(mag2)
+    # Zero field -> unit real direction, matching atan2(0, 0) = 0 in the
+    # phase formulation.
+    ur = jnp.where(mag2 > 0, zr * inv, 1.0)
+    ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+    gr, gi = _fft_core(
+        ur, ui, f1b_ref[...], ftr_ref[...], fti_ref[...], f2b_ref[...],
+        n1, n2, False,
+    )
+    outr_ref[...] = gr.T
+    outi_ref[...] = gi.T
+
+
+def _rows_normfwd_amp_kernel(xr_ref, xi_ref, amp_ref,
+                             i1b_ref, itr_ref, iti_ref, i2b_ref,
+                             f1b_ref, ftr_ref, fti_ref, f2b_ref,
+                             outr_ref, outi_ref, *, n1, n2):
+    """Like :meth:`_rows_normfwd_kernel` with a per-pixel amplitude."""
+    xr = xr_ref[...].T
+    xi = xi_ref[...].T
+    amp = amp_ref[...].T
+    zr, zi = _fft_core(
+        xr, xi, i1b_ref[...], itr_ref[...], iti_ref[...], i2b_ref[...],
+        n1, n2, True,
+    )
+    mag2 = zr * zr + zi * zi
+    inv = amp * jax.lax.rsqrt(mag2)
+    ur = jnp.where(mag2 > 0, zr * inv, amp)
+    ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+    gr, gi = _fft_core(
+        ur, ui, f1b_ref[...], ftr_ref[...], fti_ref[...], f2b_ref[...],
+        n1, n2, False,
+    )
+    outr_ref[...] = gr.T
+    outi_ref[...] = gi.T
+
+
 def _rows_phase_extract_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref, out_ref, *, n1, n2):
     """Inverse ROW-axis FFT of a (block, W) row tile, emitting only the
     result's phase (the GS psi update): transpose in VMEM, inverse core,
@@ -997,6 +1066,192 @@ def wgs_fused_step_pallas(psi, amp, weights, phase_ff, target, mask,
     )(hr, hi, *[jnp.asarray(m) for m in rmats])
 
     return psi_out, wout, pff_out, accs[:4, 0], accm[:4, 0]
+
+
+# --------------------------------------------------------------------------
+# Carry-mode WGS step (two kernels per iteration).
+#
+# The three-kernel step still extracts psi (atan2) in K3 and re-
+# synthesizes e^{i psi} (sincos) in the next iteration's K1 — but the
+# loop never needs psi itself, only the re-normalized nearfield
+# amp * Z/|Z|. Carrying the ROWS-TRANSFORMED field pair (gr, gi) across
+# iterations instead of psi merges K3+K1 into one rows round-trip kernel
+# with a single rsqrt (inverse rows FFT -> normalize -> forward rows
+# FFT), saving one kernel launch and two HBM plane crossings per
+# iteration (16 -> 14 tiles) and deleting ~55 VPU transcendental
+# ops/element. psi exists only at the boundaries:
+#
+#   entry  psi -> (gr, gi)      rows kernel, sincos_reduced (unbounded psi)
+#   iter   (gr, gi) -> K_B cols round trip + WGS epilogue -> (hr, hi)
+#                   -> K_A rows round trip + normalize     -> (gr', gi')
+#   exit   (gr, gi) -> psi      inverse rows + atan2
+# --------------------------------------------------------------------------
+
+
+def _wgs_scal_vec(scalars, post, extra=()):
+    """Pack the fused-WGS dynamic scalars into the (1, 128) operand."""
+    vec = jnp.zeros((128,), jnp.float32)
+    vec = vec.at[_SC_POST_SCALE].set(post)
+    vec = vec.at[_SC_INV_PREV_NORM].set(scalars["inv_prev_norm"])
+    vec = vec.at[_SC_APPLY_UPDATE].set(scalars["apply_update"])
+    vec = vec.at[_SC_USE_THETA].set(scalars.get("use_theta", jnp.float32(1.0)))
+    vec = vec.at[_SC_EXPONENT].set(scalars["feedback_exponent"])
+    vec = vec.at[_SC_FACTOR].set(scalars["feedback_factor"])
+    vec = vec.at[_SC_INV_FNORM].set(scalars["inv_fnorm"])
+    vec = vec.at[_SC_INV_TSUM].set(scalars["inv_tsum"])
+    vec = vec.at[_SC_INV_FSUM].set(scalars["inv_fsum"])
+    for j, v in extra:
+        vec = vec.at[j].set(v)
+    return vec.reshape(1, 128)
+
+
+def wgs_carry_entry_pallas(psi, amp):
+    """psi (natural, unbounded) -> rows-scrambled field carry (gr, gi)
+    of ``e^{i psi}`` (scalar amp; folds into the cols post scale) or
+    ``amp * e^{i psi}`` (array amp). One rows kernel."""
+    H, W = psi.shape
+    n1, n2, *mats = _plan_f32(W, False)
+    block = min(BLOCK, H)
+    row_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    const_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if jnp.ndim(amp) == 0:
+        return pl.pallas_call(
+            functools.partial(_rows_phase_kernel, n1=n1, n2=n2),
+            grid=(H // block,),
+            in_specs=[row_spec] + const_specs,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(psi, *[jnp.asarray(m) for m in mats])
+    return pl.pallas_call(
+        functools.partial(_rows_phase_amp_kernel, n1=n1, n2=n2),
+        grid=(H // block,),
+        in_specs=[row_spec, row_spec] + const_specs,
+        out_specs=[row_spec, row_spec],
+        out_shape=[plane, plane],
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(psi, amp, *[jnp.asarray(m) for m in mats])
+
+
+def wgs_carry_exit_pallas(gr, gi):
+    """Rows-scrambled field carry -> psi (inverse rows + atan2): the
+    phase of the nearfield the carry encodes (normalization drops out
+    of atan2)."""
+    H, W = gr.shape
+    n1, n2, *mats = _plan_f32(W, True)
+    block = min(BLOCK, H)
+    row_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    rconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in mats]
+    return pl.pallas_call(
+        functools.partial(_rows_phase_extract_kernel, n1=n1, n2=n2),
+        grid=(H // block,),
+        in_specs=[row_spec, row_spec] + rconst,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(gr, gi, *[jnp.asarray(m) for m in mats])
+
+
+def wgs_carry_step_pallas(gr, gi, amp, weights, phase_ff, target, mask,
+                          scalars, *, rule, kim, stats_on):
+    """
+    One COMPLETE WGS iteration on the rows-transformed carry, in TWO
+    kernels: the cols round-trip kernel (forward cols FFT + fused WGS
+    epilogue + inverse cols FFT) and the rows round-trip kernel (inverse
+    rows FFT + amplitude replacement + forward rows FFT).
+
+    Returns ``(gr_out, gi_out, weights_out, phase_ff_out | None, sums,
+    maxs)`` with the :meth:`wgs_fused_forward_pallas` stats conventions.
+    """
+    H, W = gr.shape
+    scalar_amp = jnp.ndim(amp) == 0
+    post = jnp.float32(1.0 / np.sqrt(H * W)) * (amp if scalar_amp else 1.0)
+
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    # --- K_B: cols round trip (fwd FFT + WGS epilogue + inv FFT). ---
+    n1c, n2c, *fmats = _plan_f32(H, False)
+    _, _, *imats = _plan_f32(H, True)
+    blockc = min(BLOCK, W)
+    col_spec = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    cconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in fmats + imats]
+    scal_spec = pl.BlockSpec((1, 128), lambda i: (0, 0))
+    acc_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    acc = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+
+    in_specs = [col_spec, col_spec] + cconst + [col_spec, col_spec, scal_spec]
+    operands = (
+        [gr, gi]
+        + [jnp.asarray(m) for m in fmats + imats]
+        + [weights, target, _wgs_scal_vec(scalars, post)]
+    )
+    if stats_on:
+        in_specs.append(col_spec)
+        operands.append(mask)
+    if kim:
+        in_specs.append(col_spec)
+        operands.append(phase_ff)
+
+    out_specs = [col_spec, col_spec, col_spec]
+    out_shape = [plane, plane, plane]
+    if kim:
+        out_specs.append(col_spec)
+        out_shape.append(plane)
+    out_specs += [acc_spec, acc_spec]
+    out_shape += [acc, acc]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _cols_wgs_roundtrip_kernel, n1=n1c, n2=n2c,
+            rule=rule, kim=kim, stats_on=stats_on,
+        ),
+        grid=(W // blockc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(*operands)
+
+    hr, hi, wout = outs[0], outs[1], outs[2]
+    pff_out = outs[3] if kim else None
+    accs, accm = outs[-2], outs[-1]
+
+    # --- K_A: rows round trip + amplitude replacement. ---
+    n1r, n2r, *rimats = _plan_f32(W, True)
+    _, _, *rfmats = _plan_f32(W, False)
+    block = min(BLOCK, H)
+    row_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    rconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in rimats + rfmats]
+    rmat_ops = [jnp.asarray(m) for m in rimats + rfmats]
+    if scalar_amp:
+        gr2, gi2 = pl.pallas_call(
+            functools.partial(_rows_normfwd_kernel, n1=n1r, n2=n2r),
+            grid=(H // block,),
+            in_specs=[row_spec, row_spec] + rconst,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(hr, hi, *rmat_ops)
+    else:
+        gr2, gi2 = pl.pallas_call(
+            functools.partial(_rows_normfwd_amp_kernel, n1=n1r, n2=n2r),
+            grid=(H // block,),
+            in_specs=[row_spec, row_spec, row_spec] + rconst,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(hr, hi, amp, *rmat_ops)
+
+    return gr2, gi2, wout, pff_out, accs[:4, 0], accm[:4, 0]
 
 
 # --------------------------------------------------------------------------

@@ -117,6 +117,30 @@ class TestCompressedSpotHologram:
         with pytest.raises(NameError):
             holo.get_padded_shape()
 
+    def test_dev_cache_invalidates_on_inplace_mutation(
+        self, fourierslm_calibrated, rng
+    ):
+        """In-place mutation of target / spot_zernike between optimize()
+        calls (a standard feedback-loop workflow in the reference) must
+        not silently reuse stale device constants."""
+        spots = np.vstack([rng.uniform(-0.01, 0.01, 4)] * 2)
+        holo = CompressedSpotHologram(spots, basis="kxy", cameraslm=fourierslm_calibrated)
+
+        t0 = np.asarray(holo._compressed_consts()["target"])
+        holo.target[...] = np.array([4.0, 3.0, 2.0, 1.0], holo.target.dtype)
+        t1 = np.asarray(holo._compressed_consts()["target"])
+        assert not np.allclose(t0, t1)
+        np.testing.assert_allclose(t1, holo.target, rtol=1e-6)
+
+        c0 = np.asarray(holo._compressed_consts()["coeffs"])
+        holo.spot_zernike[0, :] += 0.25
+        c1 = np.asarray(holo._compressed_consts()["coeffs"])
+        assert not np.allclose(c0[0], c1[0])
+        np.testing.assert_allclose(c1, holo.spot_zernike, rtol=1e-6)
+
+        # Unchanged arrays still hit the cache (same device object).
+        assert holo._compressed_consts()["coeffs"] is holo._compressed_consts()["coeffs"]
+
 
 class TestMultiplaneHologram:
     def _children(self, rng, B=3, shape=(64, 64)):
