@@ -233,10 +233,12 @@ def _augment_fused_consts(config: GSConfig, consts):
 
 
 def _make_fused_step(config: GSConfig):
-    """Fully-fused WGS step: forward FFT + stats + weight update + Kim
-    select + constraint run inside the FFT kernels (see
-    :meth:`slmsuite_tpu.ops.fft.wgs_fused_forward`); only psi, weights,
-    phase_ff (Kim) and two 4-vectors of partials cross HBM per iteration."""
+    """Fully-fused WGS step in CARRY mode: the scan carries the
+    rows-transformed field pair in ``state.psi`` (converted at the scan
+    boundaries by :meth:`_compiled_run`); each iteration is two Pallas
+    kernels on TPU (see :meth:`slmsuite_tpu.ops.fft.wgs_carry_step`) —
+    only the carry pair, weights, phase_ff (Kim) and two 4-vectors of
+    partials cross HBM per iteration."""
     from slmsuite_tpu.ops import fft as _fft
 
     stats_on = bool(config.stat_groups)
@@ -255,8 +257,9 @@ def _make_fused_step(config: GSConfig):
             "inv_tsum": consts["_inv_tsum"],
             "inv_fsum": consts["_inv_fsum"],
         }
-        psi, weights, pff_out, sums, maxs = _fft.wgs_fused_step(
-            state.psi,
+        gr, gi = state.psi
+        gr, gi, weights, pff_out, sums, maxs = _fft.wgs_carry_step(
+            gr, gi,
             consts["amp"],
             state.weights,
             state.phase_ff if config.is_kim else None,
@@ -267,6 +270,7 @@ def _make_fused_step(config: GSConfig):
             kim=config.is_kim,
             stats_on=stats_on,
         )
+        psi = (gr, gi)
 
         w_norm = jnp.where(apply_update, jnp.sqrt(sums[3]), state.w_norm)
 
@@ -720,15 +724,30 @@ def _compiled_run(config: GSConfig, n_iterations: int):
     """Compile ``scan(step, state, length=n)`` with donated state."""
     step = make_gs_step(config)
     fused = _fused_active(config) or _mraf_fused_active(config)
+    carry_mode = _fused_active(config)
 
     def run(state, consts):
         if fused:
             consts = _augment_fused_consts(config, consts)
+        if carry_mode:
+            # The fused scan carries the rows-transformed field pair in
+            # ``psi`` (no atan2/sincos inside the loop); convert at the
+            # boundaries. Entry handles unbounded psi (warm starts).
+            from slmsuite_tpu.ops import fft as _fft
+
+            state = state._replace(
+                psi=_fft.wgs_carry_entry(state.psi, consts["amp"])
+            )
 
         def body(carry, _):
             return step(carry, consts)
 
-        return jax.lax.scan(body, state, None, length=n_iterations)
+        final, stats = jax.lax.scan(body, state, None, length=n_iterations)
+        if carry_mode:
+            from slmsuite_tpu.ops import fft as _fft
+
+            final = final._replace(psi=_fft.wgs_carry_exit(*final.psi))
+        return final, stats
 
     if _NUMERIC_CHECKS:
         from jax.experimental import checkify

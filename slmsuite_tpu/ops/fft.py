@@ -419,49 +419,8 @@ def wexp_ifft2_scrambled_phase(weights, phase):
 _WGS_NEG_FILL = -3.0e38
 
 
-def _wgs_fused_forward_jnp(psi, amp, weights, phase_ff, target, mask,
-                           scalars, *, rule, kim, stats_on):
-    """Reference (einsum/XLA) implementation of the fused forward half."""
-    re0 = amp * jnp.cos(psi)
-    im0 = amp * jnp.sin(psi)
-    fr, fi = fft2_scrambled_pair(re0, im0)
-    f = jnp.sqrt(jnp.square(fr) + jnp.square(fi))
-    theta = jnp.arctan2(fi, fr)
-
-    p = scalars["feedback_exponent"]
-    if rule in ("leonardo", "kim"):
-        # Pre-guarded: zero target -> 1; zero feedback -> exp(0) = 1,
-        # matching the unfused rule's inf -> 1 guard without transient
-        # non-finite values (checkify-clean).
-        on = target != 0
-        c = f / jnp.where(on, target, 1.0)
-        c = jnp.where(on & (c > 0) & jnp.isfinite(c), c, 1.0)
-        c = jnp.exp(-p * jnp.log(c))
-    elif rule == "wu":
-        # Matches update_weights_generic: term = t - p * f_hat.
-        c = jnp.exp(p * (target - p * f * scalars["inv_fnorm"]))
-    elif rule == "tanh":
-        c = 1.0 + scalars["feedback_factor"] * jnp.tanh(
-            p * (target - p * f * scalars["inv_fnorm"])
-        )
-    else:
-        raise ValueError(f"Unfusable rule '{rule}'.")
-    c = jnp.where(jnp.isinf(c), 1.0, c)
-
-    uw = weights * c
-    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
-    wout = jnp.where(scalars["apply_update"] > 0, uw * scalars["inv_prev_norm"], weights)
-
-    if kim:
-        phase = jnp.where(scalars["use_theta"] > 0, theta, phase_ff)
-        pff_out = phase
-    else:
-        phase = theta
-        pff_out = None
-    re = wout * jnp.cos(phase)
-    im = wout * jnp.sin(phase)
-
-    norm_sq = jnp.sum(jnp.square(wout))
+def _wgs_stats_jnp(f, target, mask, scalars, norm_sq, stats_on):
+    """Stats partials (sums, maxs) shared by every fused-step jnp twin."""
     neg = jnp.float32(_WGS_NEG_FILL)
     if stats_on:
         fsq = jnp.square(f)
@@ -486,7 +445,46 @@ def _wgs_fused_forward_jnp(psi, amp, weights, phase_ff, target, mask,
         zero = jnp.float32(0.0)
         sums = jnp.stack([zero, zero, zero, norm_sq])
         maxs = jnp.full((4,), neg)
+    return sums, maxs
+
+
+def _wgs_epilogue_jnp(f, theta, weights, phase_ff, target, mask, scalars,
+                      *, rule, kim, stats_on):
+    """Shared fused-WGS epilogue: weight correction (deferred norm), Kim
+    phase select, amplitude constraint, stats partials. Returns
+    ``(re, im, wout, pff_out, sums, maxs)``."""
+    c = _wgs_correction_jnp(f, target, scalars, rule)
+
+    uw = weights * c
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    wout = jnp.where(scalars["apply_update"] > 0, uw * scalars["inv_prev_norm"], weights)
+
+    if kim:
+        phase = jnp.where(scalars["use_theta"] > 0, theta, phase_ff)
+        pff_out = phase
+    else:
+        phase = theta
+        pff_out = None
+    re = wout * jnp.cos(phase)
+    im = wout * jnp.sin(phase)
+
+    norm_sq = jnp.sum(jnp.square(wout))
+    sums, maxs = _wgs_stats_jnp(f, target, mask, scalars, norm_sq, stats_on)
     return re, im, wout, pff_out, sums, maxs
+
+
+def _wgs_fused_forward_jnp(psi, amp, weights, phase_ff, target, mask,
+                           scalars, *, rule, kim, stats_on):
+    """Reference (einsum/XLA) implementation of the fused forward half."""
+    re0 = amp * jnp.cos(psi)
+    im0 = amp * jnp.sin(psi)
+    fr, fi = fft2_scrambled_pair(re0, im0)
+    f = jnp.sqrt(jnp.square(fr) + jnp.square(fi))
+    theta = jnp.arctan2(fi, fr)
+    return _wgs_epilogue_jnp(
+        f, theta, weights, phase_ff, target, mask, scalars,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )
 
 
 def wgs_fused_forward(psi, amp, weights, phase_ff, target, mask, scalars,
@@ -539,7 +537,7 @@ def _mraf_fused_step_jnp(psi, amp, weights, phase_ff, target, mask,
     f = jnp.sqrt(jnp.square(fr) + jnp.square(fi))
     theta = jnp.arctan2(fi, fr)
 
-    uw = weights * _mraf_correction(f, target, scalars, rule)
+    uw = weights * _wgs_correction_jnp(f, target, scalars, rule)
     uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
     # Keep the carry bounded via the previous norm; the mix renormalizes
     # exactly below.
@@ -591,8 +589,9 @@ def _mraf_fused_step_jnp(psi, amp, weights, phase_ff, target, mask,
     return jnp.arctan2(ni, nr), uw, pff_out, sums, maxs
 
 
-def _mraf_correction(f, target, scalars, rule):
-    """jnp twin of the kernel's ``_weight_correction``."""
+def _wgs_correction_jnp(f, target, scalars, rule):
+    """jnp twin of the kernel's ``_weight_correction`` (shared by the
+    fused WGS and MRAF semi-fused twins)."""
     p = scalars["feedback_exponent"]
     if rule in ("leonardo", "kim"):
         on = target != 0
@@ -665,3 +664,114 @@ def wgs_fused_step(psi, amp, weights, phase_ff, target, mask, scalars,
     )
     nr, ni = ifft2_scrambled_pair(re, im)
     return jnp.arctan2(ni, nr), wout, pff_out, sums, maxs
+
+
+# --------------------------------------------------------------------------
+# Carry-mode WGS step: the loop carries the ROWS-TRANSFORMED field pair
+# (gr, gi) instead of psi, merging the inverse-rows phase extraction and
+# the next iteration's nearfield synthesis into one round trip with a
+# single normalization (amp * Z/|Z|) — no atan2/sincos inside the loop.
+# On TPU this is TWO Pallas kernels per iteration (14 HBM plane
+# crossings vs the three-kernel step's 16). psi exists only at the
+# entry/exit boundaries. Semantics twins below; kernels in
+# :mod:`slmsuite_tpu.ops.pallas_fft`.
+#
+# Layout of the carry: last (W) axis four-step-scrambled, first (H) axis
+# natural — exactly the three-kernel step's K1 output.
+# --------------------------------------------------------------------------
+
+
+def _wgs_carry_entry_jnp(psi, amp):
+    """psi -> rows-scrambled carry of ``e^{i psi}`` (scalar amp folds
+    into the step's post scale) or ``amp * e^{i psi}`` (array amp).
+    Unnormalized, matching the raw Pallas stage transforms."""
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    if jnp.ndim(amp) != 0:
+        c, s = amp * c, amp * s
+    return _fft_last_axis_scrambled(c, s, psi.shape[-1])
+
+
+def _wgs_carry_exit_jnp(gr, gi):
+    """Rows-scrambled carry -> psi (normalization drops out of atan2)."""
+    zr, zi = _ifft_last_axis_scrambled(gr, gi, gr.shape[-1])
+    return jnp.arctan2(zi, zr)
+
+
+def _wgs_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
+                        scalars, *, rule, kim, stats_on):
+    """Reference (einsum/XLA) implementation of the carry-mode step."""
+    H, W = gr.shape
+    scalar_amp = jnp.ndim(amp) == 0
+    post = jnp.float32(1.0 / np.sqrt(H * W)) * (amp if scalar_amp else 1.0)
+
+    # Forward cols pass completes the 2D transform (x 1/sqrt(HW) since
+    # the carry is unnormalized).
+    fr, fi = _fft_first_axis_scrambled(gr, gi, H)
+    f = jnp.sqrt(jnp.square(fr) + jnp.square(fi)) * post
+    theta = jnp.arctan2(fi, fr)
+
+    re, im, wout, pff_out, sums, maxs = _wgs_epilogue_jnp(
+        f, theta, weights, phase_ff, target, mask, scalars,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )
+
+    # Inverse both axes (unnormalized), replace the nearfield amplitude,
+    # re-transform the rows axis.
+    hr, hi = _ifft_first_axis_scrambled(re, im, H)
+    zr, zi = _ifft_last_axis_scrambled(hr, hi, W)
+    mag2 = jnp.square(zr) + jnp.square(zi)
+    if scalar_amp:
+        inv = jax.lax.rsqrt(mag2)
+        ur = jnp.where(mag2 > 0, zr * inv, 1.0)
+        ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+    else:
+        inv = amp * jax.lax.rsqrt(mag2)
+        ur = jnp.where(mag2 > 0, zr * inv, amp)
+        ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+    gr2, gi2 = _fft_last_axis_scrambled(ur, ui, W)
+    return gr2, gi2, wout, pff_out, sums, maxs
+
+
+def wgs_carry_entry(psi, amp):
+    """psi (natural, unbounded range) -> rows-transformed field carry."""
+    if _use_pallas_scrambled(psi.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.wgs_carry_entry_pallas(psi, amp)
+    return _wgs_carry_entry_jnp(psi, amp)
+
+
+def wgs_carry_exit(gr, gi):
+    """Rows-transformed field carry -> psi."""
+    if _use_pallas_scrambled(gr.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.wgs_carry_exit_pallas(gr, gi)
+    return _wgs_carry_exit_jnp(gr, gi)
+
+
+def wgs_carry_step(gr, gi, amp, weights, phase_ff, target, mask, scalars,
+                   *, rule, kim, stats_on):
+    """
+    One complete WGS iteration on the rows-transformed carry.
+
+    On TPU this is TWO Pallas kernels: the cols round trip (forward cols
+    FFT + fused WGS epilogue + inverse cols FFT) and the rows round trip
+    (inverse rows FFT + amplitude replacement + forward rows FFT); no
+    complex plane, |F|, arg(F) or psi ever crosses HBM. Elsewhere the
+    jnp twin. Same scalar/stat conventions as :meth:`wgs_fused_forward`.
+
+    Returns ``(gr_out, gi_out, weights_out, phase_ff_out | None, sums,
+    maxs)``.
+    """
+    if _use_pallas_scrambled(gr.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.wgs_carry_step_pallas(
+            gr, gi, amp, weights, phase_ff, target, mask, scalars,
+            rule=rule, kim=kim, stats_on=stats_on,
+        )
+    return _wgs_carry_step_jnp(
+        gr, gi, amp, weights, phase_ff, target, mask, scalars,
+        rule=rule, kim=kim, stats_on=stats_on,
+    )

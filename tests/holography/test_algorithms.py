@@ -546,6 +546,91 @@ class TestScrambledEngine:
                     err_msg=f"{rule}/{name}",
                 )
 
+    def test_fused_step_warm_start_psi_range(self):
+        """The fused step's nearfield synthesis must be exact for
+        UNBOUNDED psi: iteration-0 enters with the folded initial phase
+        (random init reaches 2*pi; quadratic/blaze warm starts span many
+        radians). Regression for the bounded-_sincos range bug: the jnp
+        twin uses true sin/cos, so this catches a divergent polynomial."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import fft as F
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        N = 128
+        rng = np.random.default_rng(23)
+        # Quadratic warm start + checkerboard fold: psi spans ~[-2, 45] rad.
+        yy, xx = np.mgrid[0:N, 0:N].astype(np.float32)
+        psi = (
+            5e-3 * ((yy - N / 2) ** 2 + (xx - N / 2) ** 2)
+            + np.pi * ((yy + xx) % 2)
+        ).astype(np.float32)
+        assert np.ptp(psi) > 10 * np.pi  # the range the bug destroyed
+        target = np.zeros((N, N), np.float32)
+        target[rng.integers(0, N, 12), rng.integers(0, N, 12)] = 1.0
+        target /= np.sqrt((target**2).sum())
+        phase_ff = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        mask = (target != 0).astype(np.float32)
+        scalars = {
+            "inv_prev_norm": jnp.float32(1.0),
+            "apply_update": jnp.float32(1.0),
+            "use_theta": jnp.float32(1.0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.2),
+            "inv_fnorm": jnp.float32(1.0),
+            "inv_tsum": jnp.float32(1.0 / (target**2).sum()),
+            "inv_fsum": jnp.float32(1.0),
+        }
+        args = (
+            jnp.asarray(psi), jnp.float32(1.0 / N), jnp.asarray(target.copy()),
+            jnp.asarray(phase_ff), jnp.asarray(target), jnp.asarray(mask),
+            scalars,
+        )
+        re, im, wout, pff, sums, maxs = F._wgs_fused_forward_jnp(
+            *args, rule="kim", kim=True, stats_on=True
+        )
+        nr, ni = F.ifft2_scrambled_pair(re, im)
+        nr, ni = np.asarray(nr), np.asarray(ni)
+        ref_psi = np.arctan2(ni, nr)
+        PF._INTERPRET = True
+        try:
+            got = PF.wgs_fused_step_pallas(
+                *args, rule="kim", kim=True, stats_on=True
+            )
+        finally:
+            PF._INTERPRET = False
+        # psi is ill-conditioned where the back-propagated field is near
+        # zero; compare where the amplitude is above its median. (Before
+        # the fix the divergent polynomial was wrong by O(1) everywhere.)
+        mag = np.hypot(nr, ni)
+        sel = mag > np.median(mag)
+        diff = np.angle(np.exp(1j * (np.asarray(got[0]) - ref_psi)))
+        assert np.max(np.abs(diff[sel])) < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(got[3]), np.asarray(sums), atol=3e-5, rtol=1e-4
+        )
+
+    def test_sincos_reduced_unbounded_range(self):
+        """_sincos_reduced stays at the f32 noise floor out to +-1e4 rad
+        (blaze/lens warm starts span hundreds of radians)."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        x = np.concatenate([
+            np.linspace(-1e4, 1e4, 20001, dtype=np.float32),
+            np.linspace(-4 * np.pi, 4 * np.pi, 4001, dtype=np.float32),
+        ])
+        s, c = PF._sincos_reduced(jnp.asarray(x))
+        # Error budget: |k|*1e-7 rad residual from the two-term period
+        # split, ~1e-7 from the minimax pair.
+        np.testing.assert_allclose(np.asarray(s), np.sin(x.astype(np.float64)), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(c), np.cos(x.astype(np.float64)), atol=2e-3)
+        small = np.abs(x) < 10
+        np.testing.assert_allclose(
+            np.asarray(s)[small], np.sin(x.astype(np.float64))[small], atol=1e-6
+        )
+
     def test_fused_step_pallas_kernel_interpret(self):
         """The three-kernel Pallas full step (cols round trip) matches the
         jnp twin composition psi-for-psi (interpreter mode)."""
@@ -609,6 +694,75 @@ class TestScrambledEngine:
                     np.asarray(b), np.asarray(a), atol=atol, rtol=1e-4,
                     err_msg=f"{rule}/{name}",
                 )
+
+    def test_carry_step_pallas_kernel_interpret(self):
+        """The two-kernel carry-mode Pallas step (cols round trip + rows
+        round trip with amplitude replacement) matches the jnp twin
+        composition carry-for-carry, through entry and exit (interpreter
+        mode)."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import fft as F
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        N = 128
+        rng = np.random.default_rng(31)
+        psi = rng.uniform(-2 * np.pi, 2 * np.pi, (N, N)).astype(np.float32)
+        target = np.zeros((N, N), np.float32)
+        target[rng.integers(0, N, 12), rng.integers(0, N, 12)] = 1.0
+        target /= np.sqrt((target**2).sum())
+        phase_ff = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        mask = (target != 0).astype(np.float32)
+        amp_plane = (0.5 + rng.uniform(0, 1, (N, N))).astype(np.float32)
+
+        scalars = {
+            "inv_prev_norm": jnp.float32(1.0),
+            "apply_update": jnp.float32(1.0),
+            "use_theta": jnp.float32(1.0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.2),
+            "inv_fnorm": jnp.float32(1.0),
+            "inv_tsum": jnp.float32(1.0 / (target**2).sum()),
+            "inv_fsum": jnp.float32(1.0),
+        }
+        for amp in (jnp.float32(1.0 / N), jnp.asarray(amp_plane)):
+            for rule, kim in (("kim", True), ("leonardo", False),
+                              ("wu", False), ("tanh", False)):
+                args = (
+                    jnp.asarray(target.copy()), jnp.asarray(phase_ff),
+                    jnp.asarray(target), jnp.asarray(mask), scalars,
+                )
+                gr, gi = F._wgs_carry_entry_jnp(jnp.asarray(psi), amp)
+                ref = F._wgs_carry_step_jnp(
+                    gr, gi, amp, *args, rule=rule, kim=kim, stats_on=True
+                )
+                ref_psi = np.asarray(F._wgs_carry_exit_jnp(ref[0], ref[1]))
+                PF._INTERPRET = True
+                try:
+                    pgr, pgi = PF.wgs_carry_entry_pallas(jnp.asarray(psi), amp)
+                    got = PF.wgs_carry_step_pallas(
+                        pgr, pgi, amp, *args, rule=rule, kim=kim, stats_on=True
+                    )
+                    got_psi = np.asarray(PF.wgs_carry_exit_pallas(got[0], got[1]))
+                finally:
+                    PF._INTERPRET = False
+                tag = f"{rule}/amp{jnp.ndim(amp)}"
+                # The carry planes are FFT-scaled; compare relative.
+                scale = np.abs(np.asarray(ref[0])).max()
+                np.testing.assert_allclose(
+                    np.asarray(got[0]) / scale, np.asarray(ref[0]) / scale,
+                    atol=3e-5, err_msg=f"{tag}/gr",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got[2]), np.asarray(ref[2]),
+                    atol=3e-5, rtol=1e-4, err_msg=f"{tag}/weights",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got[4]), np.asarray(ref[4]),
+                    atol=3e-5, rtol=1e-4, err_msg=f"{tag}/sums",
+                )
+                diff = np.angle(np.exp(1j * (got_psi - ref_psi)))
+                assert np.percentile(np.abs(diff), 99) < 2e-3, tag
 
     def test_nogrette_parity(self):
         """The scrambled Nogrette step (generic polar-forward +
