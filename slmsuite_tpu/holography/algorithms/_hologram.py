@@ -894,9 +894,9 @@ class Hologram(_HologramStats):
                 if not plane_shardable(config, n_devices):
                     warnings.warn(
                         "mesh-sharded plane optimization requires farfield "
-                        "shape == SLM shape, no propagation kernel, "
-                        "computational (non-spot) feedback, and dimensions "
-                        "divisible by the mesh; running on a single device."
+                        "shape == SLM shape, computational (non-spot) "
+                        "feedback, and dimensions divisible by the mesh; "
+                        "running on a single device."
                     )
                     mesh = None
 

@@ -207,8 +207,13 @@ class MultiplaneHologram(Hologram):
         shapes = {tuple(h.shape) for h in children}
         if len(shapes) != 1:
             reasons.append("children must share one farfield shape")
-        if any(np.any(np.isnan(np.asarray(h.target))) for h in children):
-            reasons.append("MRAF (nan targets) is not in the batched engine")
+        if any(bool(h.flags.get("zero_factor", 0)) for h in children) or bool(
+            self.flags.get("zero_factor", 0)
+        ):
+            reasons.append(
+                "zero_factor (evolving zero-region weights) carries extra "
+                "complex state; host meta loop only"
+            )
         groups = set(self.flags.get("stat_groups", []))
         if groups - {"computational"}:
             reasons.append("only 'computational' stats are device-side here")
@@ -244,9 +249,13 @@ class MultiplaneHologram(Hologram):
         shape = tuple(children[0].shape)
         slm_shape = tuple(self.slm_shape)
 
+        # Raw targets keep their NaN noise regions: make_multiplane_consts
+        # derives per-plane MRAF region codes from them and cleans the
+        # stored planes.
         targets = np.stack(
-            [np.nan_to_num(np.asarray(h.target, np.float32)) for h in children]
+            [np.asarray(h.target, np.float32) for h in children]
         )
+        mraf = bool(np.any(np.isnan(targets)))
         kernels = np.stack(
             [
                 np.zeros(slm_shape, np.float32)
@@ -273,6 +282,8 @@ class MultiplaneHologram(Hologram):
                 "Kim" in self.flags["method"]
                 and self.flags.get("fix_phase_efficiency") is not None
             ),
+            mraf=mraf,
+            mraf_factor=mraf and self.flags.get("mraf_factor") is not None,
         )
         consts = make_multiplane_consts(
             targets,
@@ -283,6 +294,7 @@ class MultiplaneHologram(Hologram):
             feedback_factor=self.flags.get("feedback_factor", 0.1),
             fix_phase_iteration=self.flags.get("fix_phase_iteration", 10),
             fix_phase_efficiency=self.flags.get("fix_phase_efficiency"),
+            mraf_factor=self.flags.get("mraf_factor"),
         )
         psi = self._psi_device()
         if mesh is None:

@@ -42,6 +42,12 @@ class BatchedGSConfig:
     stats: bool = True
     scrambled: bool = False  # farfield in four-step (k1,k2) layout
     kim_efficiency_trigger: bool = False
+    #: MRAF: per-plane region codes (``consts["mcodes"]``: 1 = signal,
+    #: 2 = noise, 0 = zero) select the constraint mix. Masks are
+    #: plane-local, so no extra collective is needed; the weight norm is
+    #: per plane exactly like the host meta loop's children.
+    mraf: bool = False
+    mraf_factor: bool = False  # apply the noise-region retention factor
 
     @property
     def is_wgs(self):
@@ -77,8 +83,8 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
         farfield = nearfield_to_farfield(nearfield)
         return jnp.abs(farfield), jnp.arctan2(farfield.imag, farfield.real)
 
-    def plane_constrain(amp_ff, theta, weights, target, phase_ff, fixed,
-                        streak, consts, iteration):
+    def plane_constrain(amp_ff, theta, weights, target, mcode, phase_ff,
+                        fixed, streak, consts, iteration):
         fixed_in = fixed  # Flag history records the pre-decision state.
         if config.stats or config.kim_efficiency_trigger:
             stats = calculate_stats(
@@ -118,8 +124,23 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
 
         # Column 4 carries the fixed-phase flag history next to the stats.
         stats = jnp.concatenate([stats, fixed_in.astype(jnp.float32)[None]])
+        constrained = weights * jnp.exp(1j * phase_ff)
+        if config.mraf:
+            # Mixed-region constraint (engine parity, ref
+            # `_hologram.py:1606-1653`): signal keeps the weighted
+            # constraint, noise evolves freely (x retention factor),
+            # zero regions are cleared. Non-MRAF planes in a mixed batch
+            # are unaffected: their weights are identically zero outside
+            # the signal region.
+            farfield = (amp_ff * jnp.exp(1j * theta)).astype(jnp.complex64)
+            new_ff = jnp.where(mcode == 1, constrained, farfield)
+            if config.mraf_factor:
+                new_ff = jnp.where(
+                    mcode == 2, consts["mraf_factor"] * new_ff, new_ff
+                )
+            constrained = jnp.where(mcode == 0, 0.0, new_ff)
         return (
-            weights * jnp.exp(1j * phase_ff),
+            constrained,
             weights, phase_ff, fixed, streak, stats,
         )
 
@@ -142,15 +163,19 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
         targets = consts["targets"]          # (B_local, H, W)
         plane_weights = consts["plane_weights"]  # (B_local,)
         iteration = consts["iteration"]
+        mcodes = (
+            consts["mcodes"] if config.mraf
+            else jnp.zeros((targets.shape[0], 1, 1), jnp.uint8)
+        )
 
         amps_ff, thetas = jax.vmap(
             lambda k: plane_forward(psi, k, consts["amp"])
         )(kernels)
         constrained, weights, phase_ff, fixed, streak, stats = jax.vmap(
-            lambda a, th, w, t, pff, fx, st: plane_constrain(
-                a, th, w, t, pff, fx, st, consts, iteration
+            lambda a, th, w, t, mc, pff, fx, st: plane_constrain(
+                a, th, w, t, mc, pff, fx, st, consts, iteration
             )
-        )(amps_ff, thetas, weights, targets, phase_ff, fixed, streak)
+        )(amps_ff, thetas, weights, targets, mcodes, phase_ff, fixed, streak)
 
         contributions = jax.vmap(plane_backward)(constrained, kernels, plane_weights)
         combined = jnp.sum(contributions, axis=0)
@@ -213,6 +238,9 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
             [weights, consts["targets"]], config.shape
         )
         consts = dict(consts, targets=targets)
+        if config.mraf:
+            (mcodes,) = _permute_planes([consts["mcodes"]], config.shape)
+            consts["mcodes"] = mcodes
         psi, weights, stats = run_batched_gs(
             config, psi, weights, consts, n_iterations, mesh, axis_name
         )
@@ -252,13 +280,13 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
     scalar_keys = (
         "amp", "feedback_exponent", "feedback_factor",
         "fix_phase_iteration", "fix_phase_efficiency",
-    )
+    ) + (("mraf_factor",) if config.mraf else ())
+    plane_keys = ("kernels", "targets") + (("mcodes",) if config.mraf else ())
     in_specs = (
         replicated,                      # psi
         P(axis_name, None, None),        # weights
         {
-            "kernels": P(axis_name, None, None),
-            "targets": P(axis_name, None, None),
+            **{key: P(axis_name, None, None) for key in plane_keys},
             "plane_weights": plane_sharded,
             **{key: replicated for key in scalar_keys},
         },
@@ -276,12 +304,12 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
     psi = jax.device_put(psi, NamedSharding(mesh, replicated))
     weights = jax.device_put(weights, NamedSharding(mesh, P(axis_name, None, None)))
     consts = {
-        "kernels": jax.device_put(
-            consts["kernels"], NamedSharding(mesh, P(axis_name, None, None))
-        ),
-        "targets": jax.device_put(
-            consts["targets"], NamedSharding(mesh, P(axis_name, None, None))
-        ),
+        **{
+            key: jax.device_put(
+                consts[key], NamedSharding(mesh, P(axis_name, None, None))
+            )
+            for key in plane_keys
+        },
         "plane_weights": jax.device_put(
             consts["plane_weights"], NamedSharding(mesh, P(axis_name))
         ),
@@ -292,11 +320,15 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
 
 def make_multiplane_consts(targets, kernels, plane_weights, amp,
                            feedback_exponent=0.8, feedback_factor=0.1,
-                           fix_phase_iteration=10, fix_phase_efficiency=None):
-    """Assemble the consts dict for :meth:`run_batched_gs` (numpy inputs ok)."""
-    return {
+                           fix_phase_iteration=10, fix_phase_efficiency=None,
+                           mraf_factor=None):
+    """Assemble the consts dict for :meth:`run_batched_gs` (numpy inputs
+    ok). ``targets`` may carry NaN noise regions (MRAF): per-plane region
+    codes are derived here and the stored targets are cleaned."""
+    targets = np.asarray(targets, dtype=np.float32)
+    consts = {
         "kernels": jnp.asarray(kernels, dtype=jnp.float32),
-        "targets": jnp.asarray(targets, dtype=jnp.float32),
+        "targets": jnp.asarray(np.nan_to_num(targets)),
         "plane_weights": jnp.asarray(plane_weights, dtype=jnp.float32),
         "amp": (
             jnp.float32(amp) if np.isscalar(amp) else jnp.asarray(amp, dtype=jnp.float32)
@@ -308,3 +340,12 @@ def make_multiplane_consts(targets, kernels, plane_weights, amp,
             np.nan if fix_phase_efficiency is None else fix_phase_efficiency
         ),
     }
+    if np.any(np.isnan(targets)):
+        nan = np.isnan(targets)
+        consts["mcodes"] = jnp.asarray(
+            np.where(nan, 2, np.nan_to_num(targets) > 0).astype(np.uint8)
+        )
+        consts["mraf_factor"] = jnp.float32(
+            1.0 if mraf_factor is None else mraf_factor
+        )
+    return consts

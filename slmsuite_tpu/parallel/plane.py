@@ -14,10 +14,11 @@ For computational holography whose k-space exceeds a single chip's HBM
   ``psum``/``pmin``/``pmax`` — a handful of scalars per iteration over
   ICI.
 
-Requires the phase-in/phase-out geometry (farfield shape == SLM shape,
-no propagation kernel), so the nearfield is exactly ``amp * e^{i psi}``
-per shard and the extracted phase stays shard-local. Reached from the
-public API via ``Hologram.optimize(mesh=...)``.
+Requires full-plane geometry (farfield shape == SLM shape), so the
+nearfield is exactly ``amp * e^{i (psi + kernel)}`` per shard and the
+extracted phase stays shard-local (a propagation kernel is an
+elementwise shard-local phase — supported). Reached from the public API
+via ``Hologram.optimize(mesh=...)``.
 
 This is the holography analog of sequence parallelism (SURVEY section
 5): the long axis of computational k-space shards over the mesh.
@@ -41,8 +42,10 @@ __all__ = ["plane_shardable", "run_sharded_plane_gs"]
 
 def plane_shardable(config: GSConfig, n_devices: int):
     """Whether the row-sharded engine covers ``config`` on ``n_devices``:
-    phase-in/out geometry, computational feedback (no spot gathers —
-    their index maps would cross shards), rows divisible by the mesh."""
+    full-plane geometry (farfield shape == SLM shape; a propagation
+    kernel is fine — it is a shard-local elementwise phase), computational
+    feedback (no spot gathers — their index maps would cross shards),
+    rows divisible by the mesh."""
     needs_spot = (
         config.feedback == "computational_spot"
         or "computational_spot" in config.stat_groups
@@ -50,7 +53,6 @@ def plane_shardable(config: GSConfig, n_devices: int):
     H, W = config.shape
     return (
         tuple(config.shape) == tuple(config.slm_shape)
-        and not config.has_kernel
         and config.feedback == "computational"
         and not needs_spot
         and all(g == "computational" for g in config.stat_groups)
@@ -65,7 +67,14 @@ def make_sharded_plane_step(config: GSConfig, axis_name):
 
     def step(state, consts):
         # --- (A) Nearfield -> farfield (local rows; pencil FFT). ---
-        nearfield = (consts["amp"] * jnp.exp(1j * state.psi)).astype(
+        # A propagation kernel is a shard-local elementwise phase:
+        # added before the forward transform, removed after the inverse
+        # (mirrors ops.propagation.build_folded_nearfield /
+        # extract_folded_phase at full-plane geometry).
+        total = (
+            state.psi + consts["kernel"] if config.has_kernel else state.psi
+        )
+        nearfield = (consts["amp"] * jnp.exp(1j * total)).astype(
             jnp.complex64
         )
         farfield = _fft2_sharded(nearfield, axis_name, inverse=False)
@@ -154,6 +163,8 @@ def make_sharded_plane_step(config: GSConfig, axis_name):
             new_farfield.astype(jnp.complex64), axis_name, inverse=True
         )
         psi = jnp.arctan2(back.imag, back.real)
+        if config.has_kernel:
+            psi = psi - consts["kernel"]
 
         new_state = GSState(
             psi=psi,
@@ -178,7 +189,9 @@ def make_sharded_plane_step(config: GSConfig, axis_name):
     return step
 
 
-_ROW_CONSTS = ("target", "stat_mask", "signal_mask", "noise_mask", "zero_mask")
+_ROW_CONSTS = (
+    "target", "stat_mask", "signal_mask", "noise_mask", "zero_mask", "kernel",
+)
 
 
 @functools.lru_cache(maxsize=16)

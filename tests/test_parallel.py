@@ -353,6 +353,47 @@ class TestPublicMeshAPI:
         assert fixed_mesh.any()
         np.testing.assert_array_equal(fixed_mesh, fixed_single)
 
+    def test_multiplane_mesh_mraf_matches_meta_loop(self):
+        """Multiplane MRAF (per-child nan noise regions) runs under the
+        batched mesh engine and reproduces the host meta loop."""
+        from slmsuite_tpu.holography.algorithms import Hologram, MultiplaneHologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        def children(B=8, N=64):
+            rng = np.random.default_rng(6)
+            out = []
+            for b in range(B):
+                target = np.zeros((N, N), np.float32)
+                target[16 + (2 * b) % 32, 20 + (3 * b) % 24] = 1.0
+                noise = np.ones((N, N), bool)
+                noise[12:52, 8 + b % 4:56] = False
+                target[noise] = np.nan
+                h = Hologram(target)
+                h.propagation_kernel = np.full((N, N), 0.03 * b, np.float32)
+                out.append(h)
+            return out, rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+
+        def run(mesh):
+            kids, phi0 = children()
+            holo = MultiplaneHologram(kids)
+            holo.reset_phase(custom_phase=phi0)
+            holo.optimize(
+                "WGS-Leonardo", maxiter=8, verbose=False, mesh=mesh,
+                mraf_factor=0.5, stat_groups=["computational"],
+            )
+            return (
+                holo.phase.copy(),
+                np.asarray(
+                    holo.holograms[1].stats["stats"]["computational"]["efficiency"]
+                ),
+            )
+
+        psi_mesh, eff_mesh = run(make_mesh(axis_names=("data",)))
+        psi_single, eff_single = run(None)
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 5e-4
+        np.testing.assert_allclose(eff_mesh, eff_single, atol=1e-4, rtol=0)
+
     def test_multiplane_mesh_fallback_warns(self):
         from slmsuite_tpu.holography.algorithms import MultiplaneHologram
         from slmsuite_tpu.parallel import make_mesh
@@ -386,6 +427,45 @@ class TestPublicMeshAPI:
                 "WGS-Kim", maxiter=10, verbose=False, mesh=mesh,
                 fix_phase_iteration=4, stat_groups=["computational"],
             )
+            return (
+                holo.phase.copy(),
+                np.asarray(holo.stats["stats"]["computational"]["efficiency"]),
+            )
+
+        psi_mesh, eff_mesh = run(make_mesh(axis_names=("rows",)))
+        psi_single, eff_single = run(None)
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 5e-4
+        np.testing.assert_allclose(eff_mesh, eff_single, atol=1e-4, rtol=0)
+
+    def test_plane_mesh_kernel_matches(self):
+        """A propagation kernel (shard-local elementwise phase) rides the
+        row-sharded plane path and reproduces the single-device result."""
+        from slmsuite_tpu.holography.algorithms import Hologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(11)
+        N = 64
+        target = np.zeros((N, N), np.float32)
+        target[24, 24] = target[40, 24] = target[32, 44] = 1.0
+        yy, xx = np.mgrid[0:N, 0:N].astype(np.float32)
+        kernel = (1e-3 * ((yy - N / 2) ** 2 + (xx - N / 2) ** 2)).astype(
+            np.float32
+        )
+        phi0 = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+
+        def run(mesh):
+            holo = Hologram(target.copy())
+            holo.propagation_kernel = kernel
+            holo.reset_phase(custom_phase=phi0)
+            import warnings as _w
+
+            with _w.catch_warnings():
+                _w.simplefilter("error")  # The kernel must NOT trip a fallback.
+                holo.optimize(
+                    "WGS-Leonardo", maxiter=8, verbose=False, mesh=mesh,
+                    stat_groups=["computational"],
+                )
             return (
                 holo.phase.copy(),
                 np.asarray(holo.stats["stats"]["computational"]["efficiency"]),
