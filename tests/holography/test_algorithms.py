@@ -942,6 +942,37 @@ def test_non_pow2_shapes_fall_back():
         F.set_fft_backend(prev)
 
 
+def test_non_pow2_large_farfield_optimizes():
+    """1536^2 (= 3 * 512, non-power-of-two) runs correctly through the
+    XLA-FFT fallback tier — the Pallas/scrambled tier requires pow2 and
+    must decline silently, not crash or mis-route. The reference runs
+    any shape with a speed recommendation only
+    (/root/reference/slmsuite/holography/algorithms/_hologram.py:616-725);
+    perf expectation documented in docs/source/tpu.rst."""
+    N = 1536
+    target = np.zeros((N, N), np.float32)
+    idx = (np.arange(8) * 96 + 400).astype(int)
+    xs, ys = np.meshgrid(idx, idx)
+    target[ys.ravel(), xs.ravel()] = 1.0
+
+    holo = Hologram(target, slm_shape=(N, N))
+    holo.optimize("WGS-Kim", maxiter=12, verbose=False,
+                  stat_groups=["computational"])
+    stats = holo.stats["stats"]["computational"]
+    assert stats["efficiency"][-1] > 0.7
+    assert stats["uniformity"][-1] > 0.8
+    assert stats["uniformity"][-1] > stats["uniformity"][0]
+    # The run must have taken the XLA tier: the scrambled/pallas gate
+    # rejects non-pow2 shapes.
+    from slmsuite_tpu.ops.engine import GSConfig, _can_scramble
+
+    config = GSConfig(
+        method="WGS-Kim", shape=(N, N), slm_shape=(N, N),
+        stat_groups=("computational",),
+    )
+    assert not _can_scramble(config)
+
+
 def test_weight_rules_match_eager_normalization():
     """The lazy-normalization optimization (Leonardo/Kim skip the eager
     feedback normalization; the scalar cancels post-renorm because masked
