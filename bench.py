@@ -326,7 +326,7 @@ def config_2(argv):
         model_matmuls = step_passes / mm_passes
         bw_time = (model_tiles / 2) * t_copy
         mxu_time = model_matmuls * t_mm
-        extra = {
+        extra.update({
             "fused_step": fused,
             "bytes_per_step_mb": round(step_bytes / 1e6, 1),
             "mxu_passes_per_step": step_passes,
@@ -346,7 +346,7 @@ def config_2(argv):
             "bandwidth_utilization": round(bw_time / t_step, 3),
             "mxu_utilization": round(mxu_time / t_step, 3),
             "roofline_utilization": round(max(bw_time, mxu_time) / t_step, 3),
-        }
+        })
 
     _emit(
         f"WGS-Kim iterations/sec at {N}x{N} (32x32 spots, device stats on)",

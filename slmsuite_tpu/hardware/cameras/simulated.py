@@ -196,6 +196,22 @@ class SimulatedCamera(Camera):
     def _set_exposure_hw(self, exposure_s):
         self.exposure_s = exposure_s
 
+    def _sample_maps(self):
+        """Device gather maps ``(flat, valid)`` for interpolated camera
+        sampling: nearest-neighbor rounding identical to scipy's order-0
+        spline (``floor(x + 0.5)``) into the padded far-field plane."""
+        coords = np.floor(np.asarray(self.knm_cam, np.float64) + 0.5)
+        Hp, Wp = self.shape_padded
+        valid = (
+            (coords[0] >= 0) & (coords[0] <= Hp - 1)
+            & (coords[1] >= 0) & (coords[1] <= Wp - 1)
+        )
+        flat = (
+            np.clip(coords[0], 0, Hp - 1).astype(np.int32) * Wp
+            + np.clip(coords[1], 0, Wp - 1).astype(np.int32)
+        )
+        return jnp.asarray(flat), jnp.asarray(valid.astype(np.float32))
+
     def _device_sampler(self):
         """
         Jitted device-side camera sampling: |amp_ff|^2 gathered at the
@@ -212,20 +228,7 @@ class SimulatedCamera(Camera):
             return cached[1]
 
         if self._interpolate:
-            # Nearest-neighbor rounding identical to scipy's order-0
-            # spline: floor(x + 0.5).
-            coords = np.floor(np.asarray(self.knm_cam, np.float64) + 0.5)
-            Hp, Wp = self.shape_padded
-            valid = (
-                (coords[0] >= 0) & (coords[0] <= Hp - 1)
-                & (coords[1] >= 0) & (coords[1] <= Wp - 1)
-            )
-            flat = (
-                np.clip(coords[0], 0, Hp - 1).astype(np.int32) * Wp
-                + np.clip(coords[1], 0, Wp - 1).astype(np.int32)
-            )
-            flat_dev = jnp.asarray(flat)
-            valid_dev = jnp.asarray(valid.astype(np.float32))
+            flat_dev, valid_dev = self._sample_maps()
 
             @jax.jit
             def sample(amp_ff, scale):

@@ -37,6 +37,172 @@ class _AbstractSpotHologram(FeedbackHologram):
     def remove_vortices(self):
         """Spot holograms do not need to consider vortices."""
 
+    # ------------------------------------------------------------------
+    # Device-resident closed loop for the simulated rig.
+    # ------------------------------------------------------------------
+
+    def _midloop_cleaning(self):
+        super()._midloop_cleaning()
+        self._sim_powers_value = None
+
+    def _sim_spot_powers(self):
+        """
+        Fast path for the simulated closed loop: the whole per-iteration
+        measurement — quantized-display formation, simulated far-field,
+        camera sampling, saturation, spot-window integration — runs as
+        ONE jitted device composite; only the ``(N,)`` spot powers and a
+        scalar total cross to the host (the psi -> set_phase -> image
+        host round trips dominate the loop over a tunneled device
+        otherwise). Returns ``(spot_powers, total)`` or None when the
+        rig doesn't qualify (real hardware, noise models, orientation
+        transforms, averaging/HDR, non-pow2 bitdepth, out-of-frame
+        integration windows — all of which keep the exact host path).
+
+        Note: unlike :meth:`measure`, the fast path does NOT write the
+        intermediate phases to the (simulated) SLM display; write the
+        final phase with ``slm.set_phase(hologram)`` as usual.
+        """
+        cached = getattr(self, "_sim_powers_value", None)
+        if cached is not None:
+            return cached
+        run = self._sim_composite()
+        if run is None:
+            return None
+        spots, total = run(self._psi_device())
+        out = (np.asarray(spots), float(total))
+        self._sim_powers_value = out
+        return out
+
+    #: Subclasses whose psi is a (slm_shape) folded DFT phase opt in to
+    #: the simulated fast path (the compressed hologram's grid-free psi
+    #: has different fold semantics and keeps the host loop).
+    _sim_fast_path = False
+
+    def _sim_composite(self):
+        """Build (and cache) the jitted simulated-measure composite; None
+        when the rig doesn't qualify (see :meth:`_sim_spot_powers`)."""
+        if not self._sim_fast_path:
+            return None
+        cs = self.cameraslm
+        if cs is None or not hasattr(cs, "cam") or not hasattr(cs, "slm"):
+            return None
+        from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        cam, slm = cs.cam, cs.slm
+        if not (isinstance(cam, SimulatedCamera) and isinstance(slm, SimulatedSLM)):
+            return None
+        if cam.noise is not None or cam.averaging is not None or cam.hdr is not None:
+            return None
+        if slm.phase_scaling != 1 or (slm.bitresolution & (slm.bitresolution - 1)):
+            return None
+        if not getattr(cam, "_interpolate", False) or not hasattr(cam, "_hologram"):
+            return None
+        probe = np.arange(6, dtype=float).reshape(2, 3)
+        if not np.array_equal(cam.transform(probe), probe):
+            return None
+        if getattr(self, "spot_ij", None) is None or self.spot_integration_width_ij is None:
+            return None
+
+        key = (
+            id(self.spot_ij), id(cam.knm_cam),
+            id(slm.source.get("amplitude_sim")), id(slm.source.get("phase_sim")),
+            id(slm.source.get("phase")),
+            None if self.propagation_kernel is None else id(self.propagation_kernel),
+            int(self.spot_integration_width_ij),
+        )
+        cached = getattr(self, "_sim_composite_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        from slmsuite_tpu.ops.propagation import (
+            build_folded_nearfield,
+            checkerboard,
+            nearfield_to_farfield,
+            pad_window_slices,
+        )
+
+        slm_shape = tuple(slm.shape)
+        # Unfold the hologram's folded carry, fold for the camera canvas.
+        y0h, _, x0h, _ = pad_window_slices(tuple(self.shape), slm_shape)
+        cb_holo = jnp.asarray(checkerboard(slm_shape, (y0h, x0h)))
+        shape_padded = tuple(int(v) for v in cam.shape_padded)
+        y0c, _, x0c, _ = pad_window_slices(shape_padded, slm_shape)
+        cb_cam = jnp.asarray(checkerboard(slm_shape, (y0c, x0c)))
+
+        correction = slm.source.get("phase")
+        corr_dev = (
+            None if correction is None
+            else jnp.asarray(np.asarray(correction, np.float32))
+        )
+        kernel_dev = (
+            None if self.propagation_kernel is None
+            else jnp.asarray(np.asarray(self.propagation_kernel, np.float32))
+        )
+        amp_sim = jnp.asarray(np.asarray(slm.source["amplitude_sim"], np.float32))
+        phase_sim = jnp.asarray(np.asarray(slm.source["phase_sim"], np.float32))
+        flat_cam, valid_cam = cam._sample_maps()
+
+        # Spot-window gather maps: the exact `analysis.take` index math
+        # (floor'd anchors, floor'd centered edges); out-of-frame windows
+        # disqualify (the host path would raise there).
+        width = int(self.spot_integration_width_ij)
+        vectors = np.floor(np.asarray(self.spot_ij)).astype(int)
+        edge = np.floor(analysis._coordinates(width, True)).astype(int)
+        rx, ry = np.meshgrid(edge, edge)
+        ix = rx.ravel()[None, :] + vectors[0][:, None]
+        iy = ry.ravel()[None, :] + vectors[1][:, None]
+        cam_shape = tuple(cam.shape)
+        if (
+            (ix < 0).any() or (ix >= cam_shape[1]).any()
+            or (iy < 0).any() or (iy >= cam_shape[0]).any()
+        ):
+            return None
+        spot_flat = jnp.asarray((iy * cam_shape[1] + ix).astype(np.int32))
+
+        bitres = float(slm.bitresolution)
+        cam_sat = float(cam.bitresolution - 1)
+        # The host camera casts counts to its dtype; mirror the integer
+        # truncation (non-negative values: floor == trunc).
+        cam_truncates = np.issubdtype(np.dtype(cam.dtype), np.integer)
+        two_pi = 2.0 * np.pi
+
+        @jax.jit
+        def composite(psi, scale):
+            phase = psi - cb_holo
+            if kernel_dev is not None:
+                phase = phase + kernel_dev
+            if corr_dev is not None:
+                phase = phase + corr_dev
+            # Quantization twin of SLM._phase2gray (phase_scaling == 1,
+            # pow2 bitresolution): display = (rint(-phase*s) - 1) mod 2^b
+            # (the all-negative shift is a multiple of the modulus).
+            q = jnp.round(phase * jnp.float32(-bitres / two_pi)) - 1.0
+            disp = jnp.mod(q, jnp.float32(bitres))
+            # Global phase offsets (the camera's min-shift) drop out of
+            # |F|; the quantized phase + simulated aberration remain.
+            phase_cam = -disp * jnp.float32(two_pi / bitres) + phase_sim
+            nearfield = build_folded_nearfield(
+                phase_cam + cb_cam, amp_sim, shape_padded
+            )
+            farfield = nearfield_to_farfield(nearfield)
+            pwr = (
+                jnp.square(farfield.real) + jnp.square(farfield.imag)
+            ).ravel()
+            img = jnp.take(pwr, flat_cam.ravel()) * valid_cam.ravel() * scale
+            img = jnp.minimum(img, jnp.float32(cam_sat))
+            if cam_truncates:
+                img = jnp.floor(img)
+            total = jnp.sum(img)
+            spots = jnp.sum(jnp.take(img, spot_flat), axis=-1)
+            return spots, total
+
+        def run(psi):
+            return composite(psi, jnp.float32(cam.exposure_s * cam.gain))
+
+        self._sim_composite_cache = (key, run)
+        return run
+
     def refine_offset(self, img=None, basis="kxy", force_affine=True, plot=False):
         """
         Hone spot positions toward their targets: centroid the measured
@@ -116,20 +282,25 @@ class _AbstractSpotHologram(FeedbackHologram):
         super()._populate_stats(stats, stat_groups)
 
         if "experimental_spot" in stat_groups:
-            self.measure(basis="ij")
-            pwr_img = np.square(self.img_ij)
-            pwr_feedback = analysis.take(
-                pwr_img,
-                self.spot_ij,
-                self.spot_integration_width_ij,
-                centered=True,
-                integrate=True,
-            )
+            fast = self._sim_spot_powers()
+            if fast is not None:
+                pwr_feedback, total = fast
+            else:
+                self.measure(basis="ij")
+                pwr_img = np.square(self.img_ij)
+                pwr_feedback = analysis.take(
+                    pwr_img,
+                    self.spot_ij,
+                    self.spot_integration_width_ij,
+                    centered=True,
+                    integrate=True,
+                )
+                total = np.sum(pwr_img)
             stats["experimental_spot"] = self._calculate_stats(
                 np.sqrt(pwr_feedback),
                 self.spot_amp,
                 efficiency_compensation=False,
-                total=np.sum(pwr_img),
+                total=total,
                 raw=bool(self.flags.get("raw_stats")),
             )
 
@@ -153,6 +324,8 @@ class SpotHologram(_AbstractSpotHologram):
 
     Parity: reference ``_spots.py:1090-1697``.
     """
+
+    _sim_fast_path = True
 
     def __init__(
         self,
@@ -504,16 +677,20 @@ class SpotHologram(_AbstractSpotHologram):
                 )
             )
         elif feedback == "experimental_spot":
-            self.measure(basis="ij")
-            amp_feedback = np.sqrt(
-                analysis.take(
-                    np.square(np.asarray(self.img_ij, dtype=self.dtype)),
-                    self.spot_ij,
-                    self.spot_integration_width_ij,
-                    centered=True,
-                    integrate=True,
+            fast = self._sim_spot_powers()
+            if fast is not None:
+                amp_feedback = np.sqrt(fast[0])
+            else:
+                self.measure(basis="ij")
+                amp_feedback = np.sqrt(
+                    analysis.take(
+                        np.square(np.asarray(self.img_ij, dtype=self.dtype)),
+                        self.spot_ij,
+                        self.spot_integration_width_ij,
+                        centered=True,
+                        integrate=True,
+                    )
                 )
-            )
         elif feedback == "external_spot":
             amp_feedback = self.external_spot_amp
         else:

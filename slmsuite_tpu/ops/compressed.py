@@ -154,6 +154,77 @@ def nearfield_to_farfield_raw(nf_re, nf_im, coeffs, basis, n_spots):
     return ff_re * scale, ff_im * scale
 
 
+def _fused_iteration_jnp(ff_re, ff_im, coeffs, basis, amp, n_spots):
+    """jnp twin of :meth:`pallas_compressed.fused_iteration`: one
+    transform round trip with amplitude replacement, sharing a single
+    phase/sincos evaluation per pixel tile. Returns the unnormalized
+    next-farfield pair."""
+    D, P = basis.shape
+    n_tiles = -(-P // PIXEL_TILE)
+    P_pad = n_tiles * PIXEL_TILE
+
+    basis_tiles = jnp.moveaxis(
+        _pad_to(basis, P_pad, 1).reshape(D, n_tiles, PIXEL_TILE), 1, 0
+    )
+    scalar_amp = jnp.ndim(amp) == 0
+    if scalar_amp:
+        amp_tiles = jnp.zeros((n_tiles, 1), jnp.float32)  # unused
+    else:
+        amp_tiles = _pad_to(amp, P_pad, 0).reshape(n_tiles, PIXEL_TILE)
+
+    # Padded pixels must contribute NOTHING to the reduction: their
+    # synthesized nearfield is a nonzero spot sum that the amplitude
+    # replacement would otherwise rescale into garbage.
+    valid_tiles = (
+        jnp.arange(P_pad).reshape(n_tiles, PIXEL_TILE) < P
+    ).astype(jnp.float32)
+
+    def tile_fn(carry, tile):
+        acc_re, acc_im = carry
+        basis_tile, amp_tile, valid = tile
+        phases = jnp.einsum(
+            "dn,dt->nt", coeffs, basis_tile,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cos = jnp.cos(phases)
+        sin = jnp.sin(phases)
+        re = ff_re @ cos - ff_im @ sin
+        im = ff_re @ sin + ff_im @ cos
+        mag2 = jnp.square(re) + jnp.square(im)
+        if scalar_amp:
+            inv = valid * jax.lax.rsqrt(mag2)
+            ur = jnp.where(mag2 > 0, re * inv, valid)
+            ui = jnp.where(mag2 > 0, im * inv, 0.0)
+        else:
+            inv = valid * amp_tile * jax.lax.rsqrt(mag2)
+            ur = jnp.where(mag2 > 0, re * inv, valid * amp_tile)
+            ui = jnp.where(mag2 > 0, im * inv, 0.0)
+        acc_re = acc_re + cos @ ur + sin @ ui
+        acc_im = acc_im + cos @ ui - sin @ ur
+        return (acc_re, acc_im), None
+
+    N = coeffs.shape[1]
+    init = (jnp.zeros(N, jnp.float32), jnp.zeros(N, jnp.float32))
+    (fr, fi), _ = jax.lax.scan(
+        tile_fn, init, (basis_tiles, amp_tiles, valid_tiles)
+    )
+    return fr[:n_spots], fi[:n_spots]
+
+
+def fused_iteration(ff_re, ff_im, coeffs, basis, amp, n_spots, use_pallas):
+    """Dispatch the fused round trip (Pallas on TPU when the spot count
+    allows the in-VMEM cos/sin pair; jnp twin otherwise)."""
+    if use_pallas:
+        from slmsuite_tpu.ops import pallas_compressed as _pc
+
+        if _pc.fused_iter_tile(-(-n_spots // 8) * 8) is not None:
+            return _pc.fused_iteration(
+                ff_re, ff_im, coeffs, basis, amp, n_spots
+            )
+    return _fused_iteration_jnp(ff_re, ff_im, coeffs, basis, amp, n_spots)
+
+
 # --------------------------------------------------------------------------
 # Compressed GS engine.
 # --------------------------------------------------------------------------
@@ -295,19 +366,138 @@ def make_compressed_gs_step(config: CompressedGSConfig, transforms=None):
     return step
 
 
+def make_compressed_carry_step(config: CompressedGSConfig):
+    """
+    Carry-mode per-iteration step for the scanned engine: ``state.psi``
+    carries ``(raw_ff_re, raw_ff_im, ffp_re, ffp_im)`` — the
+    unnormalized farfield entering this iteration plus the previous
+    constrained farfield (for the exit transform). The whole epilogue
+    is O(N) XLA; the O(N*P) transform round trip is ONE fused kernel
+    (:meth:`fused_iteration`) sharing a single phase/sincos evaluation,
+    vs two for the psi-carried step — the loop's dominant cost halves.
+    """
+
+    def step(state, consts):
+        raw_re, raw_im, _, _ = state.psi
+        norm = jnp.sqrt(jnp.sum(jnp.square(raw_re) + jnp.square(raw_im)))
+        ff_re = raw_re / norm
+        ff_im = raw_im / norm
+        amp_ff = jnp.sqrt(jnp.square(ff_re) + jnp.square(ff_im))
+        theta = jnp.arctan2(ff_im, ff_re)
+
+        stats_rows = []
+        if "computational_spot" in config.stat_groups:
+            stats_rows.append(
+                calculate_stats(
+                    amp_ff,
+                    consts["target"],
+                    mask=consts["stat_mask"],
+                    efficiency_compensation=False,
+                )
+            )
+
+        weights = state.weights
+        if config.is_wgs:
+            updated = update_weights_generic(
+                weights,
+                amp_ff,
+                consts["target"],
+                config.method,
+                consts["feedback_exponent"],
+                consts["feedback_factor"],
+            )
+            weights = jnp.where(state.iteration > 0, updated, weights)
+
+        was_not_fixed = jnp.logical_not(state.fixed_phase)
+        if config.is_kim:
+            fixed = state.fixed_phase
+            if config.kim_efficiency_trigger:
+                fixed = jnp.logical_or(
+                    fixed, stats_rows[-1][0] > consts["fix_phase_efficiency"]
+                )
+            streak = jnp.where(was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak)
+            fixed = jnp.logical_or(
+                fixed,
+                jnp.logical_and(
+                    jnp.logical_and(
+                        was_not_fixed,
+                        state.iteration >= consts["fix_phase_iteration"] - 1,
+                    ),
+                    streak >= consts["fix_phase_iteration"],
+                ),
+            )
+            fixed = jnp.logical_and(fixed, state.iteration > 0)
+            phase_ff = jnp.where(was_not_fixed, theta, state.phase_ff)
+        else:
+            fixed = jnp.zeros((), bool)
+            streak = state.unfixed_streak
+            phase_ff = theta
+
+        ffp_re = weights * jnp.cos(phase_ff)
+        ffp_im = weights * jnp.sin(phase_ff)
+
+        next_re, next_im = fused_iteration(
+            ffp_re, ffp_im, consts["coeffs"], consts["basis"],
+            consts["amp"], config.n_spots, config.use_pallas,
+        )
+
+        new_state = CompressedGSState(
+            psi=(next_re, next_im, ffp_re, ffp_im),
+            weights=weights,
+            phase_ff=phase_ff,
+            fixed_phase=fixed,
+            unfixed_streak=streak,
+            iteration=state.iteration + 1,
+        )
+
+        internal = jnp.stack(
+            [
+                stats_rows[-1][0] if stats_rows else jnp.float32(jnp.nan),
+                state.fixed_phase.astype(jnp.float32),
+                jnp.float32(0),
+                jnp.float32(0),
+            ]
+        )
+        return new_state, jnp.stack(stats_rows + [internal])
+
+    return step
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_run(config, n_iterations):
-    step = make_compressed_gs_step(config)
+    step = make_compressed_carry_step(config)
+    f2n, n2f = _get_transforms(config)
 
     def run(state, consts):
+        # Entry: psi -> normalized farfield carry.
+        amp = consts["amp"]
+        nf_re = amp * jnp.cos(state.psi)
+        nf_im = amp * jnp.sin(state.psi)
+        ff0_re, ff0_im = n2f(
+            nf_re, nf_im, consts["coeffs"], consts["basis"], config.n_spots
+        )
+        state = state._replace(psi=(ff0_re, ff0_im, ff0_re, ff0_im))
+
         def body(carry, _):
             return step(carry, consts)
 
-        return jax.lax.scan(body, state, None, length=n_iterations)
+        final, stats = jax.lax.scan(body, state, None, length=n_iterations)
+
+        # Exit: the last constrained farfield -> nearfield phase.
+        _, _, ffp_re, ffp_im = final.psi
+        nfp_re, nfp_im = f2n(
+            ffp_re, ffp_im, consts["coeffs"], consts["basis"], config.n_spots
+        )
+        final = final._replace(psi=jnp.arctan2(nfp_im, nfp_re))
+        return final, stats
 
     return jax.jit(run, donate_argnums=(0,))
 
 
 def run_compressed_gs(config, state, consts, n_iterations):
     """Run ``n_iterations`` of compressed-spot GS; returns ``(state, stats)``."""
+    if int(n_iterations) == 0:
+        return state, jnp.zeros(
+            (0, len(config.stat_groups) + 1, 4), jnp.float32
+        )
     return _compiled_run(config, int(n_iterations))(state, consts)

@@ -169,20 +169,19 @@ def _fused_active(config: GSConfig):
 
 
 def _mraf_fused_active(config: GSConfig):
-    """True when the MRAF semi-fused step applies: like the fused WGS
+    """True when the MRAF carry-mode step applies: like the fused WGS
     gate but WITH MRAF masks (the signal:noise mix needs the exact
     current weight norm, so one scalar reduction syncs between the
     forward and inverse column passes). Evolving zero-region weights
-    (``zero_factor``) carry extra complex state and stay on the
-    standard path. Restricted to Leonardo/Kim: their correction factor
-    is exactly 1 on the cleaned (noise -> 0) target, matching the
-    standard path's NaN guard; Wu/tanh propagate the NaN target into
-    1e-4 noise weights (reference behavior) whose norm contribution the
-    kernels would not reproduce."""
+    (``zero_factor``) fold into the mix kernel as an elementwise complex
+    update of the carried (2, H, W) plane. Restricted to Leonardo/Kim:
+    their correction factor is exactly 1 on the cleaned (noise -> 0)
+    target, matching the standard path's NaN guard; Wu/tanh propagate
+    the NaN target into 1e-4 noise weights (reference behavior) whose
+    norm contribution the kernels would not reproduce."""
     return (
         _fused_common(config)
         and config.mraf
-        and not config.zero_factor
         and config.method in ("WGS-Leonardo", "WGS-Kim")
     )
 
@@ -349,10 +348,13 @@ def _make_fused_step(config: GSConfig):
 
 
 def _make_mraf_fused_step(config: GSConfig):
-    """MRAF semi-fused step: four Pallas kernels + one exact scalar norm
-    sync (see :meth:`slmsuite_tpu.ops.fft.mraf_fused_step`). The weight
-    carry is unnormalized with its norm in ``w_norm`` (finalized on
-    exit), exactly like the fused WGS step."""
+    """MRAF carry-mode step: three Pallas kernels + one exact scalar
+    norm sync (see :meth:`slmsuite_tpu.ops.fft.mraf_carry_step`). The
+    scan carries the rows-transformed field pair in ``state.psi``
+    (converted at the scan boundaries by :meth:`_compiled_run`) and the
+    weight carry is unnormalized with its norm in ``w_norm`` (finalized
+    on exit), exactly like the fused WGS step. ``zero_factor`` updates
+    ride in the carried ``zero_weights`` plane pair."""
     from slmsuite_tpu.ops import fft as _fft
 
     stats_on = bool(config.stat_groups)
@@ -371,20 +373,26 @@ def _make_mraf_fused_step(config: GSConfig):
             "inv_tsum": consts["_inv_tsum"],
             "inv_fsum": consts["_inv_fsum"],
             "mraf_factor": consts["_mraf_k"],
+            "zero_factor": consts.get("zero_factor", jnp.float32(0.0)),
         }
-        psi, weights, pff_out, sums, maxs = _fft.mraf_fused_step(
-            state.psi,
+        gr, gi = state.psi
+        gr, gi, weights, pff_out, zw_out, sums, maxs = _fft.mraf_carry_step(
+            gr, gi,
             consts["amp"],
             state.weights,
             state.phase_ff if config.is_kim else None,
             consts["target"],
             consts.get("_stat_mask_f32"),
             consts["_mraf_code"],
+            state.zero_weights if config.zero_factor else None,
             scalars,
             rule=rule,
             kim=config.is_kim,
             stats_on=stats_on,
+            zero=config.zero_factor,
         )
+        psi = (gr, gi)
+        zero_weights = zw_out if config.zero_factor else state.zero_weights
 
         w_norm = jnp.where(apply_update, jnp.sqrt(sums[3]), state.w_norm)
 
@@ -436,7 +444,7 @@ def _make_mraf_fused_step(config: GSConfig):
             psi=psi,
             weights=weights,
             phase_ff=phase_ff,
-            zero_weights=state.zero_weights,
+            zero_weights=zero_weights,
             fixed_phase=fixed,
             unfixed_streak=streak,
             iteration=state.iteration + 1,
@@ -724,7 +732,7 @@ def _compiled_run(config: GSConfig, n_iterations: int):
     """Compile ``scan(step, state, length=n)`` with donated state."""
     step = make_gs_step(config)
     fused = _fused_active(config) or _mraf_fused_active(config)
-    carry_mode = _fused_active(config)
+    carry_mode = _fused_active(config) or _mraf_fused_active(config)
 
     def run(state, consts):
         if fused:

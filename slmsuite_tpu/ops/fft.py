@@ -732,6 +732,100 @@ def _wgs_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
     return gr2, gi2, wout, pff_out, sums, maxs
 
 
+def _mraf_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
+                         mcode, zw, scalars, *, rule, kim, stats_on, zero):
+    """Reference (einsum/XLA) implementation of the MRAF carry-mode step."""
+    H, W = gr.shape
+    scalar_amp = jnp.ndim(amp) == 0
+    post = jnp.float32(1.0 / np.sqrt(H * W)) * (amp if scalar_amp else 1.0)
+
+    br, bi = _fft_first_axis_scrambled(gr, gi, H)
+    fr = br * post
+    fi = bi * post
+    f2 = jnp.square(fr) + jnp.square(fi)
+    f = jnp.sqrt(f2)
+
+    uw = weights * _wgs_correction_jnp(f, target, scalars, rule)
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    uw = jnp.where(
+        scalars["apply_update"] > 0, uw * scalars["inv_prev_norm"], weights
+    )
+    norm_sq = jnp.sum(jnp.square(uw))
+    inv_norm = jax.lax.rsqrt(norm_sq)
+
+    invf = jax.lax.rsqrt(f2)
+    er = jnp.where(f2 > 0, fr * invf, 1.0)
+    ei = jnp.where(f2 > 0, fi * invf, 0.0)
+    if kim:
+        use_theta = scalars["use_theta"] > 0
+        theta = jnp.arctan2(fi, fr)
+        pff_out = jnp.where(use_theta, theta, phase_ff)
+        cphi = jnp.where(use_theta, er, jnp.cos(phase_ff))
+        sphi = jnp.where(use_theta, ei, jnp.sin(phase_ff))
+    else:
+        pff_out = None
+        cphi, sphi = er, ei
+
+    k = scalars["mraf_factor"]
+    wn = uw * inv_norm
+    sig = mcode == 1.0
+    noi = mcode == 2.0
+    re = jnp.where(sig, wn * cphi, jnp.where(noi, k * fr, 0.0))
+    im = jnp.where(sig, wn * sphi, jnp.where(noi, k * fi, 0.0))
+    if zero:
+        zf = scalars["zero_factor"]
+        zmask = mcode == 0.0
+        zwr = jnp.where(zmask, zw[0] - zf * f * fr, zw[0])
+        zwi = jnp.where(zmask, zw[1] - zf * f * fi, zw[1])
+        zw_out = jnp.stack([zwr, zwi])
+        re = jnp.where(zmask, zwr, re)
+        im = jnp.where(zmask, zwi, im)
+    else:
+        zw_out = None
+
+    hr, hi = _ifft_first_axis_scrambled(re, im, H)
+    zr, zi = _ifft_last_axis_scrambled(hr, hi, W)
+    mag2 = jnp.square(zr) + jnp.square(zi)
+    if scalar_amp:
+        inv = jax.lax.rsqrt(mag2)
+        ur = jnp.where(mag2 > 0, zr * inv, 1.0)
+        ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+    else:
+        inv = amp * jax.lax.rsqrt(mag2)
+        ur = jnp.where(mag2 > 0, zr * inv, amp)
+        ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+    gr2, gi2 = _fft_last_axis_scrambled(ur, ui, W)
+
+    sums, maxs = _wgs_stats_jnp(f, target, mask, scalars, norm_sq, stats_on)
+    return gr2, gi2, uw, pff_out, zw_out, sums, maxs
+
+
+def mraf_carry_step(gr, gi, amp, weights, phase_ff, target, mask, mcode,
+                    zw, scalars, *, rule, kim, stats_on, zero):
+    """
+    One complete MRAF WGS iteration on the rows-transformed carry
+    (see :meth:`wgs_carry_step`): THREE Pallas kernels + one exact
+    scalar norm sync on TPU; jnp twin elsewhere. The kernels exchange
+    the scaled complex farfield, so non-Kim mixes run without
+    transcendentals; ``zero=True`` folds the evolving zero-region
+    weights into the mix kernel.
+
+    Returns ``(gr', gi', uw, phase_ff_out | None, zw_out | None, sums,
+    maxs)`` — ``uw`` unnormalized with its norm in ``sums[3]``.
+    """
+    if _use_pallas_scrambled(gr.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.mraf_carry_step_pallas(
+            gr, gi, amp, weights, phase_ff, target, mask, mcode, zw,
+            scalars, rule=rule, kim=kim, stats_on=stats_on, zero=zero,
+        )
+    return _mraf_carry_step_jnp(
+        gr, gi, amp, weights, phase_ff, target, mask, mcode, zw, scalars,
+        rule=rule, kim=kim, stats_on=stats_on, zero=zero,
+    )
+
+
 def wgs_carry_entry(psi, amp):
     """psi (natural, unbounded range) -> rows-transformed field carry."""
     if _use_pallas_scrambled(psi.shape):

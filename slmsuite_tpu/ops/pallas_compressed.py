@@ -29,6 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slmsuite_tpu.ops.pallas_fft import _sincos_reduced
 
+#: Test hook: run the pallas_calls in interpreter mode (CPU).
+_INTERPRET = False
+
 #: Flattened pixels per tile (lane-aligned).
 PIXEL_TILE = 1024
 #: Spots per tile.
@@ -159,7 +162,127 @@ def _f2n_call(coeffs_p, ffr, ffi, basis_p, scale, D, sg, pg, P_pad):
             jax.ShapeDtypeStruct((1, P_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, P_pad), jnp.float32),
         ],
+        interpret=_INTERPRET,
     )(coeffs_p, ffr, ffi, basis_p, scale)
+
+
+def _fused_iter_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, amp_ref,
+                       outr_ref, outi_ref, *, scalar_amp, n_pixels, tile):
+    """One pixel-tile step of the FUSED compressed iteration:
+    farfield->nearfield expansion, amplitude replacement
+    (``amp * nf/|nf|`` — no atan2/sincos), and the conjugate reduction
+    back to the farfield — all on ONE evaluation of the (S, T) phase
+    tile and its sin/cos (the loop's dominant cost; the unfused pair
+    evaluates it twice per iteration). Scales drop out: the expansion's
+    1/sqrt(P) cancels in the normalization and the reduction's in the
+    caller's unit-norm epilogue."""
+    phases = _tile_phases(coeffs_ref, basis_ref)
+    sin, cos = _sincos_reduced(phases)
+
+    ffr = ffr_ref[:, :]  # (S, 1)
+    ffi = ffi_ref[:, :]
+
+    # Expansion: nf_p = sum_s ff_s e^{i phi} (sublane reduction).
+    re = jnp.sum(ffr * cos - ffi * sin, axis=0)
+    im = jnp.sum(ffr * sin + ffi * cos, axis=0)
+
+    # Amplitude replacement (zero field -> unit real, the atan2(0,0)=0
+    # convention). Padded pixels (index >= n_pixels) must contribute
+    # NOTHING: their synthesized field is a nonzero spot sum that the
+    # replacement would otherwise rescale into garbage.
+    p = pl.program_id(0)
+    idx = p * tile + jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
+    valid = (idx < n_pixels).astype(jnp.float32)
+    mag2 = re * re + im * im
+    if scalar_amp:
+        inv = valid * jax.lax.rsqrt(mag2)
+        ur = jnp.where(mag2 > 0, re * inv, valid)
+        ui = jnp.where(mag2 > 0, im * inv, 0.0)
+    else:
+        amp = amp_ref[0, :]
+        inv = valid * amp * jax.lax.rsqrt(mag2)
+        ur = jnp.where(mag2 > 0, re * inv, valid * amp)
+        ui = jnp.where(mag2 > 0, im * inv, 0.0)
+
+    # Conjugate reduction with the SAME cos/sin (lane reduction).
+    fr = jnp.sum(cos * ur[None, :] + sin * ui[None, :], axis=1)[:, None]
+    fi = jnp.sum(cos * ui[None, :] - sin * ur[None, :], axis=1)[:, None]
+
+    @pl.when(p == 0)
+    def _():
+        outr_ref[:, :] = fr
+        outi_ref[:, :] = fi
+
+    @pl.when(p != 0)
+    def _():
+        outr_ref[:, :] += fr
+        outi_ref[:, :] += fi
+
+
+def fused_iter_tile(n_spots_padded):
+    """Pixel-tile length for the fused iteration: the whole (S, T)
+    cos/sin pair must stay in VMEM (~8 MB budget), so T shrinks as the
+    spot count grows; None when the spot count is too large to fuse."""
+    t = (1 << 20) // max(n_spots_padded, 1) // 128 * 128
+    return min(t, 4096) if t >= 128 else None
+
+
+def fused_iteration(ff_re, ff_im, coeffs, basis, amp, n_spots):
+    """
+    One compressed transform round trip ``ff' -> nf -> amp*nf/|nf| ->
+    ff_next`` fused over a single phase evaluation. ``amp`` is a scalar
+    or a flattened ``(P,)`` source amplitude. Returns the UNNORMALIZED
+    next-farfield pair (the caller's epilogue normalizes).
+    """
+    D, P = basis.shape
+    N = n_spots
+    N_pad = _ceil_to(N, 8)
+    tile = fused_iter_tile(N_pad)
+    if tile is None:
+        raise ValueError(
+            f"spot count {N} too large for the fused iteration kernel"
+        )
+    P_pad = _ceil_to(P, tile)
+    pg = P_pad // tile
+
+    scalar_amp = jnp.ndim(amp) == 0
+    basis_p = _pad_axis(basis, P_pad, 1)
+    coeffs_p = _pad_axis(coeffs, N_pad, 1)
+    ffr = _pad_axis(ff_re, N_pad, 0).reshape(N_pad, 1)
+    ffi = _pad_axis(ff_im, N_pad, 0).reshape(N_pad, 1)
+    if scalar_amp:
+        # Dummy operand (scalar folds out in the normalization).
+        amp_p = jnp.zeros((1, tile), jnp.float32)
+    else:
+        amp_p = _pad_axis(amp, P_pad, 0).reshape(1, P_pad)
+
+    outr, outi = pl.pallas_call(
+        functools.partial(
+            _fused_iter_kernel, scalar_amp=scalar_amp, n_pixels=P, tile=tile
+        ),
+        grid=(pg,),
+        in_specs=[
+            pl.BlockSpec((D, N_pad), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_pad, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_pad, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, tile), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile),
+                (lambda p: (0, 0)) if scalar_amp else (lambda p: (0, p)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_pad, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_pad, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(coeffs_p, ffr, ffi, basis_p, amp_p)
+    return outr.reshape(-1)[:N], outi.reshape(-1)[:N]
 
 
 @functools.partial(jax.jit, static_argnames=("n_spots",))
@@ -195,6 +318,7 @@ def nearfield_to_farfield(nf_re, nf_im, coeffs, basis, n_spots):
             jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
         ],
+        interpret=_INTERPRET,
     )(coeffs_p, nfr, nfi, basis_p, scale)
 
     ff_re = outr.reshape(-1)[:N]

@@ -550,6 +550,7 @@ _SC_INV_TSUM = 7        # 1 / sum(target^2)
 _SC_INV_FSUM = 8        # 1 / Parseval feedback power
 _SC_MRAF_K = 9          # MRAF noise-region retention factor
 _SC_INV_WNORM = 10      # 1 / ||w * c|| (exact, MRAF semi-fused step)
+_SC_ZERO_FACTOR = 11    # MRAF evolving zero-region weight step size
 
 
 def _weight_correction(f, t, scal_ref, rule):
@@ -1518,6 +1519,281 @@ def mraf_fused_step_pallas(psi, amp, weights, phase_ff, target, mask,
     )(hr, hi, *[jnp.asarray(m) for m in rmats])
 
     return psi_out, uw, pff_out, accs[:4, 0], accm[:4, 0]
+
+
+# --------------------------------------------------------------------------
+# MRAF carry-mode step (three kernels + one exact scalar sync).
+#
+# Carry-mode analog of the semi-fused MRAF step: the loop carries the
+# rows-transformed pair, and the kernels exchange the SCALED COMPLEX
+# farfield (fr, fi) = post * (br, bi) instead of (|F|, arg F) — the
+# noise branch of the mix is then just k * (fr, fi) and the signal
+# branch's e^{i theta} is (fr, fi)/|F| (one rsqrt): for non-Kim rules
+# the whole mix runs without a single transcendental. Evolving
+# zero-region weights (zero_factor) fold into the mix kernel as an
+# elementwise complex update of a carried (2, H, W) plane.
+# --------------------------------------------------------------------------
+
+
+def _cols_mraf_fwd2_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref,
+                           w2b_ref, w_ref, t_ref, scal_ref, *refs,
+                           n1, n2, rule, stats_on):
+    """Forward cols FFT + unnormalized WGS weight update, emitting the
+    scaled complex farfield.
+
+    Variadic refs: ``[mask] | fr, fi, uw, accs, accm``.
+    """
+    br, bi = _fft_core(
+        xr_ref[...], xi_ref[...], w1b_ref[...], twr_ref[...],
+        twi_ref[...], w2b_ref[...], n1, n2, False,
+    )
+    idx = 0
+    mask_ref = refs[idx] if stats_on else None
+    idx += 1 if stats_on else 0
+    fr_ref, fi_ref, uw_ref, accs_ref, accm_ref = refs[idx:idx + 5]
+
+    post = scal_ref[0, _SC_POST_SCALE]
+    apply_u = scal_ref[0, _SC_APPLY_UPDATE]
+    inv_prev = scal_ref[0, _SC_INV_PREV_NORM]
+
+    fr = br * post
+    fi = bi * post
+    f = jnp.sqrt(fr * fr + fi * fi)
+    t = t_ref[...]
+    w = w_ref[...]
+
+    c = _weight_correction(f, t, scal_ref, rule)
+    uw = w * c
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    # Scale by the PREVIOUS norm to keep the carry bounded across long
+    # scans; the mix below renormalizes EXACTLY via _SC_INV_WNORM.
+    uw = jnp.where(apply_u > 0, uw * inv_prev, w)
+
+    fr_ref[...] = fr
+    fi_ref[...] = fi
+    uw_ref[...] = uw
+
+    norm_p = jnp.sum(uw * uw)
+    sums_tile, maxs_tile = _acc_tiles(
+        f, t, mask_ref[...] if stats_on else None, scal_ref, norm_p
+    )
+    _acc_update(accs_ref, accm_ref, sums_tile, maxs_tile)
+
+
+def _cols_mraf_mix_inv_kernel(fr_ref, fi_ref, uw_ref, mc_ref,
+                              v1b_ref, vtr_ref, vti_ref, v2b_ref,
+                              scal_ref, *refs, n1, n2, kim, zero):
+    """MRAF constraint mix on the scaled complex farfield + INVERSE cols
+    FFT on an (H, block) tile.
+
+    Variadic refs: ``[pff], [zwr, zwi] | hr, hi, [pffout], [zwr', zwi']``.
+    ``mc`` codes the farfield regions: 1 = signal, 2 = noise, 0 = zero.
+    """
+    idx = 0
+    pff_ref = refs[idx] if kim else None
+    idx += 1 if kim else 0
+    zwr_ref = zwi_ref = None
+    if zero:
+        zwr_ref, zwi_ref = refs[idx:idx + 2]
+        idx += 2
+    hr_ref, hi_ref = refs[idx:idx + 2]
+    idx += 2
+    pffout_ref = refs[idx] if kim else None
+    idx += 1 if kim else 0
+    zwr_out = zwi_out = None
+    if zero:
+        zwr_out, zwi_out = refs[idx:idx + 2]
+
+    fr = fr_ref[...]
+    fi = fi_ref[...]
+    uw = uw_ref[...]
+    mc = mc_ref[...]
+
+    inv_norm = scal_ref[0, _SC_INV_WNORM]
+    k = scal_ref[0, _SC_MRAF_K]
+
+    f2 = fr * fr + fi * fi
+    invf = jax.lax.rsqrt(f2)
+    # e^{i theta} as the unit farfield direction; zero field -> the
+    # atan2(0, 0) = 0 convention (unit real).
+    er = jnp.where(f2 > 0, fr * invf, 1.0)
+    ei = jnp.where(f2 > 0, fi * invf, 0.0)
+
+    if kim:
+        use_theta = scal_ref[0, _SC_USE_THETA] > 0
+        theta = _atan2(fi, fr)
+        pffout_ref[...] = jnp.where(use_theta, theta, pff_ref[...])
+        sp, cp = _sincos(pff_ref[...])
+        cphi = jnp.where(use_theta, er, cp)
+        sphi = jnp.where(use_theta, ei, sp)
+    else:
+        cphi, sphi = er, ei
+
+    wn = uw * inv_norm
+    sig = mc == 1.0
+    noi = mc == 2.0
+    re = jnp.where(sig, wn * cphi, jnp.where(noi, k * fr, 0.0))
+    im = jnp.where(sig, wn * sphi, jnp.where(noi, k * fi, 0.0))
+
+    if zero:
+        # Evolving zero-region weights: zw' = zw - zf * |fz| * fz with
+        # fz the free farfield inside the zero region; the region's
+        # output IS the updated weight (engine parity).
+        zf = scal_ref[0, _SC_ZERO_FACTOR]
+        zmask = mc == 0.0
+        fmag = jnp.sqrt(f2)
+        zwr = zwr_ref[...]
+        zwi = zwi_ref[...]
+        zwr2 = jnp.where(zmask, zwr - zf * fmag * fr, zwr)
+        zwi2 = jnp.where(zmask, zwi - zf * fmag * fi, zwi)
+        zwr_out[...] = zwr2
+        zwi_out[...] = zwi2
+        re = jnp.where(zmask, zwr2, re)
+        im = jnp.where(zmask, zwi2, im)
+
+    cr, ci = _fft_core(
+        re, im, v1b_ref[...], vtr_ref[...],
+        vti_ref[...], v2b_ref[...],
+        n1, n2, True,
+    )
+    hr_ref[...] = cr
+    hi_ref[...] = ci
+
+
+def mraf_carry_step_pallas(gr, gi, amp, weights, phase_ff, target, mask,
+                           mcode, zw, scalars, *, rule, kim, stats_on,
+                           zero):
+    """
+    One complete MRAF WGS iteration on the rows-transformed carry:
+    cols forward + weight update, one exact norm sync (rsqrt in XLA),
+    constraint mix + cols inverse, rows round trip with amplitude
+    replacement. ``zw`` is the (2, H, W) evolving zero-region weight
+    pair (``zero=True``) or None.
+
+    Returns ``(gr', gi', uw, phase_ff_out | None, zw_out | None, sums,
+    maxs)`` with the semi-fused MRAF step's conventions (``uw``
+    unnormalized; its norm is ``sqrt(sums[3])``).
+    """
+    H, W = gr.shape
+    scalar_amp = jnp.ndim(amp) == 0
+    post = jnp.float32(1.0 / np.sqrt(H * W)) * (amp if scalar_amp else 1.0)
+
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def scal(extra=()):
+        return _wgs_scal_vec(
+            scalars, post,
+            extra=((_SC_MRAF_K, scalars["mraf_factor"]),
+                   (_SC_ZERO_FACTOR, scalars.get("zero_factor", 0.0)))
+            + tuple(extra),
+        )
+
+    # --- K1: cols forward + unnormalized weight update. ---
+    n1c, n2c, *fmats = _plan_f32(H, False)
+    blockc = min(BLOCK, W)
+    col_spec = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    fconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in fmats]
+    scal_spec = pl.BlockSpec((1, 128), lambda i: (0, 0))
+    acc_spec = pl.BlockSpec((8, 128), lambda i: (0, 0))
+    acc = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+
+    in_specs = [col_spec, col_spec] + fconst + [col_spec, col_spec, scal_spec]
+    operands = (
+        [gr, gi] + [jnp.asarray(m) for m in fmats]
+        + [weights, target, scal()]
+    )
+    if stats_on:
+        in_specs.append(col_spec)
+        operands.append(mask)
+
+    fr, fi, uw, accs, accm = pl.pallas_call(
+        functools.partial(
+            _cols_mraf_fwd2_kernel, n1=n1c, n2=n2c, rule=rule,
+            stats_on=stats_on,
+        ),
+        grid=(W // blockc,),
+        in_specs=in_specs,
+        out_specs=[col_spec, col_spec, col_spec, acc_spec, acc_spec],
+        out_shape=[plane, plane, plane, acc, acc],
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(*operands)
+
+    # --- Exact norm sync (the one reduction MRAF fundamentally needs). ---
+    inv_norm = jax.lax.rsqrt(accs[3, 0])
+
+    # --- K2: constraint mix + inverse cols pass. ---
+    _, _, *imats = _plan_f32(H, True)
+    iconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in imats]
+    in_specs = (
+        [col_spec, col_spec, col_spec, col_spec] + iconst + [scal_spec]
+    )
+    operands = (
+        [fr, fi, uw, mcode] + [jnp.asarray(m) for m in imats]
+        + [scal(extra=((_SC_INV_WNORM, inv_norm),))]
+    )
+    if kim:
+        in_specs.append(col_spec)
+        operands.append(phase_ff)
+    if zero:
+        in_specs += [col_spec, col_spec]
+        operands += [zw[0], zw[1]]
+    out_specs = [col_spec, col_spec]
+    out_shape = [plane, plane]
+    if kim:
+        out_specs.append(col_spec)
+        out_shape.append(plane)
+    if zero:
+        out_specs += [col_spec, col_spec]
+        out_shape += [plane, plane]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _cols_mraf_mix_inv_kernel, n1=n1c, n2=n2c, kim=kim, zero=zero,
+        ),
+        grid=(W // blockc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(*operands)
+    hr, hi = outs[0], outs[1]
+    idx = 2
+    pff_out = outs[idx] if kim else None
+    idx += 1 if kim else 0
+    zw_out = jnp.stack([outs[idx], outs[idx + 1]]) if zero else None
+
+    # --- K3: rows round trip + amplitude replacement (shared kernel). ---
+    n1r, n2r, *rimats = _plan_f32(W, True)
+    _, _, *rfmats = _plan_f32(W, False)
+    block = min(BLOCK, H)
+    row_spec = pl.BlockSpec((block, W), lambda i: (i, 0))
+    rconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in rimats + rfmats]
+    rmat_ops = [jnp.asarray(m) for m in rimats + rfmats]
+    if scalar_amp:
+        gr2, gi2 = pl.pallas_call(
+            functools.partial(_rows_normfwd_kernel, n1=n1r, n2=n2r),
+            grid=(H // block,),
+            in_specs=[row_spec, row_spec] + rconst,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(hr, hi, *rmat_ops)
+    else:
+        gr2, gi2 = pl.pallas_call(
+            functools.partial(_rows_normfwd_amp_kernel, n1=n1r, n2=n2r),
+            grid=(H // block,),
+            in_specs=[row_spec, row_spec, row_spec] + rconst,
+            out_specs=[row_spec, row_spec],
+            out_shape=[plane, plane],
+            compiler_params=params,
+            interpret=_INTERPRET,
+        )(hr, hi, amp, *rmat_ops)
+
+    return gr2, gi2, uw, pff_out, zw_out, accs[:4, 0], accm[:4, 0]
 
 
 def _cols_wexp_inv_kernel(w_ref, pff_ref, v1b_ref, vtr_ref, vti_ref,

@@ -842,6 +842,85 @@ class TestScrambledEngine:
                     err_msg=f"{rule}/{name}",
                 )
 
+    def test_mraf_carry_step_pallas_kernel_interpret(self):
+        """The MRAF carry-mode Pallas step (complex-farfield mix, fused
+        zero_factor) matches the jnp twin (interpreter mode)."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import fft as F
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        N = 128
+        rng = np.random.default_rng(41)
+        psi = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        target = np.zeros((N, N), np.float32)
+        target[rng.integers(20, N - 20, 15), rng.integers(20, N - 20, 15)] = 1.0
+        target /= np.sqrt((target**2).sum())
+        # Region codes: signal at spots, noise ring near the border,
+        # zero elsewhere.
+        mcode = np.where(target > 0, 1.0, 0.0).astype(np.float32)
+        border = np.zeros((N, N), bool)
+        border[:8] = border[-8:] = True
+        mcode[border] = 2.0
+        mask = (target != 0).astype(np.float32)
+        phase_ff = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+        zw = rng.normal(0, 1e-3, (2, N, N)).astype(np.float32)
+
+        scalars = {
+            "inv_prev_norm": jnp.float32(1.0),
+            "apply_update": jnp.float32(1.0),
+            "use_theta": jnp.float32(1.0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.1),
+            "inv_fnorm": jnp.float32(1.0),
+            "inv_tsum": jnp.float32(1.0 / (target**2).sum()),
+            "inv_fsum": jnp.float32(1.0),
+            "mraf_factor": jnp.float32(0.5),
+            "zero_factor": jnp.float32(0.25),
+        }
+        gr, gi = F._wgs_carry_entry_jnp(jnp.asarray(psi), jnp.float32(1.0 / N))
+        for rule, kim, zero in (
+            ("leonardo", False, False),
+            ("kim", True, False),
+            ("leonardo", False, True),
+            ("kim", True, True),
+        ):
+            args = (
+                gr, gi, jnp.float32(1.0 / N), jnp.asarray(target.copy()),
+                jnp.asarray(phase_ff), jnp.asarray(target),
+                jnp.asarray(mask), jnp.asarray(mcode),
+                jnp.asarray(zw) if zero else None, scalars,
+            )
+            ref = F._mraf_carry_step_jnp(
+                *args, rule=rule, kim=kim, stats_on=True, zero=zero
+            )
+            PF._INTERPRET = True
+            try:
+                got = PF.mraf_carry_step_pallas(
+                    *args, rule=rule, kim=kim, stats_on=True, zero=zero
+                )
+            finally:
+                PF._INTERPRET = False
+            tag = f"{rule}/zero={zero}"
+            scale = np.abs(np.asarray(ref[0])).max()
+            np.testing.assert_allclose(
+                np.asarray(got[0]) / scale, np.asarray(ref[0]) / scale,
+                atol=3e-5, err_msg=f"{tag}/gr",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got[2]), np.asarray(ref[2]),
+                atol=3e-5, rtol=1e-4, err_msg=f"{tag}/uw",
+            )
+            if zero:
+                np.testing.assert_allclose(
+                    np.asarray(got[4]), np.asarray(ref[4]),
+                    atol=3e-5, rtol=1e-4, err_msg=f"{tag}/zw",
+                )
+            np.testing.assert_allclose(
+                np.asarray(got[5]), np.asarray(ref[5]),
+                atol=3e-5, rtol=1e-4, err_msg=f"{tag}/sums",
+            )
+
     def test_non_pow2_stays_natural(self):
         from slmsuite_tpu.ops import engine as E
 

@@ -42,6 +42,61 @@ class TestSpotHologramFeedback:
         ]
         assert weights[4] == np.max(weights)
 
+    def test_sim_fast_path_matches_host_measure(self, fourierslm_calibrated, rng):
+        """The device-resident simulated-measure composite produces the
+        same spot powers and total as the host set_phase/get_image/take
+        path, at the same hologram state."""
+        fs = fourierslm_calibrated
+        holo = SpotHologram(
+            SpotHologram.get_padded_shape(fs),
+            np.array([[300.0, 220.0], [220.0, 300.0]]),
+            basis="ij",
+            cameraslm=fs,
+        )
+        holo.optimize("WGS-Leonardo", maxiter=5, verbose=False)
+
+        fast = holo._sim_spot_powers()
+        assert fast is not None, "the simulated rig must qualify"
+        pwr_fast, total_fast = fast
+
+        from slmsuite_tpu.holography import analysis
+
+        holo.img_ij = None
+        holo.measure(basis="ij")
+        pwr_img = np.square(np.asarray(holo.img_ij, np.float32))
+        pwr_host = analysis.take(
+            pwr_img, holo.spot_ij, holo.spot_integration_width_ij,
+            centered=True, integrate=True,
+        )
+        np.testing.assert_allclose(pwr_fast, pwr_host, rtol=1e-4)
+        np.testing.assert_allclose(total_fast, np.sum(pwr_img), rtol=1e-4)
+
+        # Disqualifying rigs (noise model) keep the host path.
+        fs.cam.noise = {"dark": lambda x: 0 * x}
+        holo._sim_composite_cache = None
+        holo._sim_powers_value = None
+        assert holo._sim_spot_powers() is None
+        fs.cam.noise = None
+
+    def test_experimental_loop_fast_path_converges(self, fourierslm_calibrated, rng):
+        """The closed experimental-feedback loop through the fast path
+        improves measured uniformity like the reference loop."""
+        fs = fourierslm_calibrated
+        holo = SpotHologram(
+            SpotHologram.get_padded_shape(fs),
+            np.array([[300.0, 220.0, 260.0], [220.0, 300.0, 260.0]]),
+            basis="ij",
+            cameraslm=fs,
+        )
+        holo.optimize("WGS-Kim", maxiter=8, verbose=False)
+        holo.optimize(
+            "WGS-Kim", maxiter=6, verbose=False,
+            feedback="experimental_spot", stat_groups=["experimental_spot"],
+        )
+        unif = holo.stats["stats"]["experimental_spot"]["uniformity"]
+        assert unif[-1] > 0.9
+        assert holo._sim_powers_value is not None or holo._sim_composite() is not None
+
     def test_refine_offset_on_sim(self, fourierslm_calibrated, rng):
         fs = fourierslm_calibrated
         holo = SpotHologram(
@@ -116,6 +171,51 @@ class TestCompressedSpotHologram:
         holo = CompressedSpotHologram(spots, basis="kxy", cameraslm=fourierslm_calibrated)
         with pytest.raises(NameError):
             holo.get_padded_shape()
+
+    def test_fused_iteration_pallas_matches_twin(self, rng):
+        """The fused compressed round-trip kernel (one sincos per
+        iteration) matches both the jnp twin and the unfused transform
+        composition (interpreter mode)."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import compressed as C
+        from slmsuite_tpu.ops import pallas_compressed as PC
+
+        D, P, N = 4, 3000, 17  # deliberately unaligned sizes
+        basis = jnp.asarray(rng.normal(size=(D, P)).astype(np.float32) * 2)
+        coeffs = jnp.asarray(rng.normal(size=(D, N)).astype(np.float32) * 5)
+        ffr = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+        ffi = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+        amp_plane = jnp.asarray(
+            (0.5 + rng.uniform(0, 1, P)).astype(np.float32)
+        )
+
+        for amp in (jnp.float32(1.0), amp_plane):
+            # Composition reference: f2n -> amp * nf/|nf| -> raw n2f.
+            nr, ni = C.farfield_to_nearfield(ffr, ffi, coeffs, basis, N)
+            mag = jnp.sqrt(nr**2 + ni**2)
+            ur, ui = amp * nr / mag, amp * ni / mag
+            want_r, want_i = C.nearfield_to_farfield_raw(
+                ur, ui, coeffs, basis, N
+            )
+            # The fused path drops the internal 1/sqrt(P) scales: compare
+            # directions after unit normalization.
+            def unit(a, b):
+                n = np.sqrt(float(jnp.sum(a * a + b * b)))
+                return np.asarray(a) / n, np.asarray(b) / n
+
+            ref = unit(want_r, want_i)
+            tw = unit(*C._fused_iteration_jnp(ffr, ffi, coeffs, basis, amp, N))
+            np.testing.assert_allclose(tw[0], ref[0], atol=2e-5)
+            np.testing.assert_allclose(tw[1], ref[1], atol=2e-5)
+
+            PC._INTERPRET = True
+            try:
+                got = unit(*PC.fused_iteration(ffr, ffi, coeffs, basis, amp, N))
+            finally:
+                PC._INTERPRET = False
+            np.testing.assert_allclose(got[0], ref[0], atol=2e-5)
+            np.testing.assert_allclose(got[1], ref[1], atol=2e-5)
 
     def test_dev_cache_invalidates_on_inplace_mutation(
         self, fourierslm_calibrated, rng
