@@ -739,13 +739,18 @@ def _compiled_run(config: GSConfig, n_iterations: int):
             consts = _augment_fused_consts(config, consts)
         if carry_mode:
             # The fused scan carries the rows-transformed field pair in
-            # ``psi`` (no atan2/sincos inside the loop); convert at the
-            # boundaries. Entry handles unbounded psi (warm starts).
+            # ``psi`` and the Kim phase store as a unit-phasor pair (no
+            # atan2/sincos inside the loop); convert at the boundaries.
+            # Entry handles unbounded psi (warm starts).
             from slmsuite_tpu.ops import fft as _fft
 
             state = state._replace(
                 psi=_fft.wgs_carry_entry(state.psi, consts["amp"])
             )
+            if config.is_kim:
+                state = state._replace(
+                    phase_ff=_fft.wgs_phasor_entry(state.phase_ff)
+                )
 
         def body(carry, _):
             return step(carry, consts)
@@ -755,6 +760,10 @@ def _compiled_run(config: GSConfig, n_iterations: int):
             from slmsuite_tpu.ops import fft as _fft
 
             final = final._replace(psi=_fft.wgs_carry_exit(*final.psi))
+            if config.is_kim:
+                final = final._replace(
+                    phase_ff=_fft.wgs_phasor_exit(*final.phase_ff)
+                )
         return final, stats
 
     if _NUMERIC_CHECKS:

@@ -670,10 +670,12 @@ def wgs_fused_step(psi, amp, weights, phase_ff, target, mask, scalars,
 # Carry-mode WGS step: the loop carries the ROWS-TRANSFORMED field pair
 # (gr, gi) instead of psi, merging the inverse-rows phase extraction and
 # the next iteration's nearfield synthesis into one round trip with a
-# single normalization (amp * Z/|Z|) — no atan2/sincos inside the loop.
-# On TPU this is TWO Pallas kernels per iteration (14 HBM plane
-# crossings vs the three-kernel step's 16). psi exists only at the
-# entry/exit boundaries. Semantics twins below; kernels in
+# single normalization (amp * Z/|Z|) — and the Kim phase store rides as
+# a UNIT-PHASOR pair, so not a single transcendental (atan2/sincos)
+# runs inside the loop: the farfield direction is F * rsqrt(|F|^2). On
+# TPU this is TWO Pallas kernels per iteration (16 HBM plane crossings
+# for Kim, 12 without a phase store, vs the three-kernel step's 16+).
+# psi and the phase_ff angle exist only at the entry/exit boundaries. Semantics twins below; kernels in
 # :mod:`slmsuite_tpu.ops.pallas_fft`.
 #
 # Layout of the carry: last (W) axis four-step-scrambled, first (H) axis
@@ -699,7 +701,9 @@ def _wgs_carry_exit_jnp(gr, gi):
 
 def _wgs_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
                         scalars, *, rule, kim, stats_on):
-    """Reference (einsum/XLA) implementation of the carry-mode step."""
+    """Reference (einsum/XLA) implementation of the carry-mode step.
+    ``phase_ff`` is the Kim unit-phasor pair ``(pffr, pffi)`` or None
+    (see :meth:`wgs_carry_step`)."""
     H, W = gr.shape
     scalar_amp = jnp.ndim(amp) == 0
     post = jnp.float32(1.0 / np.sqrt(H * W)) * (amp if scalar_amp else 1.0)
@@ -707,13 +711,33 @@ def _wgs_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
     # Forward cols pass completes the 2D transform (x 1/sqrt(HW) since
     # the carry is unnormalized).
     fr, fi = _fft_first_axis_scrambled(gr, gi, H)
-    f = jnp.sqrt(jnp.square(fr) + jnp.square(fi)) * post
-    theta = jnp.arctan2(fi, fr)
+    f2 = jnp.square(fr) + jnp.square(fi)
+    f = jnp.sqrt(f2) * post
 
-    re, im, wout, pff_out, sums, maxs = _wgs_epilogue_jnp(
-        f, theta, weights, phase_ff, target, mask, scalars,
-        rule=rule, kim=kim, stats_on=stats_on,
+    c = _wgs_correction_jnp(f, target, scalars, rule)
+    uw = weights * c
+    uw = jnp.where(jnp.isnan(uw), jnp.float32(1e-4), uw)
+    wout = jnp.where(
+        scalars["apply_update"] > 0, uw * scalars["inv_prev_norm"], weights
     )
+
+    # Farfield direction without transcendentals (phasor mode).
+    invb = jax.lax.rsqrt(f2)
+    er = jnp.where(f2 > 0, fr * invb, 1.0)
+    ei = jnp.where(f2 > 0, fi * invb, 0.0)
+    if kim:
+        use_theta = scalars["use_theta"] > 0
+        cphi = jnp.where(use_theta, er, phase_ff[0])
+        sphi = jnp.where(use_theta, ei, phase_ff[1])
+        pff_out = (cphi, sphi)
+    else:
+        cphi, sphi = er, ei
+        pff_out = None
+    re = wout * cphi
+    im = wout * sphi
+
+    norm_sq = jnp.sum(jnp.square(wout))
+    sums, maxs = _wgs_stats_jnp(f, target, mask, scalars, norm_sq, stats_on)
 
     # Inverse both axes (unnormalized), replace the nearfield amplitude,
     # re-transform the rows axis.
@@ -758,10 +782,9 @@ def _mraf_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
     ei = jnp.where(f2 > 0, fi * invf, 0.0)
     if kim:
         use_theta = scalars["use_theta"] > 0
-        theta = jnp.arctan2(fi, fr)
-        pff_out = jnp.where(use_theta, theta, phase_ff)
-        cphi = jnp.where(use_theta, er, jnp.cos(phase_ff))
-        sphi = jnp.where(use_theta, ei, jnp.sin(phase_ff))
+        cphi = jnp.where(use_theta, er, phase_ff[0])
+        sphi = jnp.where(use_theta, ei, phase_ff[1])
+        pff_out = (cphi, sphi)
     else:
         pff_out = None
         cphi, sphi = er, ei
@@ -844,6 +867,17 @@ def wgs_carry_exit(gr, gi):
     return _wgs_carry_exit_jnp(gr, gi)
 
 
+def wgs_phasor_entry(phase_ff):
+    """Kim phase-store angle plane -> unit-phasor pair (scan entry; the
+    one place cos/sin of the stored phase is ever evaluated)."""
+    return jnp.cos(phase_ff), jnp.sin(phase_ff)
+
+
+def wgs_phasor_exit(pffr, pffi):
+    """Unit-phasor pair -> angle plane (scan exit)."""
+    return jnp.arctan2(pffi, pffr)
+
+
 def wgs_carry_step(gr, gi, amp, weights, phase_ff, target, mask, scalars,
                    *, rule, kim, stats_on):
     """
@@ -852,8 +886,11 @@ def wgs_carry_step(gr, gi, amp, weights, phase_ff, target, mask, scalars,
     On TPU this is TWO Pallas kernels: the cols round trip (forward cols
     FFT + fused WGS epilogue + inverse cols FFT) and the rows round trip
     (inverse rows FFT + amplitude replacement + forward rows FFT); no
-    complex plane, |F|, arg(F) or psi ever crosses HBM. Elsewhere the
-    jnp twin. Same scalar/stat conventions as :meth:`wgs_fused_forward`.
+    complex plane, |F|, arg(F) or psi ever crosses HBM — and the Kim
+    phase store rides as a unit-phasor pair ``phase_ff = (pffr, pffi)``
+    (:meth:`wgs_phasor_entry`), so the step runs without a single
+    transcendental. Elsewhere the jnp twin. Same scalar/stat conventions
+    as :meth:`wgs_fused_forward`.
 
     Returns ``(gr_out, gi_out, weights_out, phase_ff_out | None, sums,
     maxs)``.

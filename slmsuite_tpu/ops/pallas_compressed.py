@@ -280,6 +280,12 @@ def fused_iteration(ff_re, ff_im, coeffs, basis, amp, n_spots):
             jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
         ],
+        # The (S, T) phase tile + its sin/cos pair alone run ~12 MB at
+        # the default tile; the 16 MB default scoped-vmem limit OOMs on
+        # the chip (this v5 slice allows far more — see pallas_fft).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_INTERPRET,
     )(coeffs_p, ffr, ffi, basis_p, amp_p)
     return outr.reshape(-1)[:N], outi.reshape(-1)[:N]

@@ -573,29 +573,34 @@ def _weight_correction(f, t, scal_ref, rule):
     return jnp.where(jnp.isinf(c), 1.0, c)
 
 
-def _parse_wgs_refs(refs, kim, stats_on):
+def _parse_wgs_refs(refs, kim, stats_on, phasor=False):
     """Split a WGS kernel's variadic refs
-    ``[mask], [pff] | re, im, wout, [pffout], accs, accm`` into a dict."""
+    ``[mask], [pff...] | re, im, wout, [pffout...], accs, accm`` into a
+    dict. ``phasor=True`` (carry-mode kernels) stores the farfield phase
+    as a unit phasor PAIR ``(pffr, pffi)`` instead of an angle plane —
+    the kernels then run without a single transcendental (the atan2 +
+    sincos round trip is replaced by one rsqrt normalization)."""
     idx = 0
     out = {}
     out["mask"] = refs[idx] if stats_on else None
     idx += 1 if stats_on else 0
-    out["pff"] = refs[idx] if kim else None
-    idx += 1 if kim else 0
+    n_pff = (2 if phasor else 1) if kim else 0
+    out["pff"] = refs[idx:idx + n_pff] if kim else None
+    idx += n_pff
     out["re"], out["im"], out["wout"] = refs[idx:idx + 3]
     idx += 3
-    out["pffout"] = refs[idx] if kim else None
-    idx += 1 if kim else 0
+    out["pffout"] = refs[idx:idx + n_pff] if kim else None
+    idx += n_pff
     out["accs"], out["accm"] = refs[idx:idx + 2]
     return out
 
 
 def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
-                  rule, kim, stats_on):
+                  rule, kim, stats_on, phasor=False):
     """
     Fused WGS epilogue on a transformed (H, block) column tile:
 
-    1. f = post_scale * |F|, theta = arg(F)
+    1. f = post_scale * |F|, farfield direction e^{i theta}
     2. weight correction (rule in leonardo/kim/wu/tanh), deferred norm
     3. Kim phase select (use_theta ? theta : stored phase)
     4. constrained farfield re/im = w_new * (cos, sin)(phase)
@@ -603,6 +608,10 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
 
     ``r`` is the parsed ref dict from :meth:`_parse_wgs_refs`; stores
     everything except the constrained re/im, which it returns.
+
+    ``phasor=True`` (carry mode): the stored phase is a unit-phasor
+    pair, so e^{i theta} = F * rsqrt(|F|^2) — no transcendental at all.
+    Otherwise the stored phase is an angle plane (atan2 + sincos).
     """
     mask_ref = r["mask"]
     pff_ref = r["pff"]
@@ -614,10 +623,9 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
     post = scal_ref[0, _SC_POST_SCALE]
     inv_prev = scal_ref[0, _SC_INV_PREV_NORM]
     apply_u = scal_ref[0, _SC_APPLY_UPDATE]
-    p = scal_ref[0, _SC_EXPONENT]
 
-    f = jnp.sqrt(br * br + bi * bi) * post
-    theta = _atan2(bi, br)
+    f2 = br * br + bi * bi
+    f = jnp.sqrt(f2) * post
     t = t_ref[...]
     w = w_ref[...]
 
@@ -628,12 +636,29 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
     wout = jnp.where(apply_u > 0, uw * inv_prev, w)
     wout_ref[...] = wout
 
-    if kim:
-        phase = jnp.where(scal_ref[0, _SC_USE_THETA] > 0, theta, pff_ref[...])
-        pffout_ref[...] = phase
+    if phasor:
+        invb = jax.lax.rsqrt(f2)
+        # Zero field -> the atan2(0, 0) = 0 convention (unit real).
+        er = jnp.where(f2 > 0, br * invb, 1.0)
+        ei = jnp.where(f2 > 0, bi * invb, 0.0)
+        if kim:
+            use_theta = scal_ref[0, _SC_USE_THETA] > 0
+            cos_p = jnp.where(use_theta, er, pff_ref[0][...])
+            sin_p = jnp.where(use_theta, ei, pff_ref[1][...])
+            pffout_ref[0][...] = cos_p
+            pffout_ref[1][...] = sin_p
+        else:
+            cos_p, sin_p = er, ei
     else:
-        phase = theta
-    sin_p, cos_p = _sincos(phase)
+        theta = _atan2(bi, br)
+        if kim:
+            phase = jnp.where(
+                scal_ref[0, _SC_USE_THETA] > 0, theta, pff_ref[0][...]
+            )
+            pffout_ref[0][...] = phase
+        else:
+            phase = theta
+        sin_p, cos_p = _sincos(phase)
     re = wout * cos_p
     im = wout * sin_p
 
@@ -725,7 +750,7 @@ def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
                                w1b_ref, twr_ref, twi_ref, w2b_ref,
                                v1b_ref, vtr_ref, vti_ref, v2b_ref,
                                w_ref, t_ref, scal_ref, *refs,
-                               n1, n2, rule, kim, stats_on):
+                               n1, n2, rule, kim, stats_on, phasor=False):
     """
     Full column-axis round trip of one WGS iteration on an (H, block)
     column tile: forward cols FFT + fused WGS epilogue + INVERSE cols
@@ -735,18 +760,20 @@ def _cols_wgs_roundtrip_kernel(xr_ref, xi_ref,
     constrained (re, im) never crosses HBM at all. The ``v*`` refs hold
     the conjugate (inverse) plan matrices.
 
-    Variadic refs: ``[mask], [pff] | re, im, wout, [pffout], accs, accm``
-    where (re, im) receive the half-inverted (column-axis natural,
-    row-axis still scrambled) field.
+    Variadic refs: ``[mask], [pff...] | re, im, wout, [pffout...],
+    accs, accm`` where (re, im) receive the half-inverted (column-axis
+    natural, row-axis still scrambled) field. In phasor mode (the carry
+    step) the Kim phase store is a unit-phasor pair and the kernel runs
+    without transcendentals.
     """
     br, bi = _fft_core(
         xr_ref[...], xi_ref[...], w1b_ref[...], twr_ref[...],
         twi_ref[...], w2b_ref[...], n1, n2, False,
     )
-    r = _parse_wgs_refs(refs, kim, stats_on)
+    r = _parse_wgs_refs(refs, kim, stats_on, phasor=phasor)
     re, im = _wgs_epilogue(
         br, bi, w_ref, t_ref, scal_ref, r,
-        rule=rule, kim=kim, stats_on=stats_on,
+        rule=rule, kim=kim, stats_on=stats_on, phasor=phasor,
     )
     cr, ci = _fft_core(
         re, im, v1b_ref[...], vtr_ref[...],
@@ -1166,8 +1193,14 @@ def wgs_carry_step_pallas(gr, gi, amp, weights, phase_ff, target, mask,
     epilogue + inverse cols FFT) and the rows round-trip kernel (inverse
     rows FFT + amplitude replacement + forward rows FFT).
 
+    ``phase_ff`` is the Kim phase store as a unit-phasor PAIR
+    ``(pffr, pffi)`` (``kim=True``) or None — the angle plane never
+    exists inside the loop, so the step runs without atan2/sincos (the
+    engine converts at the scan boundaries).
+
     Returns ``(gr_out, gi_out, weights_out, phase_ff_out | None, sums,
-    maxs)`` with the :meth:`wgs_fused_forward_pallas` stats conventions.
+    maxs)`` with the :meth:`wgs_fused_forward_pallas` stats conventions;
+    ``phase_ff_out`` is the updated phasor pair.
     """
     H, W = gr.shape
     scalar_amp = jnp.ndim(amp) == 0
@@ -1196,21 +1229,21 @@ def wgs_carry_step_pallas(gr, gi, amp, weights, phase_ff, target, mask,
         in_specs.append(col_spec)
         operands.append(mask)
     if kim:
-        in_specs.append(col_spec)
-        operands.append(phase_ff)
+        in_specs += [col_spec, col_spec]
+        operands += [phase_ff[0], phase_ff[1]]
 
     out_specs = [col_spec, col_spec, col_spec]
     out_shape = [plane, plane, plane]
     if kim:
-        out_specs.append(col_spec)
-        out_shape.append(plane)
+        out_specs += [col_spec, col_spec]
+        out_shape += [plane, plane]
     out_specs += [acc_spec, acc_spec]
     out_shape += [acc, acc]
 
     outs = pl.pallas_call(
         functools.partial(
             _cols_wgs_roundtrip_kernel, n1=n1c, n2=n2c,
-            rule=rule, kim=kim, stats_on=stats_on,
+            rule=rule, kim=kim, stats_on=stats_on, phasor=True,
         ),
         grid=(W // blockc,),
         in_specs=in_specs,
@@ -1221,7 +1254,7 @@ def wgs_carry_step_pallas(gr, gi, amp, weights, phase_ff, target, mask,
     )(*operands)
 
     hr, hi, wout = outs[0], outs[1], outs[2]
-    pff_out = outs[3] if kim else None
+    pff_out = (outs[3], outs[4]) if kim else None
     accs, accm = outs[-2], outs[-1]
 
     # --- K_A: rows round trip + amplitude replacement. ---
@@ -1586,20 +1619,26 @@ def _cols_mraf_mix_inv_kernel(fr_ref, fi_ref, uw_ref, mc_ref,
     """MRAF constraint mix on the scaled complex farfield + INVERSE cols
     FFT on an (H, block) tile.
 
-    Variadic refs: ``[pff], [zwr, zwi] | hr, hi, [pffout], [zwr', zwi']``.
-    ``mc`` codes the farfield regions: 1 = signal, 2 = noise, 0 = zero.
+    Variadic refs: ``[pffr, pffi], [zwr, zwi] | hr, hi,
+    [pffr', pffi'], [zwr', zwi']``. The Kim phase store is a
+    unit-phasor pair (no transcendentals in the kernel). ``mc`` codes
+    the farfield regions: 1 = signal, 2 = noise, 0 = zero.
     """
     idx = 0
-    pff_ref = refs[idx] if kim else None
-    idx += 1 if kim else 0
+    pffr_ref = pffi_ref = None
+    if kim:
+        pffr_ref, pffi_ref = refs[idx:idx + 2]
+        idx += 2
     zwr_ref = zwi_ref = None
     if zero:
         zwr_ref, zwi_ref = refs[idx:idx + 2]
         idx += 2
     hr_ref, hi_ref = refs[idx:idx + 2]
     idx += 2
-    pffout_ref = refs[idx] if kim else None
-    idx += 1 if kim else 0
+    pffr_out = pffi_out = None
+    if kim:
+        pffr_out, pffi_out = refs[idx:idx + 2]
+        idx += 2
     zwr_out = zwi_out = None
     if zero:
         zwr_out, zwi_out = refs[idx:idx + 2]
@@ -1621,11 +1660,10 @@ def _cols_mraf_mix_inv_kernel(fr_ref, fi_ref, uw_ref, mc_ref,
 
     if kim:
         use_theta = scal_ref[0, _SC_USE_THETA] > 0
-        theta = _atan2(fi, fr)
-        pffout_ref[...] = jnp.where(use_theta, theta, pff_ref[...])
-        sp, cp = _sincos(pff_ref[...])
-        cphi = jnp.where(use_theta, er, cp)
-        sphi = jnp.where(use_theta, ei, sp)
+        cphi = jnp.where(use_theta, er, pffr_ref[...])
+        sphi = jnp.where(use_theta, ei, pffi_ref[...])
+        pffr_out[...] = cphi
+        pffi_out[...] = sphi
     else:
         cphi, sphi = er, ei
 
@@ -1734,16 +1772,16 @@ def mraf_carry_step_pallas(gr, gi, amp, weights, phase_ff, target, mask,
         + [scal(extra=((_SC_INV_WNORM, inv_norm),))]
     )
     if kim:
-        in_specs.append(col_spec)
-        operands.append(phase_ff)
+        in_specs += [col_spec, col_spec]
+        operands += [phase_ff[0], phase_ff[1]]
     if zero:
         in_specs += [col_spec, col_spec]
         operands += [zw[0], zw[1]]
     out_specs = [col_spec, col_spec]
     out_shape = [plane, plane]
     if kim:
-        out_specs.append(col_spec)
-        out_shape.append(plane)
+        out_specs += [col_spec, col_spec]
+        out_shape += [plane, plane]
     if zero:
         out_specs += [col_spec, col_spec]
         out_shape += [plane, plane]
@@ -1761,8 +1799,8 @@ def mraf_carry_step_pallas(gr, gi, amp, weights, phase_ff, target, mask,
     )(*operands)
     hr, hi = outs[0], outs[1]
     idx = 2
-    pff_out = outs[idx] if kim else None
-    idx += 1 if kim else 0
+    pff_out = (outs[idx], outs[idx + 1]) if kim else None
+    idx += 2 if kim else 0
     zw_out = jnp.stack([outs[idx], outs[idx + 1]]) if zero else None
 
     # --- K3: rows round trip + amplitude replacement (shared kernel). ---

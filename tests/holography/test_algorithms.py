@@ -725,11 +725,14 @@ class TestScrambledEngine:
             "inv_tsum": jnp.float32(1.0 / (target**2).sum()),
             "inv_fsum": jnp.float32(1.0),
         }
+        pff_pair = (
+            jnp.cos(jnp.asarray(phase_ff)), jnp.sin(jnp.asarray(phase_ff))
+        )
         for amp in (jnp.float32(1.0 / N), jnp.asarray(amp_plane)):
             for rule, kim in (("kim", True), ("leonardo", False),
                               ("wu", False), ("tanh", False)):
                 args = (
-                    jnp.asarray(target.copy()), jnp.asarray(phase_ff),
+                    jnp.asarray(target.copy()), pff_pair,
                     jnp.asarray(target), jnp.asarray(mask), scalars,
                 )
                 gr, gi = F._wgs_carry_entry_jnp(jnp.asarray(psi), amp)
@@ -885,9 +888,12 @@ class TestScrambledEngine:
             ("leonardo", False, True),
             ("kim", True, True),
         ):
+            pff_pair = (
+                jnp.cos(jnp.asarray(phase_ff)), jnp.sin(jnp.asarray(phase_ff))
+            )
             args = (
                 gr, gi, jnp.float32(1.0 / N), jnp.asarray(target.copy()),
-                jnp.asarray(phase_ff), jnp.asarray(target),
+                pff_pair, jnp.asarray(target),
                 jnp.asarray(mask), jnp.asarray(mcode),
                 jnp.asarray(zw) if zero else None, scalars,
             )

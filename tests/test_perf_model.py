@@ -19,12 +19,13 @@ import pytest
 def test_step_model_invariants():
     import bench
 
-    # Fully-fused carry-mode step: 14 plane tiles at any power-of-two
-    # size (10 cols round trip + 4 rows round trip).
+    # Fully-fused carry-mode step: 16 plane tiles at any power-of-two
+    # size (12 cols round trip incl. the Kim unit-phasor pair + 4 rows
+    # round trip).
     for N in (256, 1024, 2048):
         tile = N * N * 4
         step_bytes, passes = bench.step_model(N, fused=True)
-        assert step_bytes == 14 * tile
+        assert step_bytes == 16 * tile
         assert passes > 0
     # Unfused scrambled costs more traffic than fused.
     assert bench.step_model(2048, fused=False)[0] > bench.step_model(2048, fused=True)[0]

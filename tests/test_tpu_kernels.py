@@ -116,7 +116,8 @@ def test_carry_step_matches_twin_on_chip(tpu):
         "inv_fsum": jnp.float32(1.0),
     }
     amp = jnp.float32(1.0 / N)
-    args = (amp, jnp.asarray(target.copy()), pff, t, mask, scalars)
+    pff_pair = (jnp.cos(pff), jnp.sin(pff))
+    args = (amp, jnp.asarray(target.copy()), pff_pair, t, mask, scalars)
 
     rg, ig = pf.wgs_carry_entry_pallas(psi, amp)
     got = pf.wgs_carry_step_pallas(rg, ig, *args, rule="kim", kim=True, stats_on=True)
@@ -171,7 +172,8 @@ def test_mraf_carry_step_matches_twin_on_chip(tpu):
     amp = jnp.float32(1.0 / N)
     gr, gi = F._wgs_carry_entry_jnp(psi, amp)
     args = (
-        gr, gi, amp, jnp.asarray(target.copy()), psi * 0.25,
+        gr, gi, amp, jnp.asarray(target.copy()),
+        (jnp.cos(psi * 0.25), jnp.sin(psi * 0.25)),
         jnp.asarray(target), mask, jnp.asarray(mcode), zw, scalars,
     )
     got = pf.mraf_carry_step_pallas(*args, rule="kim", kim=True, stats_on=True, zero=True)
