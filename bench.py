@@ -391,7 +391,11 @@ def config_3(argv):
 
 
 def config_4(argv):
-    """Camera-in-the-loop WGS on the simulated rig (host-paced)."""
+    """Camera-in-the-loop WGS on the simulated rig. The qualifying
+    simulated rig runs DEVICE-RESIDENT: the whole measurement (display
+    quantization, far-field, camera sampling, spot windows) and the
+    weight update execute inside the scanned engine
+    (feedback mode "experimental_spot_sim"); no host hop per iteration."""
     iters = int(argv[0]) if argv else 10
 
     from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
@@ -451,9 +455,10 @@ def config_4(argv):
         rate = wall_rate
     unif = holo.stats["stats"]["experimental_spot"]["uniformity"][-1]
     # Baseline 10 iter/s: the closed-loop target set by the round-2
-    # review ("config-4 >= 10 iter/s") — a host-paced loop bounded by
-    # the per-iteration set_phase/measure round trip, not device FLOPs
-    # (BASELINE.md names no reference number for this config).
+    # review ("config-4 >= 10 iter/s"), originally scoped for a
+    # host-paced loop; the device-resident scan is bounded by the two
+    # FFT pairs per iteration instead (BASELINE.md names no reference
+    # number for this config).
     _emit(
         "closed-loop WGS iterations/sec (simulated camera feedback, 1024^2)",
         rate, "iter/s", 10.0,

@@ -97,6 +97,15 @@ class FeedbackHologram(Hologram):
         else:
             self._cam_points = None
 
+    def _engine_feedback(self):
+        """Experimental (image) feedback measures hardware between
+        iterations: weights update host-side around stepwise engine
+        invocations."""
+        feedback = self.flags.get("feedback", "computational")
+        if feedback == "computational":
+            return feedback
+        return "external"
+
     # ------------------------------------------------------------------
     # Basis transformation.
     # ------------------------------------------------------------------

@@ -761,7 +761,7 @@ class Hologram(_HologramStats):
 
     def _build_config(self):
         mraf = self._mraf_enabled()
-        return _engine.GSConfig(
+        config = _engine.GSConfig(
             method=self.flags["method"],
             shape=tuple(self.shape),
             slm_shape=tuple(self.slm_shape),
@@ -779,6 +779,12 @@ class Hologram(_HologramStats):
             spot_window=getattr(self, "_spot_window", 0),
             spot_single_px=getattr(self, "_spot_single_px", False),
         )
+        return self._amend_config(config)
+
+    def _amend_config(self, config):
+        """Hook for subclasses to refine the engine config (e.g. the
+        simulated-rig closed-loop statics)."""
+        return config
 
     def _build_consts(self, config):
         target = np.asarray(self.target, dtype=np.float32)
@@ -860,10 +866,15 @@ class Hologram(_HologramStats):
 
         host_groups = self._stats_pending_groups()
         feedback = self.flags.get("feedback", "computational")
+        # The engine feedback mode decides the loop shape: device modes
+        # (computational*, the simulated closed loop) run the scanned
+        # engine; external/experimental modes need host measurements
+        # between iterations.
+        engine_feedback = self._engine_feedback()
         host_loop = (
             callback is not None
             or bool(host_groups)
-            or feedback in ("experimental", "experimental_spot", "external_spot")
+            or engine_feedback in ("external", "external_spot")
         )
         if (
             self.flags.get("fix_phase_efficiency") is not None

@@ -78,9 +78,22 @@ class _AbstractSpotHologram(FeedbackHologram):
     #: has different fold semantics and keeps the host loop).
     _sim_fast_path = False
 
-    def _sim_composite(self):
-        """Build (and cache) the jitted simulated-measure composite; None
-        when the rig doesn't qualify (see :meth:`_sim_spot_powers`)."""
+    #: Per-iteration cache of the one-shot fast measure (host loop only;
+    #: cleared by :meth:`_midloop_cleaning`).
+    _sim_powers_value = None
+
+    def _sim_engine_inputs(self):
+        """
+        Qualification + ingredients of the device-resident simulated
+        measure (shared by the one-shot fast measure and the in-scan
+        closed loop :meth:`ops.engine.sim_measure_spots`). Returns
+        ``(consts, statics)`` — loop-invariant device arrays and the
+        static kwargs of ``sim_measure_spots`` (minus the dynamic
+        ``sim_scale``) — or None when the rig doesn't qualify (real
+        hardware, noise models, orientation transforms, averaging/HDR,
+        non-pow2 bitdepth, out-of-frame integration windows — all of
+        which keep the exact host path).
+        """
         if not self._sim_fast_path:
             return None
         cs = self.cameraslm
@@ -111,36 +124,34 @@ class _AbstractSpotHologram(FeedbackHologram):
             None if self.propagation_kernel is None else id(self.propagation_kernel),
             int(self.spot_integration_width_ij),
         )
-        cached = getattr(self, "_sim_composite_cache", None)
+        cached = getattr(self, "_sim_inputs_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
 
-        from slmsuite_tpu.ops.propagation import (
-            build_folded_nearfield,
-            checkerboard,
-            nearfield_to_farfield,
-            pad_window_slices,
-        )
+        from slmsuite_tpu.ops.propagation import checkerboard, pad_window_slices
 
         slm_shape = tuple(slm.shape)
         # Unfold the hologram's folded carry, fold for the camera canvas.
         y0h, _, x0h, _ = pad_window_slices(tuple(self.shape), slm_shape)
-        cb_holo = jnp.asarray(checkerboard(slm_shape, (y0h, x0h)))
+        cb_holo = checkerboard(slm_shape, (y0h, x0h))
         shape_padded = tuple(int(v) for v in cam.shape_padded)
         y0c, _, x0c, _ = pad_window_slices(shape_padded, slm_shape)
-        cb_cam = jnp.asarray(checkerboard(slm_shape, (y0c, x0c)))
+        cb_cam = checkerboard(slm_shape, (y0c, x0c))
 
+        # Loop-invariant phase planes collapse to one pre-quantization
+        # sum (-hologram checkerboard + propagation kernel + hardware
+        # correction) and one post-quantization sum (simulated
+        # aberration + camera-canvas checkerboard).
+        pre = -np.asarray(cb_holo, np.float32)
+        if self.propagation_kernel is not None:
+            pre = pre + np.asarray(self.propagation_kernel, np.float32)
         correction = slm.source.get("phase")
-        corr_dev = (
-            None if correction is None
-            else jnp.asarray(np.asarray(correction, np.float32))
+        if correction is not None:
+            pre = pre + np.asarray(correction, np.float32)
+        post = np.asarray(slm.source["phase_sim"], np.float32) + np.asarray(
+            cb_cam, np.float32
         )
-        kernel_dev = (
-            None if self.propagation_kernel is None
-            else jnp.asarray(np.asarray(self.propagation_kernel, np.float32))
-        )
-        amp_sim = jnp.asarray(np.asarray(slm.source["amplitude_sim"], np.float32))
-        phase_sim = jnp.asarray(np.asarray(slm.source["phase_sim"], np.float32))
+
         flat_cam, valid_cam = cam._sample_maps()
 
         # Spot-window gather maps: the exact `analysis.take` index math
@@ -160,47 +171,54 @@ class _AbstractSpotHologram(FeedbackHologram):
             return None
         spot_flat = jnp.asarray((iy * cam_shape[1] + ix).astype(np.int32))
 
-        bitres = float(slm.bitresolution)
-        cam_sat = float(cam.bitresolution - 1)
-        # The host camera casts counts to its dtype; mirror the integer
-        # truncation (non-negative values: floor == trunc).
-        cam_truncates = np.issubdtype(np.dtype(cam.dtype), np.integer)
-        two_pi = 2.0 * np.pi
+        consts = {
+            "sim_pre": jnp.asarray(pre),
+            "sim_post": jnp.asarray(post),
+            "sim_amp": jnp.asarray(
+                np.asarray(slm.source["amplitude_sim"], np.float32)
+            ),
+            "sim_flat_cam": jnp.asarray(flat_cam),
+            "sim_valid_cam": jnp.asarray(valid_cam),
+            "sim_spot_flat": spot_flat,
+        }
+        statics = {
+            "bitres": float(slm.bitresolution),
+            "cam_sat": float(cam.bitresolution - 1),
+            # The host camera casts counts to its dtype; mirror the
+            # integer truncation (non-negative: floor == trunc).
+            "truncates": bool(np.issubdtype(np.dtype(cam.dtype), np.integer)),
+            "shape_padded": shape_padded,
+        }
+        self._sim_inputs_cache = (key, (consts, statics))
+        return consts, statics
+
+    def _sim_scale(self):
+        """Exposure scaling of the simulated camera (dynamic scalar)."""
+        cam = self.cameraslm.cam
+        return jnp.float32(cam.exposure_s * cam.gain)
+
+    def _sim_composite(self):
+        """Build (and cache) the jitted simulated-measure composite; None
+        when the rig doesn't qualify (see :meth:`_sim_spot_powers`)."""
+        inputs = self._sim_engine_inputs()
+        if inputs is None:
+            return None
+        consts, statics = inputs
+
+        cached = getattr(self, "_sim_composite_cache", None)
+        if cached is not None and cached[0] is inputs:
+            return cached[1]
 
         @jax.jit
         def composite(psi, scale):
-            phase = psi - cb_holo
-            if kernel_dev is not None:
-                phase = phase + kernel_dev
-            if corr_dev is not None:
-                phase = phase + corr_dev
-            # Quantization twin of SLM._phase2gray (phase_scaling == 1,
-            # pow2 bitresolution): display = (rint(-phase*s) - 1) mod 2^b
-            # (the all-negative shift is a multiple of the modulus).
-            q = jnp.round(phase * jnp.float32(-bitres / two_pi)) - 1.0
-            disp = jnp.mod(q, jnp.float32(bitres))
-            # Global phase offsets (the camera's min-shift) drop out of
-            # |F|; the quantized phase + simulated aberration remain.
-            phase_cam = -disp * jnp.float32(two_pi / bitres) + phase_sim
-            nearfield = build_folded_nearfield(
-                phase_cam + cb_cam, amp_sim, shape_padded
+            return _engine.sim_measure_spots(
+                psi, {**consts, "sim_scale": scale}, **statics
             )
-            farfield = nearfield_to_farfield(nearfield)
-            pwr = (
-                jnp.square(farfield.real) + jnp.square(farfield.imag)
-            ).ravel()
-            img = jnp.take(pwr, flat_cam.ravel()) * valid_cam.ravel() * scale
-            img = jnp.minimum(img, jnp.float32(cam_sat))
-            if cam_truncates:
-                img = jnp.floor(img)
-            total = jnp.sum(img)
-            spots = jnp.sum(jnp.take(img, spot_flat), axis=-1)
-            return spots, total
 
         def run(psi):
-            return composite(psi, jnp.float32(cam.exposure_s * cam.gain))
+            return composite(psi, self._sim_scale())
 
-        self._sim_composite_cache = (key, run)
+        self._sim_composite_cache = (inputs, run)
         return run
 
     def refine_offset(self, img=None, basis="kxy", force_affine=True, plot=False):
@@ -625,7 +643,44 @@ class SpotHologram(_AbstractSpotHologram):
         feedback = self.flags.get("feedback", "computational")
         if feedback in ("computational", "computational_spot"):
             return feedback
+        if feedback == "experimental_spot" and self._sim_engine_inputs() is not None:
+            # Simulated rig the device composite models exactly: the
+            # whole camera-in-the-loop iteration runs inside the scan.
+            return "experimental_spot_sim"
         return "external_spot"  # host-updated weights
+
+    def _device_stat_groups(self):
+        allowed = {"computational", "computational_spot"}
+        if self._sim_engine_inputs() is not None:
+            allowed.add("experimental_spot")
+        return tuple(
+            g for g in self.flags.get("stat_groups", []) if g in allowed
+        )
+
+    def _stats_pending_groups(self):
+        pending = super()._stats_pending_groups()
+        if self._sim_engine_inputs() is not None:
+            # The scan computes measured spot stats on device.
+            pending = [g for g in pending if g != "experimental_spot"]
+        return pending
+
+    def _amend_config(self, config):
+        config = super()._amend_config(config)
+        if (
+            config.feedback == "experimental_spot_sim"
+            or "experimental_spot" in config.stat_groups
+        ):
+            import dataclasses
+
+            _, statics = self._sim_engine_inputs()
+            config = dataclasses.replace(
+                config,
+                sim_bitres=statics["bitres"],
+                sim_cam_sat=statics["cam_sat"],
+                sim_truncates=statics["truncates"],
+                sim_shape_padded=tuple(statics["shape_padded"]),
+            )
+        return config
 
     def _extend_consts(self, consts, config):
         super()._extend_consts(consts, config)
@@ -633,7 +688,11 @@ class SpotHologram(_AbstractSpotHologram):
             config.feedback == "computational_spot"
             or "computational_spot" in config.stat_groups
         )
-        if needs_spots:
+        needs_sim = (
+            config.feedback == "experimental_spot_sim"
+            or "experimental_spot" in config.stat_groups
+        )
+        if needs_spots or needs_sim:
             # Gather maps: stats use the raw (floored) spot positions like
             # analysis.take; weight updates use the rounded spot pixels.
             flat_idx, _ = _engine.spot_gather_indices(
@@ -648,6 +707,10 @@ class SpotHologram(_AbstractSpotHologram):
             consts["spot_weight_flat_idx"] = jnp.asarray(weight_flat_idx)
             consts["spot_center_idx"] = jnp.asarray(center_idx)
             consts["spot_amp"] = jnp.asarray(self.spot_amp, dtype=jnp.float32)
+        if needs_sim:
+            sim_consts, _ = self._sim_engine_inputs()
+            consts.update(sim_consts)
+            consts["sim_scale"] = self._sim_scale()
 
     # ------------------------------------------------------------------
     # Host-side weighting (stepwise/experimental paths; ref :1573-1624).

@@ -68,7 +68,13 @@ class GSConfig:
     method: str
     shape: tuple
     slm_shape: tuple
-    feedback: str = "computational"  # computational | computational_spot | external_spot
+    #: Device feedback mode. ``computational`` / ``computational_spot``
+    #: update weights on device from the computed farfield;
+    #: ``experimental_spot_sim`` closes the camera loop ON DEVICE for a
+    #: simulated rig (see :meth:`sim_measure_spots`); ``external`` /
+    #: ``external_spot`` leave weights to host updates between stepwise
+    #: invocations.
+    feedback: str = "computational"
     stat_groups: tuple = ()
     mraf: bool = False
     mraf_factor: bool = False        # apply the noise-region attenuation factor
@@ -80,6 +86,13 @@ class GSConfig:
     spot_window: int = 0             # integration width for *_spot feedback
     spot_single_px: bool = False     # stats skip integration (shape == slm_shape)
     scrambled: bool = False          # farfield in four-step (k1,k2) layout
+    # Simulated-rig closed loop (feedback == "experimental_spot_sim" or
+    # stat group "experimental_spot" on a qualifying rig): statics of the
+    # in-scan camera model. See :meth:`sim_measure_spots`.
+    sim_bitres: float = 0.0          # SLM gray levels (power of two)
+    sim_cam_sat: float = 0.0         # camera saturation level (counts)
+    sim_truncates: bool = False      # camera dtype is integer (floor counts)
+    sim_shape_padded: tuple = ()     # camera FFT canvas shape
 
     @property
     def is_wgs(self):
@@ -88,6 +101,64 @@ class GSConfig:
     @property
     def is_kim(self):
         return "Kim" in self.method
+
+
+def sim_measure_spots(psi, consts, *, bitres, cam_sat, truncates,
+                      shape_padded):
+    """
+    Device twin of the simulated rig's measure path: quantized-display
+    formation (``SLM._phase2gray`` for ``phase_scaling == 1`` and a
+    power-of-two bitdepth), simulated far-field on the camera's padded
+    canvas, interpolated camera sampling, exposure scaling, saturation,
+    and spot-window integration. The exact jit composite behind both the
+    one-shot fast measure (``_AbstractSpotHologram._sim_spot_powers``)
+    and the in-scan device-resident closed loop
+    (``feedback == "experimental_spot_sim"``). Reference semantics:
+    ``/root/reference/slmsuite/hardware/cameras/simulated.py:344-404``
+    driven per-iteration by ``_hologram.py:1186-1212``.
+
+    ``consts`` keys (all device-resident, loop-invariant):
+
+    - ``sim_pre``: slm-shaped phase pre-sum (-hologram checkerboard +
+      propagation kernel + hardware correction phase).
+    - ``sim_post``: slm-shaped post-sum (simulated aberration phase +
+      camera-canvas checkerboard).
+    - ``sim_amp``: slm-shaped simulated source amplitude.
+    - ``sim_flat_cam`` / ``sim_valid_cam``: camera-pixel gather map into
+      the raveled padded farfield power + validity weights.
+    - ``sim_spot_flat``: (N, D*D) gather of spot integration windows
+      into the raveled camera image.
+    - ``sim_scale``: exposure_s * gain (dynamic scalar).
+
+    Returns ``(spot_powers (N,), total_power ())`` in camera counts.
+    """
+    two_pi = 2.0 * np.pi
+    phase = psi + consts["sim_pre"]
+    # Quantization twin of SLM._phase2gray: display = (rint(-phase*s)
+    # - 1) mod 2^b (the all-negative shift is a multiple of the modulus).
+    q = jnp.round(phase * jnp.float32(-bitres / two_pi)) - 1.0
+    disp = jnp.mod(q, jnp.float32(bitres))
+    # Global phase offsets drop out of |F|; the quantized phase + the
+    # simulated aberration remain.
+    phase_cam = -disp * jnp.float32(two_pi / bitres) + consts["sim_post"]
+    nearfield = build_folded_nearfield(
+        phase_cam, consts["sim_amp"], tuple(shape_padded)
+    )
+    farfield = nearfield_to_farfield(nearfield)
+    pwr = (jnp.square(farfield.real) + jnp.square(farfield.imag)).ravel()
+    img = (
+        jnp.take(pwr, consts["sim_flat_cam"].ravel())
+        * consts["sim_valid_cam"].ravel()
+        * consts["sim_scale"]
+    )
+    img = jnp.minimum(img, jnp.float32(cam_sat))
+    if truncates:
+        # The host camera casts counts to its integer dtype (non-negative
+        # values: floor == trunc).
+        img = jnp.floor(img)
+    total = jnp.sum(img)
+    spots = jnp.sum(jnp.take(img, consts["sim_spot_flat"]), axis=-1)
+    return spots, total
 
 
 def _spot_feedback_amp(amp_ff_sq, consts):
@@ -100,7 +171,8 @@ def _spot_feedback_amp(amp_ff_sq, consts):
     return jnp.sqrt(jnp.sum(gathered, axis=-1))
 
 
-def _compute_group_stats(group, config, consts, amp_ff, spot_feedback):
+def _compute_group_stats(group, config, consts, amp_ff, spot_feedback,
+                         sim_measured=None):
     """Length-4 stats vector for one stat group (device-side)."""
     if group == "computational":
         return calculate_stats(
@@ -123,7 +195,18 @@ def _compute_group_stats(group, config, consts, amp_ff, spot_feedback):
             efficiency_compensation=False,
             total=total,
         )
-    # Experimental groups are host-side; filled with nan on device.
+    if group == "experimental_spot" and sim_measured is not None:
+        # Device-resident simulated closed loop: stats from the in-scan
+        # camera measure (host twin: _AbstractSpotHologram._populate_stats).
+        sim_spot_pwr, sim_total = sim_measured
+        return calculate_stats(
+            jnp.sqrt(sim_spot_pwr),
+            consts["spot_amp"],
+            mask=consts["spot_amp"] != 0,
+            efficiency_compensation=False,
+            total=sim_total,
+        )
+    # Remaining experimental groups are host-side; filled with nan on device.
     return jnp.full((4,), jnp.nan, dtype=jnp.float32)
 
 
@@ -481,6 +564,10 @@ def make_gs_step(config: GSConfig):
         config.feedback == "computational_spot"
         or "computational_spot" in config.stat_groups
     )
+    needs_sim_measure = (
+        config.feedback == "experimental_spot_sim"
+        or "experimental_spot" in config.stat_groups
+    )
 
     # Fully-fused phase-in/phase-out loop: valid when the computational
     # farfield equals the SLM shape with no propagation kernel — then
@@ -536,9 +623,28 @@ def make_gs_step(config: GSConfig):
             else None
         )
 
+        # --- (B.1) Simulated-camera measure (device-resident closed
+        # loop): psi is the natural folded nearfield phase in every
+        # standard-step layout (the scrambled promotion permutes only
+        # farfield-resident planes), so the camera model runs on it
+        # directly.
+        sim_measured = (
+            sim_measure_spots(
+                state.psi, consts,
+                bitres=config.sim_bitres,
+                cam_sat=config.sim_cam_sat,
+                truncates=config.sim_truncates,
+                shape_padded=config.sim_shape_padded,
+            )
+            if needs_sim_measure
+            else None
+        )
+
         # --- (B.2) Stats. ---
         stats_rows = [
-            _compute_group_stats(group, config, consts, amp_ff, spot_feedback)
+            _compute_group_stats(
+                group, config, consts, amp_ff, spot_feedback, sim_measured
+            )
             for group in config.stat_groups
         ]
 
@@ -572,6 +678,28 @@ def make_gs_step(config: GSConfig):
                 new_spot_weights = update_weights_generic(
                     spot_weights,
                     weight_feedback,
+                    consts["spot_amp"],
+                    config.method,
+                    consts["feedback_exponent"],
+                    consts["feedback_factor"],
+                    nan_checks=config.nan_checks,
+                )
+                updated = (
+                    jnp.zeros_like(weights)
+                    .ravel()
+                    .at[consts["spot_center_idx"]]
+                    .set(new_spot_weights)
+                    .reshape(weights.shape)
+                )
+            elif config.feedback == "experimental_spot_sim":
+                # Device-resident closed loop: weight feedback is the
+                # sqrt of the camera-measured spot-window powers (host
+                # twin: _AbstractSpotHologram._update_weights for
+                # 'experimental_spot' on the simulated fast path).
+                spot_weights = weights.ravel()[consts["spot_center_idx"]]
+                new_spot_weights = update_weights_generic(
+                    spot_weights,
+                    jnp.sqrt(sim_measured[0]),
                     consts["spot_amp"],
                     config.method,
                     consts["feedback_exponent"],

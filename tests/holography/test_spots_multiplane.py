@@ -97,6 +97,126 @@ class TestSpotHologramFeedback:
         assert unif[-1] > 0.9
         assert holo._sim_powers_value is not None or holo._sim_composite() is not None
 
+    def test_experimental_sim_loop_runs_in_engine(self, fourierslm_calibrated, rng):
+        """On a qualifying simulated rig the experimental-feedback loop
+        runs device-resident inside the scanned engine (feedback mode
+        'experimental_spot_sim'), and its trajectory is identical to the
+        host-paced stepwise loop (forced via a callback)."""
+        fs = fourierslm_calibrated
+        spot_ij = np.array([[300.0, 220.0, 260.0], [220.0, 300.0, 260.0]])
+
+        def make_holo():
+            holo = SpotHologram(
+                SpotHologram.get_padded_shape(fs), spot_ij.copy(),
+                basis="ij", cameraslm=fs,
+            )
+            holo.reset_phase(
+                custom_phase=np.random.default_rng(7)
+                .uniform(-np.pi, np.pi, holo.slm_shape)
+                .astype(np.float32)
+            )
+            return holo
+
+        a = make_holo()
+        assert a.flags.setdefault("feedback", "experimental_spot") or True
+        assert a._engine_feedback() == "experimental_spot_sim"
+
+        b = make_holo()
+        a.optimize(
+            "WGS-Kim", maxiter=6, verbose=False,
+            feedback="experimental_spot", stat_groups=["experimental_spot"],
+        )
+        b.optimize(
+            "WGS-Kim", maxiter=6, verbose=False,
+            feedback="experimental_spot", stat_groups=["experimental_spot"],
+            callback=lambda h: False,  # Forces the host stepwise loop.
+        )
+
+        sa = a.stats["stats"]["experimental_spot"]
+        sb = b.stats["stats"]["experimental_spot"]
+        np.testing.assert_allclose(
+            sa["efficiency"][1:], sb["efficiency"][1:], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            sa["uniformity"][1:], sb["uniformity"][1:], rtol=1e-5, atol=1e-6
+        )
+        dphi = np.angle(np.exp(1j * (np.asarray(a.phase) - np.asarray(b.phase))))
+        assert np.max(np.abs(dphi)) < 1e-4
+        wa = np.asarray(a.weights); wb = np.asarray(b.weights)
+        np.testing.assert_allclose(
+            wa / np.linalg.norm(wa), wb / np.linalg.norm(wb),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    def test_experimental_sim_loop_scrambled_engine(self, fourierslm_calibrated, rng):
+        """Same device-resident closed loop under the scrambled (four-step
+        layout) promotion: the spot scatter indices are remapped but psi
+        stays natural for the in-scan camera model."""
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops import fft as F
+
+        fs = fourierslm_calibrated
+        spot_ij = np.array([[300.0, 220.0], [220.0, 300.0]])
+
+        def make_holo():
+            holo = SpotHologram(
+                SpotHologram.get_padded_shape(fs), spot_ij.copy(),
+                basis="ij", cameraslm=fs,
+            )
+            holo.reset_phase(
+                custom_phase=np.random.default_rng(3)
+                .uniform(-np.pi, np.pi, holo.slm_shape)
+                .astype(np.float32)
+            )
+            return holo
+
+        prev = F.get_fft_backend()
+        F.set_fft_backend("matmul")
+        E.set_scrambled_mode(True)
+        try:
+            a = make_holo()
+            a.optimize(
+                "WGS-Kim", maxiter=5, verbose=False,
+                feedback="experimental_spot", stat_groups=["experimental_spot"],
+            )
+        finally:
+            E.set_scrambled_mode(False)
+            F.set_fft_backend(prev)
+        b = make_holo()
+        b.optimize(
+            "WGS-Kim", maxiter=5, verbose=False,
+            feedback="experimental_spot", stat_groups=["experimental_spot"],
+            callback=lambda h: False,
+        )
+        sa = a.stats["stats"]["experimental_spot"]
+        sb = b.stats["stats"]["experimental_spot"]
+        np.testing.assert_allclose(
+            sa["uniformity"][1:], sb["uniformity"][1:], rtol=1e-4, atol=1e-5
+        )
+        dphi = np.angle(np.exp(1j * (np.asarray(a.phase) - np.asarray(b.phase))))
+        assert np.max(np.abs(dphi)) < 5e-3
+
+    def test_disqualified_rig_keeps_host_loop(self, fourierslm_calibrated, rng):
+        """A rig the composite cannot model exactly (noise) routes the
+        experimental loop through the host stepwise path."""
+        fs = fourierslm_calibrated
+        holo = SpotHologram(
+            SpotHologram.get_padded_shape(fs),
+            np.array([[300.0, 220.0], [220.0, 300.0]]),
+            basis="ij", cameraslm=fs,
+        )
+        fs.cam.noise = {"dark": lambda x: 0 * x}
+        try:
+            holo.flags["feedback"] = "experimental_spot"
+            assert holo._engine_feedback() == "external_spot"
+            holo.optimize(
+                "WGS-Kim", maxiter=3, verbose=False,
+                feedback="experimental_spot", stat_groups=["experimental_spot"],
+            )
+            assert len(holo.stats["stats"]["experimental_spot"]["uniformity"]) == 3
+        finally:
+            fs.cam.noise = None
+
     def test_refine_offset_on_sim(self, fourierslm_calibrated, rng):
         fs = fourierslm_calibrated
         holo = SpotHologram(
@@ -109,6 +229,32 @@ class TestSpotHologramFeedback:
         shifts = holo.refine_offset(basis="kxy")
         assert shifts.shape == (2, 2)
         assert np.all(np.abs(shifts) < 5)  # Sim is near-perfect already.
+
+
+class TestFeedbackHologramExperimental:
+    def test_image_feedback_loop_runs(self, fourierslm_calibrated, rng):
+        """Camera-image (non-spot) experimental feedback drives the
+        host-paced loop end to end on the simulated rig (regression: the
+        engine-config build used to reject feedback='experimental' on
+        FeedbackHologram instances)."""
+        from slmsuite_tpu.holography.algorithms import FeedbackHologram
+
+        fs = fourierslm_calibrated
+        target_ij = np.zeros(fs.cam.shape, np.float32)
+        target_ij[200:320:40, 200:320:40] = 1.0
+
+        holo = FeedbackHologram(
+            (512, 512), target_ij=target_ij, cameraslm=fs
+        )
+        holo.flags["feedback"] = "experimental"
+        assert holo._engine_feedback() == "external"
+        holo.optimize(
+            "WGS-Kim", maxiter=4, verbose=False,
+            feedback="experimental", stat_groups=["experimental"],
+        )
+        stats = holo.stats["stats"]["experimental_ij"]
+        assert len(stats["efficiency"]) == 4
+        assert np.isfinite(stats["efficiency"][-1])
 
 
 class TestCompressedSpotHologram:
