@@ -966,10 +966,87 @@ def hermite_gaussian(grid, n, m, w=None):
     return phase
 
 
+def _ince_coefficients(p, m, parity, ellipticity):
+    r"""
+    Fourier coefficients of the Ince polynomial :math:`C_p^m` /
+    :math:`S_p^m` (Bandres & Gutierrez-Vega, doi:10.1364/OL.29.000144).
+
+    Trigonometric solutions of the Ince equation
+    :math:`\Theta'' + \varepsilon\sin(2\eta)\Theta'
+    + (a - p\varepsilon\cos(2\eta))\Theta = 0`
+    expanded as :math:`\sum_j A_j \cos(k_j\eta)` (even) or
+    :math:`\sum_j B_j \sin(k_j\eta)` (odd) with
+    :math:`k_j \equiv p \pmod 2`. Applying the Ince operator to one
+    harmonic couples it only to :math:`k \pm 2`:
+
+    .. math:: L[\mathrm{trig}(k\eta)] = -k^2\,\mathrm{trig}(k\eta)
+        + \tfrac{\varepsilon}{2}(k-p)\,\mathrm{trig}((k{+}2)\eta)
+        - \tfrac{\varepsilon}{2}(k+p)\,\mathrm{trig}((k{-}2)\eta),
+
+    so the polynomials are eigenvectors of a small tridiagonal-plus-fold
+    matrix; eigenvalues sorted ascending enumerate increasing ``m``.
+
+    Returns ``(ks, coeffs)`` with the coefficient vector normalized to
+    unit :math:`L_2(\eta)` norm and a deterministic sign
+    (:math:`C(0) > 0`; :math:`S'(0) > 0`).
+    """
+    eps = float(ellipticity)
+    if parity == 1:
+        ks = np.arange(p % 2, p + 1, 2)
+    else:
+        ks = np.arange(2 - (p % 2), p + 1, 2)
+    n = len(ks)
+    M = np.zeros((n, n))
+    index = {k: j for j, k in enumerate(ks)}
+    for j, k in enumerate(ks):
+        M[j, j] -= k * k
+        up = k + 2
+        if up in index:
+            M[index[up], j] += 0.5 * eps * (k - p)
+        down = k - 2
+        if parity == 1:
+            # cos((k-2)eta) folds to cos(|k-2|eta) with unit sign.
+            fold = abs(down)
+            if fold in index:
+                M[index[fold], j] -= 0.5 * eps * (k + p)
+        else:
+            # sin(-eta) = -sin(eta); sin(0) vanishes.
+            if down in index:
+                M[index[down], j] -= 0.5 * eps * (k + p)
+            elif -down in index:
+                M[index[-down], j] += 0.5 * eps * (k + p)
+    # L[Theta] = -a Theta: ascending a <=> ascending m.
+    eigvals, eigvecs = np.linalg.eig(-M)
+    order = np.argsort(eigvals.real)
+    idx = int(np.searchsorted(ks, m))
+    coeffs = eigvecs[:, order[idx]].real
+
+    # Unit L2(eta) norm over one period (cos(0) integrates to 2*pi).
+    l2 = np.pi * np.sum(np.square(coeffs) * np.where(ks == 0, 2.0, 1.0))
+    coeffs = coeffs / np.sqrt(l2)
+    sign = np.sum(coeffs) if parity == 1 else np.sum(coeffs * ks)
+    if sign == 0:
+        sign = coeffs[np.argmax(np.abs(coeffs))]
+    return ks, coeffs * np.sign(sign)
+
+
 def ince_gaussian(grid, p, m, parity=1, ellipticity=1, w=None):
     r"""
-    **(NotImplemented)** Phase farfield of an Ince-Gaussian beam.
-    Parity: reference ``phase.py:1938-1992`` (also NotImplemented).
+    Phase farfield of an Ince-Gaussian beam
+    (doi:10.1364/OL.29.000144). Even/odd modes are real, so the mask is
+    the :math:`\{0, \pi\}` sign pattern of
+
+    .. math:: \mathrm{IG}^{e}_{p,m} \propto
+        C_p^m(i\xi)\,C_p^m(\eta)\,e^{-r^2/w^2}
+
+    (:math:`S_p^m` for odd parity); a helical mode (``parity=0``,
+    :math:`\mathrm{IG}^e + i\,\mathrm{IG}^o`) returns its continuous
+    argument, which carries an :math:`m`-charged central vortex.
+    Elliptic coordinates :math:`\xi + i\eta =
+    \mathrm{arccosh}((x + iy)/f_0)` use the reference's convention for
+    the semifocal distance :math:`f_0 = w\sqrt{\varepsilon/2}`
+    (ref ``phase.py:1938-1992``, a NotImplemented stub upstream — the
+    scaling is its ``factor``; implemented here beyond the reference).
     """
     x_grid, y_grid = _process_grid(grid)
     w = _determine_source_radius(grid, w)
@@ -980,24 +1057,89 @@ def ince_gaussian(grid, p, m, parity=1, ellipticity=1, w=None):
     else:
         if not 1 <= m <= p:
             raise ValueError(f"{(p, m)} is an invalid Ince polynomial.")
+    if (p - m) % 2:
+        raise ValueError(
+            f"Ince polynomial requires p - m even; got {(p, m)}."
+        )
 
-    raise NotImplementedError()
+    f0 = w * np.sqrt(ellipticity / 2)
+    elliptic = np.arccosh((x_grid + 1j * y_grid) / f0 + 0j)
+    xi, eta = elliptic.real, elliptic.imag
+
+    def _even():
+        ks, A = _ince_coefficients(p, m, 1, ellipticity)
+        radial = sum(a * np.cosh(k * xi) for a, k in zip(A, ks))
+        angular = sum(a * np.cos(k * eta) for a, k in zip(A, ks))
+        return radial * angular
+
+    def _odd():
+        ks, B = _ince_coefficients(p, m, -1, ellipticity)
+        # S(i xi) = i * sum B_j sinh(k_j xi); the i is a global phase.
+        radial = sum(b * np.sinh(k * xi) for b, k in zip(B, ks))
+        angular = sum(b * np.sin(k * eta) for b, k in zip(B, ks))
+        return radial * angular
+
+    if parity == 1:
+        return np.where(_even() < 0, np.pi, 0.0)
+    if parity == -1:
+        return np.where(_odd() < 0, np.pi, 0.0)
+    if m == 0:
+        raise ValueError("Helical Ince-Gaussian requires m >= 1.")
+    return np.mod(np.arctan2(_odd(), _even()), 2 * np.pi)
 
 
 def matheui_gaussian(grid, r, q, w=None):
-    """
-    **(NotImplemented)** Phase farfield of a Matheui-Gaussian beam.
-    Parity: reference ``phase.py:1995-2008`` (also NotImplemented).
+    r"""
+    Phase farfield of an (even) Mathieu-Gaussian beam
+    (doi:10.1364/AO.49.006903): the :math:`\{0, \pi\}` sign pattern of
+
+    .. math:: U \propto \mathrm{Mc}^{(1)}_r(\xi, q)\,
+        \mathrm{ce}_r(\eta, q)\,e^{-\rho^2/w^2},
+
+    the product of the radial (modified, first-kind) and angular even
+    Mathieu functions in elliptic coordinates
+    :math:`\xi + i\eta = \mathrm{arccosh}((x + iy)/f_0)` with semifocal
+    distance :math:`f_0 = w/2`. ``q`` is the Mathieu ellipticity
+    parameter, passed straight to the Mathieu functions.
+    (Ref ``phase.py:1995-2008`` is a NotImplemented stub; implemented
+    here beyond the reference.)
     """
     x_grid, y_grid = _process_grid(grid)
     w = _determine_source_radius(grid, w)
-    raise NotImplementedError()
+    if q <= 0:
+        raise ValueError(f"Mathieu parameter q must be positive; got {q}.")
+
+    f0 = w / 2
+    elliptic = np.arccosh((x_grid + 1j * y_grid) / f0 + 0j)
+    xi, eta = elliptic.real, elliptic.imag
+
+    radial = special.mathieu_modcem1(r, q, xi)[0]
+    angular = special.mathieu_cem(r, q, np.degrees(eta))[0]
+    return np.where(radial * angular < 0, np.pi, 0.0)
 
 
-def airy(grid, f=(np.inf, np.inf)):
-    """
-    **(NotImplemented)** Cubic phase farfield of an Airy beam.
-    Parity: reference ``phase.py:2011-2030`` (also NotImplemented).
+def airy(grid, f=(np.inf, np.inf), w=None):
+    r"""
+    Cubic phase farfield of a 2D Airy beam
+    (doi:10.1103/PhysRevLett.99.213901):
+
+    .. math:: \phi(x, y) = \tfrac{1}{3}\left[
+        (2\pi s_x x)^3 + (2\pi s_y y)^3\right],
+        \qquad s_i = \frac{w}{2 f_i},
+
+    which produces a farfield :math:`\mathrm{Ai}(k_x/s_x)\,
+    \mathrm{Ai}(k_y/s_y)` with lobe scale :math:`s` in ``"kxy"`` units.
+    ``s = w/2f`` matches :meth:`axicon`'s deflection convention, and
+    ``f = inf`` (the default) flattens an axis, like :meth:`lens`.
+    (Ref ``phase.py:2011-2030`` is a NotImplemented stub; implemented
+    here beyond the reference.)
     """
     x_grid, y_grid = _process_grid(grid)
-    raise NotImplementedError()
+    w = _determine_source_radius(grid, w)
+    f = _parse_focal_length(f)
+
+    canvas = np.zeros_like(x_grid)
+    for axis_grid, focal in ((x_grid, f[0]), (y_grid, f[1])):
+        if np.isfinite(focal) and focal != 0:
+            canvas = canvas + np.power(np.pi * w / focal * axis_grid, 3) / 3
+    return canvas

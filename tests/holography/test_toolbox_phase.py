@@ -225,10 +225,105 @@ class TestStructuredLight:
         out = tphase.hermite_gaussian(grid, 1, 1, w=0.5)
         assert set(np.unique(out)).issubset({0.0, np.pi})
 
-    def test_not_implemented(self, grid):
-        with pytest.raises(NotImplementedError):
-            tphase.ince_gaussian(grid, 2, 1)
-        with pytest.raises(NotImplementedError):
-            tphase.matheui_gaussian(grid, 1, 1)
-        with pytest.raises(NotImplementedError):
-            tphase.airy(grid)
+    # The reference leaves ince_gaussian/matheui_gaussian/airy as
+    # NotImplemented stubs (ref phase.py:1938-2030); these test the
+    # real implementations added beyond the reference.
+
+    def test_ince_coefficients_trig_limit(self):
+        # eps -> 0: the Ince equation reduces to Theta'' + a Theta = 0,
+        # so C_p^m -> cos(m eta) exactly (one Fourier coefficient).
+        ks, A = tphase._ince_coefficients(6, 4, 1, 1e-10)
+        idx = list(ks).index(4)
+        assert abs(A[idx] - 1 / np.sqrt(np.pi)) < 1e-6
+        assert np.all(np.abs(np.delete(A, idx)) < 1e-6)
+        ks, B = tphase._ince_coefficients(5, 3, -1, 1e-10)
+        idx = list(ks).index(3)
+        assert abs(B[idx] - 1 / np.sqrt(np.pi)) < 1e-6
+
+    @pytest.mark.parametrize("p,m,parity", [(4, 2, 1), (5, 3, 1),
+                                            (4, 2, -1), (5, 3, -1),
+                                            (6, 0, 1), (7, 7, -1)])
+    def test_ince_polynomial_solves_ince_equation(self, p, m, parity):
+        # Residual check against the Ince ODE itself:
+        #   Theta'' + eps sin(2 eta) Theta' + (a - p eps cos(2 eta)) Theta = 0
+        # with `a` recovered by L2 projection (it is the eigenvalue).
+        eps = 2.0
+        ks, coeffs = tphase._ince_coefficients(p, m, parity, eps)
+        eta = np.linspace(0, 2 * np.pi, 720, endpoint=False)
+        trig, dtrig = (np.cos, lambda k, e: -k * np.sin(k * e)) \
+            if parity == 1 else (np.sin, lambda k, e: k * np.cos(k * e))
+        theta = sum(c * trig(k * eta) for c, k in zip(coeffs, ks))
+        dtheta = sum(c * dtrig(k, eta) for c, k in zip(coeffs, ks))
+        ddtheta = sum(-c * k * k * trig(k * eta) for c, k in zip(coeffs, ks))
+        lhs = ddtheta + eps * np.sin(2 * eta) * dtheta \
+            - p * eps * np.cos(2 * eta) * theta
+        a = -np.dot(lhs, theta) / np.dot(theta, theta)
+        residual = lhs + a * theta
+        assert np.max(np.abs(residual)) < 1e-9 * max(1.0, np.max(np.abs(theta)))
+
+    def test_ince_gaussian_binary(self, grid):
+        for parity in (1, -1):
+            out = tphase.ince_gaussian(grid, 4, 2, parity=parity, w=0.5)
+            assert set(np.unique(out)).issubset({0.0, np.pi})
+            assert out.shape == grid[0].shape
+
+    @pytest.mark.parametrize("p,m", [(4, 2), (3, 1), (5, 3), (4, 4)])
+    def test_ince_gaussian_helical_vortex_charge(self, p, m):
+        # A helical IG mode carries m unit vortices along the
+        # interfocal segment (doi:10.1364/OL.29.000144): the phase winds
+        # by 2 pi m around a circle enclosing the foci (f0 ~ 0.354 for
+        # w = 0.5, ellipticity 1).
+        t = np.linspace(0, 2 * np.pi, 2000, endpoint=False)
+        r = 0.45
+        pts = (r * np.cos(t)[None, :], r * np.sin(t)[None, :])
+        ph = tphase.ince_gaussian(pts, p, m, parity=0, w=0.5)[0]
+        winding = np.sum(np.angle(np.exp(1j * np.diff(
+            np.concatenate([ph, ph[:1]])
+        )))) / (2 * np.pi)
+        assert abs(abs(winding) - m) < 1e-6
+
+    def test_ince_gaussian_invalid(self, grid):
+        with pytest.raises(ValueError):
+            tphase.ince_gaussian(grid, 4, 5)          # m > p
+        with pytest.raises(ValueError):
+            tphase.ince_gaussian(grid, 4, 0, parity=-1)  # odd needs m >= 1
+        with pytest.raises(ValueError):
+            tphase.ince_gaussian(grid, 4, 1)          # p - m odd
+        with pytest.raises(ValueError):
+            tphase.ince_gaussian(grid, 4, 0, parity=0)   # helical m = 0
+
+    def test_matheui_gaussian_binary_and_symmetry(self, grid):
+        out = tphase.matheui_gaussian(grid, 2, 4.0, w=0.5)
+        assert set(np.unique(out)).issubset({0.0, np.pi})
+        # ce_r is even in eta and arccosh maps y -> -y to eta -> -eta,
+        # so the even Mathieu-Gauss mask is symmetric about the x-axis.
+        assert np.allclose(out, out[::-1, :])
+
+    def test_matheui_gaussian_invalid(self, grid):
+        with pytest.raises(ValueError):
+            tphase.matheui_gaussian(grid, 1, 0.0)
+
+    def test_airy_cubic(self, grid):
+        w = 0.5
+        out = tphase.airy(grid, f=(2.0, np.inf), w=w)
+        expected = np.power(np.pi * w / 2.0 * grid[0], 3) / 3
+        assert np.allclose(out, expected)
+        assert np.allclose(tphase.airy(grid), 0)
+
+    def test_airy_farfield_peak(self):
+        # The farfield of the cubic mask is Ai(k/s): its main intensity
+        # lobe peaks near k = -1.0188 s (first max of Ai at -1.0188).
+        n, s = 4096, 8.0
+        x = np.linspace(-0.5, 0.5, n, endpoint=False)
+        phase_1d = np.power(2 * np.pi * s * x, 3) / 3
+        # Gaussian source apodization (the finite-energy Airy beam of
+        # the Siviloglou paper): a hard aperture's edge ripple would
+        # otherwise beat the main lobe.
+        apod = np.exp(-np.square(x / 0.18))
+        far = np.fft.fftshift(np.fft.fft(apod * np.exp(1j * phase_1d)))
+        k = np.fft.fftshift(np.fft.fftfreq(n))  # cycles/sample
+        k_peak = (k * n)[np.argmax(np.abs(far))]  # x spans 1 => k in units
+        # exp(i t^3/3) e^{-2 pi i x k} = exp(i(t^3/3 + nu t)), nu = -k/s:
+        # the Ai(nu) peak at nu = -1.0188 lands at k = +1.0188 s under
+        # numpy's forward-FFT sign convention.
+        assert abs(k_peak / s - 1.0188) < 0.15
