@@ -25,9 +25,13 @@ def main():
         "LG (l=3, p=0)": phase.laguerre_gaussian(slm, l=3, p=0),
         "HG (n=2, m=1)": phase.hermite_gaussian(slm, n=2, m=1),
         "zernike sum": phase.zernike_sum(slm, (3, 5, 10), (0.5, -0.8, 0.3)),
+        # Implemented beyond the reference (stubs upstream):
+        "IG helical (p=4, m=2)": phase.ince_gaussian(slm, 4, 2, parity=0),
+        "Mathieu (r=2, q=4)": phase.matheui_gaussian(slm, 2, 4.0),
+        "Airy cubic": phase.airy(slm, f=(2e5, 2e5), w=200),
     }
 
-    fig, axes = plt.subplots(2, 3, figsize=(12, 8))
+    fig, axes = plt.subplots(3, 3, figsize=(12, 12))
     for ax, (name, pattern) in zip(axes.ravel(), patterns.items()):
         # Fixed limits: "twilight" is cyclic, so 0 and 2pi share a color
         # only when the normalization spans the full wrap.

@@ -338,6 +338,67 @@ class TestScrambledEngine:
         )
         np.testing.assert_allclose(sstats, nstats, atol=1e-4, rtol=0)
 
+    @pytest.mark.slow
+    def test_fused_parity_headline_shape(self):
+        """Fused-carry algebra vs the natural engine at the HEADLINE
+        shape: WGS-Kim, 2048x2048, 32x32 spot array (BASELINE config 2).
+
+        The default-size parity tests validate the fused step's two
+        algebraic substitutions (deferred-by-one weight normalization
+        and the Parseval feedback norm) only at small shapes; this run
+        exercises the identical carry-mode composition (via the jnp
+        twin of the Pallas kernels — same deferred-norm/Parseval/Kim
+        phasor-carry algebra, true transcendentals) at the shape the
+        bench reports, where a wrong-by-one-iteration norm would first
+        matter. On-chip Pallas==natural at this shape is attested
+        separately by ``bench.py``'s ``kernel_parity`` gate.
+        """
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops.propagation import fold_phase
+
+        N = 2048
+        shape = (N, N)
+        target = np.zeros(shape, np.float32)
+        idx = ((np.arange(32) - 15.5) * 24 + N / 2).astype(int)
+        xs, ys = np.meshgrid(idx, idx)
+        target[ys.ravel(), xs.ravel()] = 1.0
+        target /= np.sqrt((target**2).sum())
+        rng = np.random.default_rng(3)
+        psi0 = fold_phase(
+            rng.uniform(-np.pi, np.pi, shape).astype(np.float32), shape
+        )
+        config = E.GSConfig(
+            method="WGS-Kim", shape=shape, slm_shape=shape,
+            stat_groups=("computational",),
+        )
+        consts = {
+            "amp": jnp.float32(1.0 / N),
+            "target": jnp.asarray(target),
+            "stat_mask": jnp.asarray(target != 0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.1),
+            "fix_phase_iteration": jnp.int32(5),
+            "fix_phase_efficiency": jnp.float32(np.nan),
+        }
+        sconfig = dataclasses.replace(config, scrambled=True)
+        assert E._fused_active(sconfig)  # Kim fixing crosses iter 5.
+        (ns, nstats), (ss, sstats) = self._run_both(
+            config, consts, psi0, target, n=8
+        )
+        # Measured maxerr at this shape: psi 2.4e-4, weights 4e-8,
+        # stats 8e-5 (float32 matmul-FFT round-off; ~4x margin).
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=1e-3, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss.weights), np.asarray(ns.weights), atol=2e-7, rtol=0
+        )
+        np.testing.assert_allclose(sstats, nstats, atol=4e-4, rtol=0)
+
     def test_spot_feedback_parity(self):
         import jax.numpy as jnp
 
