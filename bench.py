@@ -221,7 +221,7 @@ def step_model(N, fused, stats_on=True):
     return tiles * tile, mxu_passes
 
 
-def attest_kernel_parity(N=2048, iters=3):
+def attest_kernel_parity(N=2048, iters=3, model=None):
     """
     On-chip fused-vs-natural attestation at the headline shape: run a few
     WGS-Kim iterations through the fused carry-mode Pallas engine AND the
@@ -230,6 +230,10 @@ def attest_kernel_parity(N=2048, iters=3):
     refuses to emit a headline number from unverified kernels. Model:
     ``tests/test_tpu_kernels.py`` / ``tests/holography/test_algorithms.py``
     (TestScrambledEngine parity suite).
+
+    Pass ``model`` (an :class:`slmsuite_tpu.models.EngineModel`) to attest
+    a different workload's kernels — config 3 uses this for the MRAF
+    carry-mode step.
     """
     import jax
 
@@ -240,7 +244,8 @@ def attest_kernel_parity(N=2048, iters=3):
     from slmsuite_tpu.ops import engine as E
     from slmsuite_tpu.ops.engine import run_gs
 
-    model = spot_array_wgs(N=N, n_side=32, spacing_div=70)
+    if model is None:
+        model = spot_array_wgs(N=N, n_side=32, spacing_div=70)
     out = {}
     for mode in ("fused", "natural"):
         E.set_scrambled_mode("auto" if mode == "fused" else False)
@@ -377,16 +382,27 @@ def config_1(argv):
 
 def config_3(argv):
     """MRAF ring-image hologram with nan noise region."""
+    import jax
+
     N = int(argv[0]) if argv else 2048
     iters = int(argv[1]) if len(argv) > 1 else 100
 
     from slmsuite_tpu.models import image_mraf
 
+    extra = {}
+    if jax.default_backend() not in ("cpu",):
+        # Attest the MRAF carry-mode kernels (semi-fused step with the
+        # exact weight-norm sync) against the natural engine on-chip,
+        # like the headline's gate.
+        extra["kernel_parity"] = attest_kernel_parity(
+            N, model=image_mraf(N=N, mraf_factor=0.5)
+        )
     rate, stats = bench_engine(image_mraf(N=N, mraf_factor=0.5), iters)
     _emit(
         f"MRAF WGS-Leonardo iterations/sec at {N}x{N} (ring target)",
         rate, "iter/s", 1000.0,
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
+        **extra,
     )
 
 
