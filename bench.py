@@ -277,6 +277,55 @@ def attest_kernel_parity(N=2048, iters=3, model=None):
     return True
 
 
+def attest_compressed_parity(iters=3, n_spots=64, res=512):
+    """
+    On-chip attestation of the compressed (grid-free) Zernike transform
+    pair: run a few WGS-Kim iterations from the same initial phase
+    through the fused Pallas kernels (``cuda=True``) and the jnp
+    chunked-matmul twin (``cuda=False``) and require matching spot
+    amplitudes/weights. Guards the VPU ``_sincos_reduced`` phase
+    synthesis the Pallas path uses. Returns True, or raises.
+    """
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        return False
+
+    from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+    from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+
+    slm = SimulatedSLM(resolution=(res, res), pitch_um=(8, 8), wav_um=0.78)
+    rng = np.random.default_rng(11)
+    side = int(np.sqrt(n_spots))
+    kx, ky = np.meshgrid(
+        np.linspace(-6e-3, 6e-3, side), np.linspace(-6e-3, 6e-3, side)
+    )
+    spots = np.vstack([
+        kx.ravel(), ky.ravel(), rng.uniform(-2e-6, 2e-6, kx.size)
+    ])
+    phase0 = rng.uniform(-np.pi, np.pi, (res, res)).astype(np.float32)
+    out = {}
+    for flag in (True, False):
+        holo = CompressedSpotHologram(
+            spots, basis="kxy", cameraslm=slm, cuda=flag
+        )
+        holo.reset_phase(phase0)
+        holo.optimize("WGS-Kim", maxiter=iters, verbose=False)
+        amp_ff = np.asarray(holo.amp_ff)
+        out[flag] = (amp_ff / max(amp_ff.max(), 1e-12),
+                     np.asarray(holo.weights))
+    a_err = float(np.abs(out[True][0] - out[False][0]).max())
+    w_err = float(np.abs(
+        out[True][1] / max(out[True][1].max(), 1e-12)
+        - out[False][1] / max(out[False][1].max(), 1e-12)
+    ).max())
+    if not (a_err < 2e-3 and w_err < 2e-3):
+        raise AssertionError(
+            f"compressed kernel parity FAILED: amp={a_err:.2e} w={w_err:.2e}"
+        )
+    return True
+
+
 def iters_to_nonuniformity(stats, threshold=0.01):
     """First 1-based iteration whose spot nonuniformity (1 - uniformity)
     drops below ``threshold``; -1 if never reached in the run. The second
@@ -484,11 +533,17 @@ def config_4(argv):
 
 def config_5(argv):
     """Zernike 3D compressed spot array."""
+    import jax
+
     n_spots = int(argv[0]) if argv else 256
     iters = int(argv[1]) if len(argv) > 1 else 30
 
     from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
     from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+
+    extra = {}
+    if jax.default_backend() not in ("cpu",):
+        extra["kernel_parity"] = attest_compressed_parity()
 
     slm = SimulatedSLM(resolution=(1024, 1024), pitch_um=(8, 8), wav_um=0.78)
     rng = np.random.default_rng(0)
@@ -535,6 +590,7 @@ def config_5(argv):
         f"compressed 3D-spot WGS iterations/sec ({kx.size} spots, 1024^2 SLM)",
         rate, "iter/s", 100.0,
         amp_cv=float(f"{cv:.3g}"),
+        **extra,
     )
 
 
