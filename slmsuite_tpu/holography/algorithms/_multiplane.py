@@ -190,10 +190,10 @@ class MultiplaneHologram(Hologram):
 
     def _mesh_eligible(self, callback, n_dev=None, warn=True):
         """Whether the data-parallel batched engine covers this problem:
-        homogeneous plain-Hologram children, computational feedback,
-        no MRAF, plane count divisible by the device count. With
-        ``n_dev=1`` (the meshless scanned promotion) the check is
-        silent unless ``warn``."""
+        homogeneous plain-Hologram children (MRAF masks included — they
+        are plane-local), computational feedback, plane count divisible
+        by the device count. With ``n_dev=1`` (the meshless scanned
+        promotion) the check is silent unless ``warn``."""
         import warnings
 
         children = self.holograms
