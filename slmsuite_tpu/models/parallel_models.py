@@ -11,9 +11,13 @@ available to users sizing real slices.
 import numpy as np
 
 
-def multiplane_batched(n_planes, N=64, method="WGS-Kim", seed=0):
+def multiplane_batched(n_planes, N=64, method="WGS-Kim", seed=0,
+                       mraf=False):
     """B-plane batched multiplane WGS: planes data-parallel over a
-    ``data`` mesh axis, nearfields psum'd into the shared phase."""
+    ``data`` mesh axis, nearfields psum'd into the shared phase. With
+    ``mraf`` each plane carries a NaN noise region (amplitude freedom)
+    — the masks stay plane-local, so the mesh path needs no extra
+    collective."""
     import jax.numpy as jnp
 
     from slmsuite_tpu.ops.propagation import fold_phase
@@ -29,23 +33,29 @@ def multiplane_batched(n_planes, N=64, method="WGS-Kim", seed=0):
     for b in range(n_planes):
         targets[b, 16 + (2 * b) % 32, 20 + (3 * b) % 24] = 1.0
         targets[b] /= np.sqrt((targets[b] ** 2).sum())
+        if mraf:
+            noise = np.ones(shape, bool)
+            noise[12:52, 8 + b % 4:56] = False
+            targets[b, noise] = np.nan
     kernels = np.stack(
         [np.full(shape, 0.05 * b, np.float32) for b in range(n_planes)]
     )
 
     config = BatchedGSConfig(
-        method=method, shape=shape, slm_shape=shape, n_planes=n_planes
+        method=method, shape=shape, slm_shape=shape, n_planes=n_planes,
+        mraf=mraf, mraf_factor=mraf,
     )
     consts = make_multiplane_consts(
         targets, kernels,
         np.full(n_planes, 1 / np.sqrt(n_planes), np.float32), 1.0 / N,
+        mraf_factor=0.5 if mraf else None,
     )
     psi0 = jnp.asarray(
         fold_phase(
             rng.uniform(-np.pi, np.pi, shape).astype(np.float32), shape
         )
     )
-    weights0 = jnp.asarray(targets.copy())
+    weights0 = jnp.asarray(np.nan_to_num(targets))
 
     def run(mesh, n_iterations, axis_name="data"):
         return run_batched_gs(
