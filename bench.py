@@ -426,6 +426,8 @@ def config_1(argv):
         f"GS iterations/sec at {N}x{N} (10x10 spots)",
         rate, "iter/s", 1000.0,
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
+        final_uniformity=round(float(stats[-1, 0, 1]), 4),
+        iters_to_1pct_nonuniformity=iters_to_nonuniformity(stats),
     )
 
 
