@@ -40,6 +40,38 @@ from slmsuite_tpu.ops.weights import update_weights_generic
 import functools as _functools
 
 
+class ComplexMSELoss:
+    """Mean-squared error between the *normalized amplitude* of a complex
+    farfield and a real target, for :meth:`Hologram.optimize` CG mode
+    (``loss=ComplexMSELoss()``). jax-native equivalent of the reference's
+    torch loss (``_hologram.py:6-14``): the farfield amplitude is
+    unit-power-normalized before comparison, so the loss is insensitive
+    to overall gain.
+    """
+
+    def __init__(self, reduction="mean"):
+        if reduction not in ("mean", "sum"):
+            raise ValueError(f"Unsupported reduction '{reduction}'.")
+        self.reduction = reduction
+
+    def __call__(self, farfield, target):
+        amp = jnp.abs(farfield)
+        amp = amp / jnp.sqrt(jnp.sum(jnp.square(amp)))
+        sq = jnp.square(amp - jnp.nan_to_num(target))
+        return jnp.mean(sq) if self.reduction == "mean" else jnp.sum(sq)
+
+
+class MaxUniformLoss:
+    """Maximize total farfield power while penalizing amplitude spread:
+    ``-sum(|F|^2) + 10 * std(|F|)`` (reference ``_hologram.py:16-23``).
+    The target is ignored; use with CG mode for uniformity-driven
+    optimization."""
+
+    def __call__(self, farfield, target):
+        amp = jnp.abs(farfield)
+        return -jnp.sum(jnp.square(amp)) + 10.0 * jnp.std(amp)
+
+
 @_functools.lru_cache(maxsize=32)
 def _stepwise_backward(config):
     """

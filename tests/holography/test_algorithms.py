@@ -210,6 +210,34 @@ class TestCG:
         holo.optimize(method="CG", maxiter=5, verbose=False, loss=loss)
         assert "loss_result" in holo.flags
 
+    def test_cg_named_losses(self, spot_target):
+        """The reference's module-level loss classes (torch there, jax
+        here): ComplexMSELoss reproduces the default CG loss;
+        MaxUniformLoss runs and reports a finite loss."""
+        from slmsuite_tpu.holography.algorithms._hologram import (
+            ComplexMSELoss,
+            MaxUniformLoss,
+        )
+
+        target, slm_shape = spot_target
+
+        results = {}
+        for name, loss in (
+            (None, None),
+            ("mse", ComplexMSELoss()),
+            ("uniform", MaxUniformLoss()),
+        ):
+            holo = Hologram(target, slm_shape=slm_shape)
+            holo.reset_phase(custom_phase=np.zeros(slm_shape, np.float32))
+            kwargs = {} if loss is None else {"loss": loss}
+            holo.optimize(method="CG", maxiter=5, verbose=False, **kwargs)
+            results[name] = holo.flags["loss_result"]
+        # ComplexMSELoss(mean) IS the documented default.
+        np.testing.assert_allclose(results["mse"], results[None], rtol=1e-5)
+        assert np.isfinite(results["uniform"])
+        with pytest.raises(ValueError):
+            ComplexMSELoss(reduction="bogus")
+
 
 class TestFarfield:
     def test_energy_conservation(self, spot_target):
