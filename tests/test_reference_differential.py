@@ -532,3 +532,59 @@ class TestClosedLoopDifferential:
         np.testing.assert_allclose(u_t, u_r, atol=1e-5, rtol=0)
         wrapped = np.angle(np.exp(1j * (p_t - p_r)))
         assert np.percentile(np.abs(wrapped), 99) < 1e-4
+
+
+class TestMultiplaneDifferential:
+    def test_multiplane_meta_loop_matches_reference(self, ref):
+        """Three-plane MultiplaneHologram (distinct propagation kernels
+        per child) reproduces the ACTUAL reference's meta loop: final
+        shared phase and per-child efficiency traces agree to float32
+        round-off. Pins the weighted nearfield sum, per-child kernel
+        removal, and plane-weight normalization conventions."""
+        import warnings as _w
+
+        del ref  # Module fixture only guards reference availability.
+
+        def build(which):
+            if which == "ref":
+                from slmsuite.holography.algorithms import (
+                    Hologram,
+                    MultiplaneHologram,
+                )
+            else:
+                from slmsuite_tpu.holography.algorithms import (
+                    Hologram,
+                    MultiplaneHologram,
+                )
+
+            N = 64
+            rng = np.random.default_rng(6)
+            amp = np.ones((N, N), np.float32)
+            amp /= np.sqrt((amp**2).sum())
+            kids = []
+            for b in range(3):
+                target = np.zeros((N, N), np.float32)
+                target[16 + 8 * b, 20 + 6 * b] = 1.0
+                h = Hologram(target, amp=amp.copy())
+                h.propagation_kernel = np.full((N, N), 0.03 * b, np.float32)
+                kids.append(h)
+            phi0 = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                holo = MultiplaneHologram(kids)
+                holo.reset_phase(custom_phase=phi0)
+                holo.optimize(
+                    "WGS-Leonardo", maxiter=5, verbose=False,
+                    stat_groups=["computational"],
+                )
+            effs = [
+                np.asarray(h.stats["stats"]["computational"]["efficiency"])
+                for h in holo.holograms
+            ]
+            return np.asarray(holo.phase), np.stack(effs)
+
+        p_t, e_t = build("tpu")
+        p_r, e_r = build("ref")
+        wrapped = np.angle(np.exp(1j * (p_t - p_r)))
+        assert np.percentile(np.abs(wrapped), 99) < 1e-4
+        np.testing.assert_allclose(e_t, e_r, atol=1e-5, rtol=0)
