@@ -588,3 +588,42 @@ class TestMultiplaneDifferential:
         wrapped = np.angle(np.exp(1j * (p_t - p_r)))
         assert np.percentile(np.abs(wrapped), 99) < 1e-4
         np.testing.assert_allclose(e_t, e_r, atol=1e-5, rtol=0)
+
+
+class TestCGDifferential:
+    def test_cg_trajectory_matches_reference(self, ref):
+        """Conjugate-gradient mode (jax.grad + optax Adam here; torch
+        autograd + torch.optim.Adam in the reference) follows the SAME
+        trajectory: 8 Adam steps at lr=0.1 from a fixed seed land on the
+        same phase to float32 round-off. Pins the default ComplexMSELoss
+        semantics, the gradient through the ortho FFT, and Adam's
+        bias-correction/eps conventions across frameworks."""
+        import warnings as _w
+
+        del ref  # Module fixture only guards reference availability.
+
+        def build(which):
+            if which == "ref":
+                from slmsuite.holography.algorithms import Hologram
+            else:
+                from slmsuite_tpu.holography.algorithms import Hologram
+
+            target = np.zeros((64, 64), np.float32)
+            target[20, 30] = target[40, 24] = 1.0
+            target /= np.sqrt((target**2).sum())
+            amp = np.ones((64, 64), np.float32)
+            amp /= np.sqrt((amp**2).sum())
+            holo = Hologram(target, amp=amp.copy())
+            phase0 = np.random.default_rng(3).uniform(
+                -np.pi, np.pi, (64, 64)
+            ).astype(np.float32)
+            holo.reset_phase(phase0)
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                holo.optimize("CG", maxiter=8, verbose=False)
+            return np.asarray(holo.phase)
+
+        p_t = build("tpu")
+        p_r = build("ref")
+        wrapped = np.angle(np.exp(1j * (p_t - p_r)))
+        assert np.abs(wrapped).max() < 1e-4
