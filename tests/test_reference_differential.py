@@ -627,3 +627,66 @@ class TestCGDifferential:
         p_r = build("ref")
         wrapped = np.angle(np.exp(1j * (p_t - p_r)))
         assert np.abs(wrapped).max() < 1e-4
+
+
+class TestRefineOffsetDifferential:
+    def test_refine_offset_bit_identical(self, ref):
+        """``refine_offset`` on the simulated rig (take regions ->
+        remove field -> centroid -> spot_kxy correction) returns
+        BIT-identical offsets and corrected spot vectors vs the actual
+        reference — the centroid/affine math is pure host numpy in
+        both."""
+        import warnings as _w
+
+        del ref  # Module fixture only guards reference availability.
+
+        def build(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.cameraslms import FourierSLM
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+                from slmsuite.holography.algorithms import SpotHologram
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.cameraslms import FourierSLM
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+                from slmsuite_tpu.holography.algorithms import SpotHologram
+
+            slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(
+                slm, (128, 128), pitch_um=(4, 4),
+                M=np.array([[2.0e3, 0.0], [0.0, 2.0e3]]),
+                b=np.array([[64.0], [64.0]]),
+            )
+            cam.set_exposure(1.0)
+            cs = FourierSLM(cam, slm)
+            cs.calibrations["fourier"] = {
+                "M": np.array([[2e3, 0.0], [0.0, 2e3]]),
+                "b": np.array([[64.0], [64.0]]),
+                "a": np.array([[0.0], [0.0]]),
+            }
+            spot_ij = np.array([[40.0, 88, 64], [64.0, 64, 88]])
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                holo = SpotHologram(
+                    (256, 256), spot_ij, basis="ij", cameraslm=cs
+                )
+                phase0 = np.random.default_rng(7).uniform(
+                    -np.pi, np.pi, (128, 128)
+                ).astype(np.float32)
+                holo.reset_phase(phase0)
+                holo.optimize("WGS-Kim", maxiter=10, verbose=False)
+                offs = holo.refine_offset(basis="kxy", plot=False)
+            return (
+                np.asarray(offs, dtype=np.float64),
+                np.asarray(holo.spot_kxy, dtype=np.float64),
+            )
+
+        o_t, k_t = build("tpu")
+        o_r, k_r = build("ref")
+        np.testing.assert_array_equal(o_t, o_r)
+        np.testing.assert_array_equal(k_t, k_r)
