@@ -690,3 +690,107 @@ class TestRefineOffsetDifferential:
         o_r, k_r = build("ref")
         np.testing.assert_array_equal(o_t, o_r)
         np.testing.assert_array_equal(k_t, k_r)
+
+
+class TestAnalysisDifferentialExtended:
+    def test_convert_radius_and_assign_vectors(self, ref, rng):
+        from slmsuite_tpu.holography import toolbox
+
+        assert float(
+            np.asarray(
+                toolbox.convert_radius(
+                    0.01, from_units="kxy", to_units="rad", hardware=None
+                )
+            )
+        ) == ref.toolbox.convert_radius(
+            0.01, from_units="kxy", to_units="rad", hardware=None
+        )
+        v = rng.normal(size=(2, 30))
+        a = rng.normal(size=(2, 4))
+        np.testing.assert_array_equal(
+            np.asarray(toolbox.assign_vectors(v, a)),
+            ref.toolbox.assign_vectors(v, a),
+        )
+
+    def test_window_extent(self, ref):
+        from slmsuite_tpu.holography import toolbox
+
+        w = np.zeros((40, 40))
+        w[10:25, 12:30] = 1
+        np.testing.assert_array_equal(
+            np.asarray(toolbox.window_extent(w)),
+            np.asarray(ref.toolbox.window_extent(w)),
+        )
+
+    def test_image_vortices(self, ref):
+        from slmsuite_tpu.holography import analysis
+
+        x, y = np.meshgrid(np.arange(48.0) - 24, np.arange(48.0) - 20)
+        ph = np.arctan2(y, x) + 0.3 * x
+        wrapped = np.mod(ph + np.pi, 2 * np.pi) - np.pi
+        np.testing.assert_array_equal(
+            np.asarray(analysis.image_vortices(wrapped)),
+            ref.analysis.image_vortices(wrapped),
+        )
+
+    def test_image_fit_ellipticity_areas(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        xx, yy = np.meshgrid(np.arange(30.0), np.arange(30.0))
+        img = 5 * np.exp(-((xx - 14) ** 2 / 18 + (yy - 16) ** 2 / 12))
+        img = img + rng.normal(scale=0.05, size=(30, 30))
+        np.testing.assert_allclose(
+            np.asarray(analysis.image_fit(img[np.newaxis], plot=False)),
+            ref.analysis.image_fit(img[np.newaxis], plot=False),
+            atol=1e-12,
+        )
+        v_t = analysis.image_variances(img[np.newaxis])
+        v_r = ref.analysis.image_variances(img[np.newaxis])
+        np.testing.assert_allclose(
+            np.asarray(analysis.image_ellipticity(v_t)),
+            ref.analysis.image_ellipticity(v_r), atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(analysis.image_areas(v_t)),
+            ref.analysis.image_areas(v_r), atol=1e-12,
+        )
+
+    def test_voronoi_windows_interiors_match(self, ref, rng):
+        """Documented deviation: our cells own boundary pixels uniquely
+        (exact partition); the reference's cv2 polygon fill assigns cell
+        EDGES to multiple/neither cell. Interiors must agree: every
+        disagreeing pixel lies on a cell boundary (a neighbor belongs to
+        a different cell), and cell overlap stays high."""
+        import warnings as _w
+
+        from slmsuite_tpu.holography import toolbox
+
+        g = (40, 40)
+        pts = rng.uniform(5, 35, (2, 6))
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            ours = [np.asarray(w) for w in
+                    toolbox.voronoi_windows(g, pts.copy(), plot=False)]
+            ref_w = ref.toolbox.voronoi_windows(g, pts.copy(), plot=False)
+        # Ours is an exact partition (no overlaps).
+        assert (np.sum(ours, axis=0) <= 1).all()
+        label = np.full(g, -1)
+        for i, w in enumerate(ours):
+            label[w] = i
+        pad = np.pad(label, 1, constant_values=-1)
+        boundary = np.zeros(g, bool)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (-1, -1),
+                       (1, -1), (-1, 1)):
+            shifted = pad[1 + dy:41 + dy, 1 + dx:41 + dx]
+            boundary |= shifted != label
+        # cv2's integer-rounded polygon edges shift ownership by up to a
+        # pixel, so allow disagreement within one pixel of a boundary.
+        from scipy.ndimage import binary_dilation
+
+        boundary = binary_dilation(boundary, np.ones((3, 3), bool))
+        for mine, theirs in zip(ours, ref_w):
+            disagree = mine != theirs
+            assert not (disagree & ~boundary).any()
+            inter = (mine & theirs).sum()
+            union = (mine | theirs).sum()
+            assert inter / union > 0.7
