@@ -794,3 +794,50 @@ class TestAnalysisDifferentialExtended:
             inter = (mine & theirs).sum()
             union = (mine | theirs).sum()
             assert inter / union > 0.7
+
+
+class TestPhaseImageDifferential:
+    def test_image_zernike_fit_bit_identical(self, ref):
+        from slmsuite_tpu.holography import analysis
+
+        x, y = np.meshgrid(np.linspace(-1, 1, 48), np.linspace(-1, 1, 48))
+        ph = 0.8 * (2 * x * y) + 0.5 * (x**2 - y**2) + 0.2 * x
+        np.testing.assert_array_equal(
+            np.asarray(
+                analysis.image_zernike_fit(
+                    ph[np.newaxis], (x, y), order=2, unwrap=False
+                )
+            ),
+            np.asarray(
+                ref.analysis.image_zernike_fit(
+                    ph[np.newaxis], (x, y), order=2, unwrap=False
+                )
+            ),
+        )
+
+    def test_image_remove_vortices_bit_identical(self, ref):
+        from slmsuite_tpu.holography import analysis
+
+        xx, yy = np.meshgrid(np.arange(48.0) - 22, np.arange(48.0) - 26)
+        wrapped = np.mod(np.arctan2(yy, xx) + np.pi, 2 * np.pi) - np.pi
+        np.testing.assert_array_equal(
+            np.asarray(analysis.image_remove_vortices(wrapped.copy())),
+            ref.analysis.image_remove_vortices(wrapped.copy()),
+        )
+
+    def test_blob_detect_same_keypoints(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        img = np.zeros((96, 96), np.float32)
+        for (cy, cx) in ((30, 40), (60, 20), (70, 70)):
+            img[cy - 2:cy + 3, cx - 2:cx + 3] = 200
+        img += rng.normal(scale=2, size=img.shape).astype(np.float32)
+        img = np.clip(img, 0, 255)
+        ours = analysis.blob_detect(img, plot=False)
+        theirs = ref.analysis.blob_detect(img, plot=False)
+        kp_o = ours[0] if isinstance(ours, tuple) else ours
+        kp_r = theirs[0] if isinstance(theirs, tuple) else theirs
+        po = sorted(k.pt for k in kp_o)
+        pr = sorted(k.pt for k in kp_r)
+        assert len(po) == len(pr) == 3
+        np.testing.assert_allclose(po, pr, atol=1e-6)
