@@ -926,7 +926,8 @@ def set_scrambled_mode(enable):
 
 
 def _can_scramble(config: GSConfig):
-    """Scrambled loop: enabled + matmul FFT + power-of-two shape."""
+    """Scrambled loop: enabled + matmul FFT + four-step-splittable shape
+    (all powers of two, plus balanced composites like 1536/1920/3072)."""
     import jax as _jax
 
     from slmsuite_tpu.ops import fft as _fft
@@ -940,8 +941,9 @@ def _can_scramble(config: GSConfig):
         enabled
         and not config.scrambled
         and _fft.get_fft_backend() == "matmul"
-        and H & (H - 1) == 0
-        and W & (W - 1) == 0
+        and H >= 4 and W >= 4
+        and _fft._split_ok(H)
+        and _fft._split_ok(W)
     )
 
 

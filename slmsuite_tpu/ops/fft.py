@@ -63,12 +63,41 @@ def set_fft_backend(backend):
 
 
 def _split(n):
-    """Balanced power-of-two factorization n = n1 * n2 with n1 >= n2."""
-    log = int(np.log2(n))
-    if 2**log != n:
-        raise ValueError(f"matmul FFT requires power-of-two sizes; got {n}.")
-    n1 = 2 ** ((log + 1) // 2)
-    return n1, n // n1
+    """Balanced factorization ``n = n1 * n2`` with ``n1 >= n2``.
+
+    Power-of-two sizes keep the historical split (``n1 = 2^ceil(log/2)``,
+    the layout every committed plan/kernel was validated on). Other
+    composite sizes take the divisor pair closest to ``sqrt(n)`` — the
+    four-step algebra is factorization-generic, so 1536 (48x32),
+    1920 (48x40), 3072 (64x48), ... ride the same MXU path. Sizes with
+    no balanced factorization (primes and near-primes, where one factor
+    would exceed 16x the other) raise — callers fall back to the XLA
+    FFT, which handles any size.
+    """
+    n = int(n)
+    if n >= 4 and n & (n - 1) == 0:
+        log = int(np.log2(n))
+        n1 = 2 ** ((log + 1) // 2)
+        return n1, n // n1
+    for n2 in range(int(np.sqrt(n)), 1, -1):
+        if n % n2 == 0:
+            n1 = n // n2
+            if n1 <= 16 * n2:
+                return n1, n2
+            break
+    raise ValueError(
+        f"matmul FFT requires a balanced factorization; got {n}."
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _split_ok(n):
+    """Whether length ``n`` has a balanced four-step factorization."""
+    try:
+        _split(n)
+    except ValueError:
+        return False
+    return True
 
 
 @functools.lru_cache(maxsize=32)
@@ -176,20 +205,22 @@ def _fft2_pair(xr, xi, inverse, norm):
     return xr, xi
 
 
-def _pow2_shape(shape):
+def _matmul_shape(shape):
+    """Whether the trailing 2D shape rides the four-step matmul path."""
     H, W = shape[-2:]
-    return (H & (H - 1) == 0) and (W & (W - 1) == 0) and H > 0 and W > 0
+    return H >= 4 and W >= 4 and _split_ok(H) and _split_ok(W)
 
 
 def fft2(x, norm="ortho"):
     """
     2D FFT over the last two axes. Uses the MXU four-step algorithm on TPU
-    (``"matmul"`` backend, power-of-two sizes) or ``jnp.fft.fft2``
-    (``"xla"``, any size — also the automatic fallback for non-pow2
-    shapes, which the reference supports with a speed warning).
-    Complex in/out; call inside jit.
+    (``"matmul"`` backend, any size with a balanced factorization — all
+    powers of two, plus 1536, 1920, 3072, ...) or ``jnp.fft.fft2``
+    (``"xla"``, any size — also the automatic fallback for unbalanced
+    sizes such as primes, which the reference supports with a speed
+    warning). Complex in/out; call inside jit.
     """
-    if get_fft_backend() == "xla" or not _pow2_shape(x.shape):
+    if get_fft_backend() == "xla" or not _matmul_shape(x.shape):
         return jnp.fft.fft2(x, norm=norm)
     xr, xi = _fft2_pair(x.real, x.imag, inverse=False, norm=norm)
     return (xr + 1j * xi).astype(jnp.complex64)
@@ -197,7 +228,7 @@ def fft2(x, norm="ortho"):
 
 def ifft2(x, norm="ortho"):
     """Inverse 2D FFT over the last two axes (see :meth:`fft2`)."""
-    if get_fft_backend() == "xla" or not _pow2_shape(x.shape):
+    if get_fft_backend() == "xla" or not _matmul_shape(x.shape):
         return jnp.fft.ifft2(x, norm=norm)
     xr, xi = _fft2_pair(x.real, x.imag, inverse=True, norm=norm)
     return (xr + 1j * xi).astype(jnp.complex64)
@@ -322,11 +353,15 @@ def ifft2_scrambled_pair(xr, xi):
 
 
 def _use_pallas_scrambled(shape):
-    """Pallas kernels need >=128 lanes per block (Mosaic layout rule)."""
+    """Pallas kernels need >=128 lanes per block AND 128-divisible dims
+    (the kernel grids tile each axis into 128-wide blocks; Mosaic layout
+    rule). Non-128-divisible splittable shapes take the einsum tier."""
     return (
         jax.default_backend() not in ("cpu",)
-        and shape[-2] >= 128
-        and shape[-1] >= 128
+        and shape[-2] % 128 == 0
+        and shape[-1] % 128 == 0
+        and shape[-2] > 0
+        and shape[-1] > 0
     )
 
 

@@ -325,6 +325,7 @@ def _call(kernel, grid, data_spec, mats, xr, xi, n1, n2, inverse, **kw):
         # The 16 MB scoped-VMEM default is conservative; the block's
         # working set (in/out pairs + stage intermediates) peaks ~18 MB.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(xr, xi, *[jnp.asarray(m) for m in mats])
     return out[0], out[1]
 

@@ -21,11 +21,12 @@ from jax import shard_map
 
 def _local_fft_rows(x, inverse):
     """Local 1D ortho FFT along the last axis: the MXU four-step matmul
-    formulation on TPU (power-of-two sizes), ``jnp.fft`` elsewhere."""
+    formulation on TPU (any balanced-splittable size), ``jnp.fft``
+    elsewhere."""
     from slmsuite_tpu.ops import fft as _fft
 
     n = x.shape[-1]
-    if _fft.get_fft_backend() == "matmul" and n & (n - 1) == 0:
+    if _fft.get_fft_backend() == "matmul" and n >= 4 and _fft._split_ok(n):
         re, im = _fft._fft_last_axis(x.real, x.imag, n, inverse)
         scale = 1.0 / jnp.sqrt(jnp.float32(n))
         return ((re + 1j * im) * scale).astype(jnp.complex64)

@@ -198,7 +198,7 @@ def _batched_can_scramble(config):
         and _engine._SCRAMBLED_MODE in ("auto", True)
         and jax.default_backend() not in ("cpu",)
         and _fft.get_fft_backend() == "matmul"
-        and H & (H - 1) == 0 and W & (W - 1) == 0
+        and _fft._split_ok(H) and _fft._split_ok(W)
         and H >= 128 and W >= 128
     )
 

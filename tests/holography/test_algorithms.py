@@ -427,6 +427,56 @@ class TestScrambledEngine:
         )
         np.testing.assert_allclose(sstats, nstats, atol=4e-4, rtol=0)
 
+    @pytest.mark.parametrize("N", [96, 192])
+    def test_non_pow2_scrambled_parity(self, N):
+        """The scrambled loop works at NON-power-of-two balanced-split
+        shapes (the four-step factorization is generic: 96 = 12x8,
+        192 = 16x12) and matches the natural engine — the fast path is
+        no longer pow2-gated."""
+        import dataclasses
+
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops import fft as F
+
+        assert F._split_ok(N) and N & (N - 1) != 0
+        config, consts, psi0, target = self._base(N=N)
+        assert E._fused_active(dataclasses.replace(config, scrambled=True))
+        (ns, nstats), (ss, sstats) = self._run_both(
+            config, consts, psi0, target, n=8
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+        np.testing.assert_allclose(sstats, nstats, atol=2e-4, rtol=0)
+
+    def test_non_pow2_pallas_interpret_parity(self):
+        """The Pallas carry-mode kernels themselves handle a non-pow2
+        384^2 (split 24x16; 128-divisible grids) — integrated engine run
+        with the Pallas tier forced in interpreter mode vs the natural
+        engine. Measured: psi 2.4e-5, stats 8.9e-5, weights 1e-7."""
+        from slmsuite_tpu.ops import engine as E
+        from slmsuite_tpu.ops import fft as F
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        config, consts, psi0, target = self._base(N=384)
+        prev_gate = F._use_pallas_scrambled
+        PF._INTERPRET = True
+        F._use_pallas_scrambled = lambda shape: True
+        try:
+            (ns, nstats), (ss, sstats) = self._run_both(
+                config, consts, psi0, target, n=6
+            )
+        finally:
+            PF._INTERPRET = False
+            F._use_pallas_scrambled = prev_gate
+        np.testing.assert_allclose(
+            np.asarray(ss.psi), np.asarray(ns.psi), atol=5e-4, rtol=0
+        )
+        np.testing.assert_allclose(sstats, nstats, atol=5e-4, rtol=0)
+        np.testing.assert_allclose(
+            np.asarray(ss.weights), np.asarray(ns.weights), atol=1e-5, rtol=0
+        )
+
     def test_spot_feedback_parity(self):
         import jax.numpy as jnp
 
@@ -1016,11 +1066,20 @@ class TestScrambledEngine:
                 atol=3e-5, rtol=1e-4, err_msg=f"{tag}/sums",
             )
 
-    def test_non_pow2_stays_natural(self):
+    def test_unbalanced_shapes_stay_natural(self):
+        """Sizes with no balanced four-step split (primes, 2xprime)
+        decline the scrambled loop; balanced composites (96 = 12x8)
+        accept it."""
         from slmsuite_tpu.ops import engine as E
 
-        config = E.GSConfig(method="GS", shape=(96, 96), slm_shape=(96, 96))
+        config = E.GSConfig(method="GS", shape=(97, 97), slm_shape=(97, 97))
         assert not E._can_scramble(config)
+        config = E.GSConfig(
+            method="GS", shape=(194, 194), slm_shape=(194, 194)
+        )  # 2 x 97: worst split 97x2 is unbalanced.
+        assert not E._can_scramble(config)
+        config = E.GSConfig(method="GS", shape=(96, 96), slm_shape=(96, 96))
+        assert E._can_scramble(config)
 
     def test_off_by_default(self):
         from slmsuite_tpu.ops import engine as E
@@ -1095,8 +1154,11 @@ class TestStepwiseConsistency:
 
 
 def test_non_pow2_shapes_fall_back():
-    """Non-power-of-two farfields route to the XLA FFT (ref supports any
-    shape with a speed warning), never crashing the matmul path."""
+    """Non-power-of-two farfields optimize under the matmul backend:
+    balanced-splittable sizes (100 = 10x10) now ride the four-step
+    matmul path directly; unbalanced sizes route to the XLA FFT (ref
+    supports any shape with a speed warning). Never crashes either
+    way."""
     import warnings
 
     from slmsuite_tpu.ops import fft as F
@@ -1117,10 +1179,11 @@ def test_non_pow2_shapes_fall_back():
 
 
 def test_non_pow2_large_farfield_optimizes():
-    """1536^2 (= 3 * 512, non-power-of-two) runs correctly through the
-    XLA-FFT fallback tier — the Pallas/scrambled tier requires pow2 and
-    must decline silently, not crash or mis-route. The reference runs
-    any shape with a speed recommendation only
+    """1536^2 (= 3 * 512, non-power-of-two) optimizes correctly. On CPU
+    (this run) it takes the XLA-FFT tier; since the four-step split was
+    generalized to balanced composites, 1536 is ALSO fast-path-eligible
+    on TPU (split 48x32, 128-divisible for the Pallas grids) — asserted
+    below. The reference runs any shape with a speed recommendation only
     (/root/reference/slmsuite/holography/algorithms/_hologram.py:616-725);
     perf expectation documented in docs/source/tpu.rst."""
     N = 1536
@@ -1136,15 +1199,30 @@ def test_non_pow2_large_farfield_optimizes():
     assert stats["efficiency"][-1] > 0.7
     assert stats["uniformity"][-1] > 0.8
     assert stats["uniformity"][-1] > stats["uniformity"][0]
-    # The run must have taken the XLA tier: the scrambled/pallas gate
-    # rejects non-pow2 shapes.
-    from slmsuite_tpu.ops.engine import GSConfig, _can_scramble
+    # 1536 has a balanced split, so the scrambled gate ACCEPTS it when
+    # scrambling is enabled (TPU "auto"); a prime-ish size must decline.
+    import dataclasses
 
+    from slmsuite_tpu.ops import fft as F
+    from slmsuite_tpu.ops.engine import GSConfig, _can_scramble
+    from slmsuite_tpu.ops.engine import set_scrambled_mode
+
+    assert F._split(1536) == (48, 32)
     config = GSConfig(
         method="WGS-Kim", shape=(N, N), slm_shape=(N, N),
         stat_groups=("computational",),
     )
-    assert not _can_scramble(config)
+    prev = F.get_fft_backend()
+    F.set_fft_backend("matmul")
+    set_scrambled_mode(True)
+    try:
+        assert _can_scramble(config)
+        assert not _can_scramble(
+            dataclasses.replace(config, shape=(1531, 1531))
+        )
+    finally:
+        set_scrambled_mode(False)
+        F.set_fft_backend(prev)
 
 
 def test_weight_rules_match_eager_normalization():

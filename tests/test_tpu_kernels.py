@@ -28,12 +28,14 @@ def tpu():
     return jax
 
 
-def test_fft_roundtrip_on_chip(tpu):
+@pytest.mark.parametrize("N", [512, 384, 1536])
+def test_fft_roundtrip_on_chip(tpu, N):
+    """Pow2 and non-pow2 (384 = 24x16, 1536 = 48x32) splits both Mosaic-
+    compile and round-trip on the chip."""
     import jax.numpy as jnp
 
     from slmsuite_tpu.ops import pallas_fft as pf
 
-    N = 512
     rng = np.random.default_rng(0)
     xr = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
