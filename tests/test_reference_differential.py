@@ -841,3 +841,72 @@ class TestPhaseImageDifferential:
         pr = sorted(k.pt for k in kp_r)
         assert len(po) == len(pr) == 3
         np.testing.assert_allclose(po, pr, atol=1e-6)
+
+
+class TestCameraRoutinesDifferential:
+    @staticmethod
+    def _rig(which):
+        if which == "ref":
+            from slmsuite.hardware.cameras.simulated import SimulatedCamera
+            from slmsuite.hardware.slms.simulated import SimulatedSLM
+        else:
+            from slmsuite_tpu.hardware.cameras.simulated import (
+                SimulatedCamera,
+            )
+            from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+        cam = SimulatedCamera(
+            slm, (128, 128), pitch_um=(4, 4),
+            M=np.array([[2.0e3, 0.0], [0.0, 2.0e3]]),
+            b=np.array([[64.0], [64.0]]),
+        )
+        return slm, cam
+
+    def test_autoexposure_bit_identical(self, ref):
+        """The proportional autoexposure loop converges to the SAME
+        exposure on the simulated rig (same images -> same clipped
+        steps)."""
+        import warnings as _w
+
+        del ref
+
+        def run(which):
+            slm, cam = self._rig(which)
+            cam.set_exposure(0.37)
+            slm.set_phase(None)
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                cam.autoexposure(set_fraction=0.4, tol=0.03, verbose=False)
+            return cam.get_exposure()
+
+        assert run("tpu") == run("ref")
+
+    def test_autofocus_recovers_same_optimum(self, ref):
+        """SLM-actuated autofocus (Zernike-defocus sweep -> Fourier
+        contrast metric -> Lorentzian fit) recovers the same optimal z
+        against an INJECTED 0.4-rad defocus aberration in the simulated
+        source."""
+        import warnings as _w
+
+        del ref
+
+        def run(which):
+            if which == "ref":
+                from slmsuite.holography.toolbox.phase import zernike
+            else:
+                from slmsuite_tpu.holography.toolbox.phase import zernike
+            slm, cam = self._rig(which)
+            aberration = 0.4 * np.asarray(
+                zernike(slm, index=4, weight=1.0, use_mask=False)
+            )
+            slm.source["phase_sim"] = aberration.astype(np.float32)
+            cam.set_exposure(1.0)
+            slm.set_phase(None)
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                return cam.autofocus(slm, get_z=0, range_z=2, plot=False)
+
+        z_t, z_r = run("tpu"), run("ref")
+        assert abs(z_t - z_r) < 1e-4
+        assert abs(z_t + 0.434) < 0.01  # Compensates the injection.
