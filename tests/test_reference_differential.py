@@ -910,3 +910,68 @@ class TestCameraRoutinesDifferential:
         z_t, z_r = run("tpu"), run("ref")
         assert abs(z_t - z_r) < 1e-4
         assert abs(z_t + 0.434) < 0.01  # Compensates the injection.
+
+
+class TestSuperpixelDifferential:
+    def test_superpixel_raw_measurement_matches(self, ref):
+        """The superpixel wavefront calibration's MEASUREMENT machinery
+        reproduces the actual reference on the simulated rig: the
+        conflict-free schedule geometry and per-superpixel fringe
+        gradients (kx, ky), power, and normalization are BIT-identical;
+        the fitted fringe phase agrees within 0.02 rad wherever both
+        sides report a confident fit (r^2 > 0.9). (The downstream
+        *processing* is a documented re-derivation — BFS affine-phase
+        propagation — and is pinned by synthetic exact-recovery tests
+        instead.)"""
+        import warnings as _w
+
+        del ref
+
+        def run(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.cameraslms import FourierSLM
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.cameraslms import FourierSLM
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+            slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(
+                slm, (256, 256), pitch_um=(4, 4),
+                M=np.array([[4.0e3, 0.0], [0.0, 4.0e3]]),
+                b=np.array([[128.0], [128.0]]),
+            )
+            cam.set_exposure(1.0)
+            cs = FourierSLM(cam, slm)
+            cs.calibrations["fourier"] = {
+                "M": np.array([[4e3, 0.0], [0.0, 4e3]]),
+                "b": np.array([[128.0], [128.0]]),
+                "a": np.array([[0.0], [0.0]]),
+            }
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                np.random.seed(0)
+                cs.wavefront_calibrate_superpixel(
+                    superpixel_size=32, phase_steps=1, plot=False,
+                )
+            return cs.calibrations.get(
+                "wavefront_superpixel", cs.calibrations.get("wavefront", {})
+            )
+
+        d_t, d_r = run("tpu"), run("ref")
+        for key in ("kx", "ky", "power", "normalization",
+                    "interference_size"):
+            np.testing.assert_array_equal(
+                np.asarray(d_t[key]), np.asarray(d_r[key]), err_msg=key
+            )
+        r2 = np.minimum(d_t["r2_fit"], d_r["r2_fit"])
+        good = r2 > 0.9
+        assert good.sum() > 30  # The rig yields plenty of confident fits.
+        dphi = np.abs(np.angle(np.exp(1j * (d_t["phase"] - d_r["phase"]))))
+        assert np.nanmax(np.where(good, dphi, 0)) < 0.02
