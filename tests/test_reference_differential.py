@@ -1042,3 +1042,45 @@ class TestZernikeCalibrationDifferential:
         assert np.abs(c_t - c_r).max() < 0.05
         assert abs(c_t.mean() - c_r.mean()) < 0.02
         assert c_t.mean() < -0.2 and c_r.mean() < -0.2  # Injection felt.
+
+
+class TestHDRDifferential:
+    def test_hdr_capture_bit_identical(self, ref):
+        """HDR capture/reconstruction (exposure-swept stack merge) on a
+        deliberately saturating simulated image is bit-identical to the
+        reference, and actually differs from the plain capture (the
+        reconstruction engages)."""
+        import warnings as _w
+
+        del ref
+
+        def run(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+            slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(
+                slm, (128, 128), pitch_um=(4, 4),
+                M=np.array([[2.0e3, 0.0], [0.0, 2.0e3]]),
+                b=np.array([[64.0], [64.0]]),
+            )
+            cam.set_exposure(20.0)
+            slm.set_phase(None)
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                plain = np.asarray(cam.get_image(), dtype=np.float64)
+                hdr = np.asarray(cam.get_image(hdr=4), dtype=np.float64)
+            return plain, hdr
+
+        p_t, h_t = run("tpu")
+        p_r, h_r = run("ref")
+        np.testing.assert_array_equal(h_t, h_r)
+        assert not np.array_equal(p_t, h_t)  # Reconstruction engaged.
