@@ -205,9 +205,10 @@ def step_model(N, fused, stats_on=True):
     Four axis passes per iteration (rows fwd, cols fwd + inv in the
     round-trip kernel, rows inv).
     """
+    from slmsuite_tpu.ops.fft import _split
+
     tile = N * N * 4
-    n1 = 2 ** ((int(np.log2(N)) + 1) // 2)
-    n2 = N // n1
+    n1, n2 = _split(N)
 
     def stage_passes(n_stage, other):
         m = -(-2 * n_stage // 128)  # ceil(2n/128): M- and K-tile count.
@@ -440,15 +441,15 @@ def config_3(argv):
 
     from slmsuite_tpu.models import image_mraf
 
+    model = image_mraf(N=N, mraf_factor=0.5)
     extra = {}
     if jax.default_backend() not in ("cpu",):
         # Attest the MRAF carry-mode kernels (semi-fused step with the
         # exact weight-norm sync) against the natural engine on-chip,
-        # like the headline's gate.
-        extra["kernel_parity"] = attest_kernel_parity(
-            N, model=image_mraf(N=N, mraf_factor=0.5)
-        )
-    rate, stats = bench_engine(image_mraf(N=N, mraf_factor=0.5), iters)
+        # like the headline's gate — on the SAME model instance the
+        # bench then times.
+        extra["kernel_parity"] = attest_kernel_parity(N, model=model)
+    rate, stats = bench_engine(model, iters)
     _emit(
         f"MRAF WGS-Leonardo iterations/sec at {N}x{N} (ring target)",
         rate, "iter/s", 1000.0,

@@ -69,7 +69,8 @@ class MaxUniformLoss:
 
     def __call__(self, farfield, target):
         amp = jnp.abs(farfield)
-        return -jnp.sum(jnp.square(amp)) + 10.0 * jnp.std(amp)
+        # torch.std defaults to the Bessel-corrected (ddof=1) estimator.
+        return -jnp.sum(jnp.square(amp)) + 10.0 * jnp.std(amp, ddof=1)
 
 
 @_functools.lru_cache(maxsize=32)
@@ -206,13 +207,18 @@ class Hologram(_HologramStats):
         else:
             raise ValueError(f"Unexpected target {np.shape(target)}.")
 
-        if self._has_target and any(
-            np.log2(self.shape) != np.round(np.log2(self.shape))
-        ) and not hasattr(self, "holograms"):
-            warnings.warn(
-                f"Hologram target shape {self.shape} is not a power of 2; consider "
-                "using .get_padded_shape() for faster FFTs."
-            )
+        if self._has_target and not hasattr(self, "holograms"):
+            from slmsuite_tpu.ops.fft import _matmul_shape
+
+            # Balanced-splittable shapes (1536, 1920, 3072, ...) ride
+            # the four-step matmul fast path; only genuinely unbalanced
+            # sizes drop to the slower XLA FFT and deserve a warning.
+            if not _matmul_shape(tuple(self.shape)):
+                warnings.warn(
+                    f"Hologram target shape {self.shape} has no balanced "
+                    "FFT factorization (slower XLA-FFT path); consider "
+                    "using .get_padded_shape() for faster FFTs."
+                )
 
         if self.slm_shape is None:
             self.slm_shape = self.shape

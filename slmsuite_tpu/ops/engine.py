@@ -936,14 +936,11 @@ def _can_scramble(config: GSConfig):
         enabled = _jax.default_backend() not in ("cpu",)
     else:
         enabled = bool(_SCRAMBLED_MODE)
-    H, W = config.shape
     return (
         enabled
         and not config.scrambled
         and _fft.get_fft_backend() == "matmul"
-        and H >= 4 and W >= 4
-        and _fft._split_ok(H)
-        and _fft._split_ok(W)
+        and _fft._matmul_shape(tuple(config.shape))
     )
 
 

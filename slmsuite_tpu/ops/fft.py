@@ -352,16 +352,28 @@ def ifft2_scrambled_pair(xr, xi):
     return xr * scale, xi * scale
 
 
+@functools.lru_cache(maxsize=256)
+def _pallas_len_ok(n):
+    """Whether length ``n`` is Pallas-kernel-friendly: 128-divisible
+    (the kernel grids tile each axis into 128-wide blocks) AND both
+    four-step factors 8-aligned (the kernels reshape the sublane axis to
+    ``(n1, n2, L)`` and transpose mid-axes — Mosaic's f32 tile is
+    (8, 128), so unaligned factors like 640 = 32 x 20 risk lowering
+    failures the validated shapes never exercise)."""
+    if n <= 0 or n % 128 != 0 or not _split_ok(n):
+        return False
+    n1, n2 = _split(n)
+    return n1 % 8 == 0 and n2 % 8 == 0
+
+
 def _use_pallas_scrambled(shape):
-    """Pallas kernels need >=128 lanes per block AND 128-divisible dims
-    (the kernel grids tile each axis into 128-wide blocks; Mosaic layout
-    rule). Non-128-divisible splittable shapes take the einsum tier."""
+    """Pallas kernels need >=128 lanes per block, 128-divisible dims,
+    and 8-aligned split factors (:meth:`_pallas_len_ok`). Other
+    splittable shapes take the einsum tier."""
     return (
         jax.default_backend() not in ("cpu",)
-        and shape[-2] % 128 == 0
-        and shape[-1] % 128 == 0
-        and shape[-2] > 0
-        and shape[-1] > 0
+        and _pallas_len_ok(shape[-2])
+        and _pallas_len_ok(shape[-1])
     )
 
 

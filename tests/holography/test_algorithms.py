@@ -55,8 +55,16 @@ class TestConstruction:
         with pytest.raises(ValueError):
             Hologram(target, phase=np.zeros((10, 10)), slm_shape=(20, 20))
 
-    def test_nonpow2_warns(self):
+    def test_unbalanced_shape_warns(self):
+        """Shapes with no balanced FFT factorization (61 prime) warn
+        about the slower XLA tier; balanced composites (60 = 10x6) ride
+        the matmul path silently."""
         with pytest.warns(UserWarning):
+            Hologram(np.zeros((61, 61), dtype=np.float32))
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
             Hologram(np.zeros((60, 60), dtype=np.float32))
 
     def test_custom_phase_preserved(self, spot_target):
