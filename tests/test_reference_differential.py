@@ -1084,3 +1084,82 @@ class TestHDRDifferential:
         p_r, h_r = run("ref")
         np.testing.assert_array_equal(h_t, h_r)
         assert not np.array_equal(p_t, h_t)  # Reconstruction engaged.
+
+
+class TestSettlePixelDifferential:
+    @staticmethod
+    def _calibrated_rig(which):
+        if which == "ref":
+            from slmsuite.hardware.cameras.simulated import SimulatedCamera
+            from slmsuite.hardware.cameraslms import FourierSLM
+            from slmsuite.hardware.slms.simulated import SimulatedSLM
+        else:
+            from slmsuite_tpu.hardware.cameras.simulated import (
+                SimulatedCamera,
+            )
+            from slmsuite_tpu.hardware.cameraslms import FourierSLM
+            from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+        cam = SimulatedCamera(
+            slm, (256, 256), pitch_um=(4, 4),
+            M=np.array([[4.0e3, 0.0], [0.0, 4.0e3]]),
+            b=np.array([[128.0], [128.0]]),
+        )
+        cam.set_exposure(1.0)
+        cs = FourierSLM(cam, slm)
+        cs.calibrations["fourier"] = {
+            "M": np.array([[4e3, 0.0], [0.0, 4e3]]),
+            "b": np.array([[128.0], [128.0]]),
+            "a": np.array([[0.0], [0.0]]),
+        }
+        return cs
+
+    def test_settle_calibration_bit_identical(self, ref):
+        """settle_calibrate raw data AND the processed fit
+        (communication/relax/settle times) are bit-identical on the
+        instantaneous simulated SLM."""
+        import warnings as _w
+
+        del ref
+
+        def run(which):
+            cs = self._calibrated_rig(which)
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                cs.settle_calibrate(
+                    vector=(0.005, 0.005),
+                    times=np.linspace(0.001, 0.02, 6),
+                    settle_time_s=0.01,
+                )
+                cs.settle_calibration_process(plot=False)
+            return cs.calibrations["settle"]
+
+        d_t, d_r = run("tpu"), run("ref")
+        for key in ("data", "times", "communication_time", "relax_time",
+                    "settle_time"):
+            np.testing.assert_array_equal(
+                np.asarray(d_t[key]), np.asarray(d_r[key]), err_msg=key
+            )
+
+    def test_pixel_calibration_sweep_bit_identical(self, ref):
+        """pixel_calibrate's 4-level nested sweep (direction, period,
+        level a, level b -> integrated diffraction orders) produces the
+        bit-identical raw data array (the reference leaves processing
+        TODO; ours adds the fit beyond it)."""
+        import warnings as _w
+
+        del ref
+
+        def run(which):
+            cs = self._calibrated_rig(which)
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                cs.pixel_calibrate(levels=4, periods=[16, 32], orders=1)
+            return cs.calibrations["pixel"]
+
+        d_t, d_r = run("tpu"), run("ref")
+        for key in ("data", "levels", "orders", "periods"):
+            np.testing.assert_array_equal(
+                np.asarray(d_t[key]), np.asarray(d_r[key]), err_msg=key
+            )
