@@ -1163,3 +1163,75 @@ class TestSettlePixelDifferential:
             np.testing.assert_array_equal(
                 np.asarray(d_t[key]), np.asarray(d_r[key]), err_msg=key
             )
+
+
+class TestRemoteInteropDifferential:
+    """WIRE-LEVEL interop with the reference's TCP remote-hardware
+    protocol: either side's Server can serve the other side's clients
+    unchanged — a lab already running the reference's server can be
+    driven by this package (and vice versa)."""
+
+    @staticmethod
+    def _free_port():
+        import socket as _socket
+
+        s = _socket.socket()
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    def _serve_and_drive(self, server_side, client_side):
+        import threading
+        import time as _time
+        import warnings as _w
+
+        if server_side == "ref":
+            from slmsuite.hardware.cameras.simulated import (
+                SimulatedCamera,
+            )
+            from slmsuite.hardware.remote import Server
+            from slmsuite.hardware.slms.simulated import SimulatedSLM
+        else:
+            from slmsuite_tpu.hardware.cameras.simulated import (
+                SimulatedCamera,
+            )
+            from slmsuite_tpu.hardware.remote import Server
+            from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+        if client_side == "ref":
+            from slmsuite.hardware.cameras.remote import RemoteCamera
+            from slmsuite.hardware.slms.remote import RemoteSLM
+        else:
+            from slmsuite_tpu.hardware.cameras.remote import RemoteCamera
+            from slmsuite_tpu.hardware.slms.remote import RemoteSLM
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            slm = SimulatedSLM((64, 64), pitch_um=(8, 8), wav_um=0.78)
+            slm.name = "slm"
+            cam = SimulatedCamera(slm, (64, 64), pitch_um=(4, 4))
+            cam.name = "cam"
+            port = self._free_port()
+            server = Server([slm, cam], port=port)
+            thread = threading.Thread(
+                target=server.listen, kwargs={"verbose": False}, daemon=True
+            )
+            thread.start()
+            _time.sleep(0.5)
+
+            rslm = RemoteSLM("slm", host="localhost", port=port)
+            assert tuple(rslm.shape) == (64, 64)
+            rslm.set_phase(np.ones((64, 64), np.float32))
+            assert int(np.asarray(slm.display).max()) > 0  # Wrote through.
+            rcam = RemoteCamera("cam", host="localhost", port=port)
+            img = np.asarray(rcam.get_image())
+            assert img.shape == (64, 64)
+            assert float(img.max()) > 0
+
+    def test_our_clients_drive_reference_server(self, ref):
+        del ref
+        self._serve_and_drive(server_side="ref", client_side="tpu")
+
+    def test_reference_clients_drive_our_server(self, ref):
+        del ref
+        self._serve_and_drive(server_side="tpu", client_side="ref")
