@@ -1235,3 +1235,112 @@ class TestRemoteInteropDifferential:
     def test_reference_clients_drive_our_server(self, ref):
         del ref
         self._serve_and_drive(server_side="tpu", client_side="ref")
+
+
+class TestFileFormatInterop:
+    """HDF5 file-format interop: data saved by one implementation loads
+    in the other, so a lab can migrate its archives either way."""
+
+    def test_calibration_h5_both_directions(self, ref, tmp_path):
+        import warnings as _w
+
+        del ref
+
+        def make(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.cameraslms import FourierSLM
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.cameraslms import FourierSLM
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+            slm = SimulatedSLM((64, 64), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(slm, (64, 64), pitch_um=(4, 4))
+            cs = FourierSLM(cam, slm)
+            cs.calibrations["fourier"] = {
+                "M": np.array([[2e3, 0.0], [0.0, 2e3]]),
+                "b": np.array([[32.0], [32.0]]),
+                "a": np.array([[0.0], [0.0]]),
+            }
+            return cs
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            for writer, reader in (("tpu", "ref"), ("ref", "tpu")):
+                cs_w = make(writer)
+                path = cs_w.save_calibration(
+                    "fourier", path=str(tmp_path), name=f"interop_{writer}"
+                )
+                cs_r = make(reader)
+                del cs_r.calibrations["fourier"]
+                cs_r.load_calibration("fourier", file_path=path)
+                np.testing.assert_array_equal(
+                    np.asarray(cs_r.calibrations["fourier"]["M"]),
+                    np.asarray(cs_w.calibrations["fourier"]["M"]),
+                )
+
+    def test_stats_h5_loads_in_reference(self, ref, tmp_path):
+        """Our full-state stats file loads in the reference. (The
+        converse is untestable: the reference's own save_stats is broken
+        upstream — include_state=True reads a never-set self.method,
+        include_state=False trips on object-dtype flags — so there are
+        no reference-written files to migrate.)"""
+        import warnings as _w
+
+        del ref
+        from slmsuite.holography.algorithms import Hologram as RefHologram
+
+        from slmsuite_tpu.holography.algorithms import Hologram
+
+        t = np.zeros((64, 64), np.float32)
+        t[20, 30] = t[40, 24] = 1.0
+        t /= np.sqrt((t**2).sum())
+        amp = np.ones((64, 64), np.float32)
+        amp /= np.sqrt((amp**2).sum())
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            h = Hologram(t.copy())
+            h.optimize(
+                "WGS-Kim", maxiter=6, verbose=False,
+                stat_groups=["computational"],
+            )
+            path = str(tmp_path / "stats.h5")
+            h.save_stats(path)
+            hr = RefHologram(t.copy(), amp=amp)
+            hr.load_stats(path)
+        ours = np.asarray(h.stats["stats"]["computational"]["efficiency"])
+        theirs = np.asarray(
+            hr.stats["stats"]["computational"]["efficiency"]
+        )
+        np.testing.assert_allclose(theirs, ours, atol=0)
+
+    def test_phase_h5_both_directions(self, ref, tmp_path):
+        import warnings as _w
+
+        del ref
+        from slmsuite.hardware.slms.simulated import SimulatedSLM as RefSLM
+
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            s = SimulatedSLM((64, 64), pitch_um=(8, 8), wav_um=0.78)
+            s.set_phase(np.ones((64, 64), np.float32))
+            p1 = s.save_phase(path=str(tmp_path), name="ph")
+            sr = RefSLM((64, 64), pitch_um=(8, 8), wav_um=0.78)
+            sr.load_phase(p1)
+            np.testing.assert_array_equal(
+                np.asarray(sr.display), np.asarray(s.display)
+            )
+            sr.set_phase(np.full((64, 64), 2.0, np.float32))
+            p2 = sr.save_phase(path=str(tmp_path), name="ph2")
+            s.load_phase(p2)
+            np.testing.assert_array_equal(
+                np.asarray(s.display), np.asarray(sr.display)
+            )
