@@ -1344,3 +1344,80 @@ class TestFileFormatInterop:
             np.testing.assert_array_equal(
                 np.asarray(s.display), np.asarray(sr.display)
             )
+
+
+class TestTransformsDifferential:
+    def test_kxy_ij_transforms_and_derived_optics(self, ref, rng):
+        """kxyslm_to_ijcam / ijcam_to_kxyslm (2D and 3D with focal
+        depth), effective focal length, farfield spot size, and
+        calibrated-unit convert_vector across the device-unit matrix —
+        all bit-identical (3D within double round-off) on a
+        shear+offset Fourier calibration."""
+        import warnings as _w
+
+        del ref
+
+        def rig(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.cameraslms import FourierSLM
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.cameraslms import FourierSLM
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+            slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(slm, (256, 256), pitch_um=(4, 4))
+            cs = FourierSLM(cam, slm)
+            cs.calibrations["fourier"] = {
+                "M": np.array([[4e3, 150.0], [-150.0, 4e3]]),
+                "b": np.array([[128.0], [120.0]]),
+                "a": np.array([[0.001], [-0.002]]),
+            }
+            return cs
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            cs_t, cs_r = rig("tpu"), rig("ref")
+            v2 = rng.uniform(-8e-3, 8e-3, (2, 7))
+            v3 = np.vstack([v2, rng.uniform(-2e-7, 2e-7, 7)])
+            for v in (v2, v3):
+                a = np.asarray(cs_t.kxyslm_to_ijcam(v))
+                b = np.asarray(cs_r.kxyslm_to_ijcam(v))
+                np.testing.assert_allclose(a, b, atol=1e-12, rtol=0)
+                np.testing.assert_allclose(
+                    np.asarray(cs_t.ijcam_to_kxyslm(a)),
+                    np.asarray(cs_r.ijcam_to_kxyslm(b)),
+                    atol=1e-12, rtol=0,
+                )
+            np.testing.assert_array_equal(
+                np.asarray(cs_t.get_effective_focal_length("norm")),
+                np.asarray(cs_r.get_effective_focal_length("norm")),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(cs_t.get_farfield_spot_size()),
+                np.asarray(cs_r.get_farfield_spot_size()),
+            )
+            from slmsuite.holography import toolbox as rt
+
+            from slmsuite_tpu.holography import toolbox as ot
+
+            v = rng.uniform(-5e-3, 5e-3, (2, 5))
+            for a_u in ("kxy", "ij", "norm", "knm", "freq", "lpmm",
+                        "mrad", "um"):
+                for b_u in ("kxy", "ij", "norm", "freq", "mrad", "um"):
+                    x = np.asarray(ot.convert_vector(
+                        v, a_u, b_u, hardware=cs_t, shape=(256, 256)
+                    ))
+                    y = np.asarray(rt.convert_vector(
+                        v, from_units=a_u, to_units=b_u, hardware=cs_r,
+                        shape=(256, 256),
+                    ))
+                    np.testing.assert_array_equal(
+                        x, y, err_msg=f"{a_u}->{b_u}"
+                    )
