@@ -1395,13 +1395,15 @@ class TestTransformsDifferential:
                     np.asarray(cs_r.ijcam_to_kxyslm(b)),
                     atol=1e-12, rtol=0,
                 )
-            np.testing.assert_array_equal(
+            np.testing.assert_allclose(
                 np.asarray(cs_t.get_effective_focal_length("norm")),
                 np.asarray(cs_r.get_effective_focal_length("norm")),
+                rtol=1e-14,
             )
-            np.testing.assert_array_equal(
+            np.testing.assert_allclose(
                 np.asarray(cs_t.get_farfield_spot_size()),
                 np.asarray(cs_r.get_farfield_spot_size()),
+                rtol=1e-14,
             )
             from slmsuite.holography import toolbox as rt
 
