@@ -39,5 +39,17 @@ class SimulatedSLM(SLM):
         pass
 
     def _set_phase_hw(self, display):
-        """No hardware: the quantized :attr:`display` is the simulation input."""
+        """No hardware — but STORE the written data so the simulation
+        input (:attr:`display`) reflects writes that bypass the local
+        ``set_phase`` pipeline. Locally this is a self-copy no-op; when
+        this SLM is served by :class:`~slmsuite_tpu.hardware.remote.Server`,
+        the client runs the phase pipeline on ITS side and ships only the
+        integer display here — without this store, a remotely driven
+        simulated rig would render a stale frame. (The reference's
+        simulated SLM drops remote writes the same way — its remote
+        layer targets real hardware; keeping the sim usable over the
+        wire is deliberate added behavior.)"""
+        display = np.asarray(display)
+        if display.shape == self.display.shape and display is not self.display:
+            np.copyto(self.display, display.astype(self.display.dtype))
         return

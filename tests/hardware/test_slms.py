@@ -185,3 +185,20 @@ class TestSLMParityMethods:
         assert corr.shape == tuple(slm.shape)
         assert np.all(corr >= 0) and np.all(corr <= 2 * np.pi / slm.phase_scaling + 0.1)
         assert "phase" in slm.source
+
+
+class TestSimulatedRemoteWrite:
+    def test_set_phase_hw_stores_display(self):
+        """A direct ``_set_phase_hw`` write (the remote-server dispatch
+        path, which bypasses the local set_phase pipeline) must update
+        the simulated display — the SimulatedCamera renders from it.
+        Regression: a pure no-op left remotely driven simulated rigs
+        rendering a stale frame."""
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        slm = SimulatedSLM((32, 32), pitch_um=(8, 8), wav_um=0.78)
+        ramp = np.tile(
+            np.arange(32, dtype=slm.display.dtype), (32, 1)
+        ) * (slm.bitresolution // 32)
+        slm._set_phase_hw(ramp.copy())
+        np.testing.assert_array_equal(np.asarray(slm.display), ramp)

@@ -14,7 +14,7 @@ import pytest
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
 
-# All seven examples run in default CI: since the subprocess platform
+# All examples run in default CI: since the subprocess platform
 # fix (no silent TPU-tunnel escape) the calibration demos take well
 # under a minute on CPU.
 EXAMPLES = [
@@ -25,6 +25,7 @@ EXAMPLES = [
     "multichip_scaling.py",
     "wavefront_calibration.py",
     "multipoint_calibration.py",
+    "remote_hardware.py",
 ]
 
 

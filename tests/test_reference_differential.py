@@ -1221,8 +1221,15 @@ class TestRemoteInteropDifferential:
 
             rslm = RemoteSLM("slm", host="localhost", port=port)
             assert tuple(rslm.shape) == (64, 64)
-            rslm.set_phase(np.ones((64, 64), np.float32))
-            assert int(np.asarray(slm.display).max()) > 0  # Wrote through.
+            x = np.arange(64, dtype=np.float32)
+            ramp = np.broadcast_to(0.3 * x, (64, 64)).copy()
+            rslm.set_phase(ramp)
+            if server_side == "tpu":
+                # Our SimulatedSLM stores remote writes, so the display
+                # must show the actual quantized ramp, not a stale
+                # frame (regression: a no-op _set_phase_hw passed a
+                # max()>0 check with the initial constant display).
+                assert np.unique(np.asarray(slm.display)).size > 4
             rcam = RemoteCamera("cam", host="localhost", port=port)
             img = np.asarray(rcam.get_image())
             assert img.shape == (64, 64)
