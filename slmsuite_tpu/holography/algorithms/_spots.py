@@ -1029,6 +1029,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                 and self.flags.get("fix_phase_efficiency") is not None
             ),
             use_pallas=self.cuda,
+            mraf=bool(np.any(np.isnan(np.asarray(self.target, dtype=float)))),
         )
 
     @staticmethod
@@ -1079,7 +1080,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                 jnp.asarray(np.nan_to_num(np.asarray(t, np.float32)) != 0),
             ),
         )
-        return {
+        consts = {
             "amp": amp_flat,
             "coeffs": self._dev_const(
                 "coeffs", self.spot_zernike,
@@ -1097,6 +1098,26 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                 self.flags.get("fix_phase_efficiency") or np.nan
             ),
         }
+        target_host = np.asarray(self.target, dtype=float)
+        if np.any(np.isnan(target_host)):
+            # Per-spot MRAF (reference parity): nan spot_amp = noise
+            # spots (amplitude freedom), zeros = null spots.
+            consts["signal_mask"] = self._dev_const(
+                "signal_mask", self.target,
+                lambda t: jnp.asarray(
+                    ~np.isnan(np.asarray(t, float))
+                    & (np.nan_to_num(np.asarray(t, float)) > 0)
+                ),
+            )
+            consts["noise_mask"] = self._dev_const(
+                "noise_mask", self.target,
+                lambda t: jnp.asarray(np.isnan(np.asarray(t, float))),
+            )
+            mraf_factor = self.flags.get("mraf_factor")
+            consts["mraf_k"] = jnp.float32(
+                1.0 if mraf_factor is None else mraf_factor
+            )
+        return consts
 
     def optimize_gs(self, maxiter, callback, verbose=True, name=None):
         """Compressed GS: scanned engine, or host loop for camera feedback."""

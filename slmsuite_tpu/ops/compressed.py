@@ -251,6 +251,11 @@ class CompressedGSConfig:
     stat_groups: tuple = ()
     kim_efficiency_trigger: bool = False
     use_pallas: bool = False
+    #: Per-spot MRAF (reference: nan ``spot_amp`` entries are noise
+    #: spots with amplitude freedom, zeros are null spots — the
+    #: constraint keeps the raw farfield at noise spots, optionally
+    #: scaled by ``consts["mraf_k"]``, and zeroes null spots).
+    mraf: bool = False
 
     @property
     def is_wgs(self):
@@ -340,6 +345,17 @@ def make_compressed_gs_step(config: CompressedGSConfig, transforms=None):
 
         ffp_re = weights * jnp.cos(phase_ff)
         ffp_im = weights * jnp.sin(phase_ff)
+        if config.mraf:
+            # Reference MRAF vector semantics (_hologram.py:1644-1654):
+            # signal spots take the amplitude constraint; noise (nan
+            # spot_amp) spots keep the RAW farfield (optionally scaled
+            # by mraf_factor); null (zero) spots go to zero.
+            sig = consts["signal_mask"]
+            noi = consts["noise_mask"]
+            kept_re = consts["mraf_k"] * ff_re
+            kept_im = consts["mraf_k"] * ff_im
+            ffp_re = jnp.where(sig, ffp_re, jnp.where(noi, kept_re, 0.0))
+            ffp_im = jnp.where(sig, ffp_im, jnp.where(noi, kept_im, 0.0))
 
         nfp_re, nfp_im = f2n(ffp_re, ffp_im, consts["coeffs"], consts["basis"], config.n_spots)
         psi = jnp.arctan2(nfp_im, nfp_re)
@@ -435,6 +451,17 @@ def make_compressed_carry_step(config: CompressedGSConfig):
 
         ffp_re = weights * jnp.cos(phase_ff)
         ffp_im = weights * jnp.sin(phase_ff)
+        if config.mraf:
+            # Same mix as the plain step: the reference's transform
+            # normalizes the farfield to UNIT norm, so noise spots keep
+            # the NORMALIZED value (``ff_*``, raw/||raw||) — the mix is
+            # self-limiting exactly as upstream.
+            sig = consts["signal_mask"]
+            noi = consts["noise_mask"]
+            kept_re = consts["mraf_k"] * ff_re
+            kept_im = consts["mraf_k"] * ff_im
+            ffp_re = jnp.where(sig, ffp_re, jnp.where(noi, kept_re, 0.0))
+            ffp_im = jnp.where(sig, ffp_im, jnp.where(noi, kept_im, 0.0))
 
         next_re, next_im = fused_iteration(
             ffp_re, ffp_im, consts["coeffs"], consts["basis"],
@@ -469,7 +496,10 @@ def _compiled_run(config, n_iterations):
     f2n, n2f = _get_transforms(config)
 
     def run(state, consts):
-        # Entry: psi -> normalized farfield carry.
+        # Entry: psi -> farfield carry (the step divides by the carry's
+        # norm, so the loop is scale-free; the MRAF noise-keep uses the
+        # normalized values to match the reference's unit-norm
+        # transform convention).
         amp = consts["amp"]
         nf_re = amp * jnp.cos(state.psi)
         nf_im = amp * jnp.sin(state.psi)

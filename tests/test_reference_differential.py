@@ -1430,3 +1430,83 @@ class TestTransformsDifferential:
                     np.testing.assert_array_equal(
                         x, y, err_msg=f"{a_u}->{b_u}"
                     )
+
+
+class TestCompressedMRAFDifferential:
+    def test_compressed_noise_spots_match_reference(self, ref):
+        """Per-spot MRAF in the grid-free loop (nan ``spot_amp`` =
+        noise spots with amplitude freedom) reproduces the reference to
+        float32 round-off — the noise spot retains its natural
+        unit-norm-transform amplitude instead of being driven to zero.
+        Regression: the constraint previously treated nan spots as
+        zero targets (suppressed), and in carry mode an unnormalized
+        noise-keep made the mix run away."""
+        import warnings as _w
+
+        del ref
+
+        def build(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.cameraslms import FourierSLM
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+                from slmsuite.holography.algorithms import (
+                    CompressedSpotHologram,
+                )
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.cameraslms import FourierSLM
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+                from slmsuite_tpu.holography.algorithms import (
+                    CompressedSpotHologram,
+                )
+
+            slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(slm, (64, 64), pitch_um=(4, 4))
+            cs = FourierSLM(cam, slm)
+            cs.calibrations["fourier"] = {
+                "M": np.array([[4e3, 0.0], [0.0, 4e3]]),
+                "b": np.array([[32.0], [32.0]]),
+                "a": np.array([[0.0], [0.0]]),
+            }
+            side = 3
+            kx, ky = np.meshgrid(
+                np.linspace(-4e-3, 4e-3, side), np.linspace(-4e-3, 4e-3, side)
+            )
+            spots = np.vstack([
+                kx.ravel(), ky.ravel(),
+                np.linspace(-2e-7, 2e-7, side * side),
+            ])
+            amp = np.ones(9)
+            amp[4] = np.nan  # Center spot: amplitude freedom.
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                holo = CompressedSpotHologram(
+                    spots, basis="kxy", spot_amp=amp, cameraslm=cs
+                )
+                phase0 = np.random.default_rng(5).uniform(
+                    -np.pi, np.pi, (128, 128)
+                ).astype(np.float32)
+                holo.reset_phase(phase0)
+                holo.optimize("WGS-Kim", maxiter=4, verbose=False)
+            ff = holo.amp_ff if which != "ref" else np.abs(holo.farfield)
+            return (
+                np.asarray(ff).ravel(),
+                np.asarray(holo.weights).ravel(),
+                np.asarray(holo.phase),
+            )
+
+        a_t, w_t, p_t = build("tpu")
+        a_r, w_r, p_r = build("ref")
+        np.testing.assert_allclose(a_t, a_r, atol=1e-5, rtol=0)
+        np.testing.assert_allclose(
+            w_t / max(w_t.max(), 1e-12), w_r / max(w_r.max(), 1e-12),
+            atol=1e-5, rtol=0,
+        )
+        wrapped = np.angle(np.exp(1j * (p_t - p_r)))
+        assert np.percentile(np.abs(wrapped), 99) < 1e-4
+        assert a_t[4] > 0.1  # The noise spot kept its amplitude.
