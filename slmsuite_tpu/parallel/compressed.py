@@ -78,6 +78,11 @@ def _compiled_sharded_run(config, n_iterations, mesh, axis_name):
         "feedback_exponent": P(), "feedback_factor": P(),
         "fix_phase_iteration": P(), "fix_phase_efficiency": P(),
     }
+    if config.mraf:
+        # Per-spot MRAF masks/factor are spot-space: replicated.
+        consts_specs.update(
+            signal_mask=P(), noise_mask=P(), mraf_k=P()
+        )
 
     mapped = jax.shard_map(
         run,

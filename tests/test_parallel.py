@@ -556,6 +556,44 @@ class TestPublicMeshAPI:
         np.testing.assert_allclose(amp_mesh, amp_single, atol=1e-5, rtol=0)
         assert abs(unif_mesh - unif_single) < 1e-4
 
+    def test_compressed_mesh_mraf_matches(self):
+        """Per-spot MRAF (nan spot_amp noise spots) under the
+        pixel-sharded engine reproduces the single-device loop — the
+        spot-space mix is replicated; only the transforms shard."""
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+        from slmsuite_tpu.holography.algorithms import CompressedSpotHologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        slm = SimulatedSLM(resolution=(64, 64), pitch_um=(8, 8), wav_um=0.78)
+        rng = np.random.default_rng(11)
+        side = 4
+        kx, ky = np.meshgrid(
+            np.linspace(-8e-3, 8e-3, side), np.linspace(-8e-3, 8e-3, side)
+        )
+        spots = np.vstack(
+            [kx.ravel(), ky.ravel(), rng.uniform(-2e-6, 2e-6, kx.size)]
+        )
+        amp = np.ones(kx.size)
+        amp[5] = np.nan   # Noise spot (amplitude freedom).
+        amp[10] = 0.0     # Null spot.
+        phi0 = rng.uniform(-np.pi, np.pi, (64, 64)).astype(np.float32)
+
+        def run(mesh):
+            holo = CompressedSpotHologram(
+                spots.copy(), basis="kxy", spot_amp=amp.copy(), cameraslm=slm
+            )
+            holo.reset_phase(custom_phase=phi0)
+            holo.optimize("WGS-Leonardo", maxiter=8, verbose=False, mesh=mesh)
+            return np.asarray(holo.phase), np.asarray(holo.amp_ff)
+
+        psi_mesh, amp_mesh = run(make_mesh(axis_names=("pixels",)))
+        psi_single, amp_single = run(None)
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_single))))
+        assert wrapped.max() < 1e-3
+        np.testing.assert_allclose(amp_mesh, amp_single, atol=1e-5, rtol=0)
+        assert amp_single.ravel()[5] > 0.05  # Noise spot kept amplitude.
+        assert amp_single.ravel()[10] < 0.05  # Null spot suppressed.
+
 
 def test_compressed_mesh_indivisible_falls_back():
     """A pixel count that does not divide the mesh warns and completes on
