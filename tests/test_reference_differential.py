@@ -1510,3 +1510,54 @@ class TestCompressedMRAFDifferential:
         wrapped = np.angle(np.exp(1j * (p_t - p_r)))
         assert np.percentile(np.abs(wrapped), 99) < 1e-4
         assert a_t[4] > 0.1  # The noise spot kept its amplitude.
+
+
+class TestDefocusBlurDifferential:
+    def test_multiplane_defocus_blur_bit_identical(self, ref):
+        """``MultiplaneHologram.get_multiplane_defocus_blur`` (per-depth
+        defocus PSF blur of multiplane targets) is bit-identical to the
+        reference on the calibrated sim rig."""
+        import warnings as _w
+
+        del ref
+
+        def run(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.cameraslms import FourierSLM
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+                from slmsuite.holography.algorithms import (
+                    MultiplaneHologram,
+                )
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.cameraslms import FourierSLM
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+                from slmsuite_tpu.holography.algorithms import (
+                    MultiplaneHologram,
+                )
+
+            slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(slm, (128, 128), pitch_um=(4, 4))
+            cs = FourierSLM(cam, slm)
+            cs.calibrations["fourier"] = {
+                "M": np.array([[2e3, 0.0], [0.0, 2e3]]),
+                "b": np.array([[64.0], [64.0]]),
+                "a": np.array([[0.0], [0.0]]),
+            }
+            targets = np.zeros((2, 128, 128), np.float32)
+            targets[0, 50:60, 50:60] = 1.0
+            targets[1, 70:90, 70:90] = 1.0
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                return np.asarray(
+                    MultiplaneHologram.get_multiplane_defocus_blur(
+                        cs, targets, target_depths=np.array([-1e-6, 1e-6])
+                    )
+                )
+
+        np.testing.assert_array_equal(run("tpu"), run("ref"))
