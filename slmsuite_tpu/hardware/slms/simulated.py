@@ -48,8 +48,19 @@ class SimulatedSLM(SLM):
         simulated rig would render a stale frame. (The reference's
         simulated SLM drops remote writes the same way — its remote
         layer targets real hardware; keeping the sim usable over the
-        wire is deliberate added behavior.)"""
+        wire is deliberate added behavior.) :attr:`phase` is kept
+        coherent with the stored display via the same inverse mapping
+        the integer ``set_phase`` fast path uses."""
         display = np.asarray(display)
-        if display.shape == self.display.shape and display is not self.display:
-            np.copyto(self.display, display.astype(self.display.dtype))
+        if display is self.display:
+            return  # Local pipeline already wrote both display and phase.
+        if display.shape != self.display.shape:
+            raise ValueError(
+                f"Display write of shape {display.shape} does not match "
+                f"the SLM shape {self.display.shape}."
+            )
+        np.copyto(self.display, display.astype(self.display.dtype))
+        self.phase = 2 * np.pi - self.display * (
+            2 * np.pi / self.phase_scaling / self.bitresolution
+        )
         return

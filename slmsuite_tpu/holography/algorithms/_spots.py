@@ -1029,7 +1029,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                 and self.flags.get("fix_phase_efficiency") is not None
             ),
             use_pallas=self.cuda,
-            mraf=bool(np.any(np.isnan(np.asarray(self.target, dtype=float)))),
+            mraf=self._mraf_enabled(),
         )
 
     @staticmethod
@@ -1098,8 +1098,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                 self.flags.get("fix_phase_efficiency") or np.nan
             ),
         }
-        target_host = np.asarray(self.target, dtype=float)
-        if np.any(np.isnan(target_host)):
+        if self._mraf_enabled():
             # Per-spot MRAF (reference parity): nan spot_amp = noise
             # spots (amplitude freedom), zeros = null spots.
             consts["signal_mask"] = self._dev_const(
@@ -1141,6 +1140,13 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             callback is not None
             or bool(self._stats_pending_groups())
             or feedback in ("experimental_spot", "external_spot")
+            or (
+                # Evolving zero-region weights carry complex per-null-spot
+                # state the scanned engine does not; the host loop keeps
+                # it as an attribute like the reference.
+                bool(self.flags.get("zero_factor", 0))
+                and self._mraf_enabled()
+            )
         )
         if host_loop and self._mesh is not None:
             warnings.warn(
@@ -1261,10 +1267,34 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         # Backward.
         weights = jnp.asarray(np.nan_to_num(np.asarray(self.weights, np.float32)))
         phase_ff = jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
+        ffp_re = weights * jnp.cos(phase_ff)
+        ffp_im = weights * jnp.sin(phase_ff)
+        if config.mraf:
+            # Same per-spot MRAF mix as the scanned steps: noise spots
+            # keep the (unit-norm-transform) farfield; null spots take
+            # the evolving zero_factor weights (reference
+            # ``_hologram.py:1613-1616``) when the flag is set, else 0.
+            zero_re = zero_im = None
+            zf = float(self.flags.get("zero_factor", 0) or 0)
+            if zf:
+                zmask = np.asarray(consts["signal_mask"]) == False  # noqa: E712
+                zmask &= np.asarray(consts["noise_mask"]) == False  # noqa: E712
+                if not hasattr(self, "_zero_weights_c"):
+                    self._zero_weights_c = np.zeros(len(self), np.complex64)
+                fz = np.asarray(ff_re) + 1j * np.asarray(ff_im)
+                self._zero_weights_c -= np.where(
+                    zmask, zf * np.abs(fz) * fz, 0
+                ).astype(np.complex64)
+                zero_re = jnp.asarray(self._zero_weights_c.real)
+                zero_im = jnp.asarray(self._zero_weights_c.imag)
+            ffp_re, ffp_im = _comp.apply_compressed_mraf_mix(
+                ffp_re, ffp_im, ff_re, ff_im, consts,
+                zero_re=zero_re, zero_im=zero_im,
+            )
         f2n = _comp._get_transforms(config)[0]
         nfp_re, nfp_im = f2n(
-            weights * jnp.cos(phase_ff),
-            weights * jnp.sin(phase_ff),
+            ffp_re,
+            ffp_im,
             consts["coeffs"],
             consts["basis"],
             config.n_spots,

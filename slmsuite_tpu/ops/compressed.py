@@ -212,6 +212,27 @@ def _fused_iteration_jnp(ff_re, ff_im, coeffs, basis, amp, n_spots):
     return fr[:n_spots], fi[:n_spots]
 
 
+
+def apply_compressed_mraf_mix(ffp_re, ffp_im, ff_re, ff_im, consts,
+                              zero_re=None, zero_im=None):
+    """Per-spot MRAF constraint mix (reference ``_hologram.py:1644-1654``
+    vector semantics): signal spots take the amplitude constraint
+    (``ffp_*``), noise (nan ``spot_amp``) spots keep the unit-norm
+    transform's farfield (``ff_*``, scaled by ``consts["mraf_k"]``), and
+    null (zero) spots take ``zero_*`` — the evolving ``zero_factor``
+    weights when provided (host loop), else hard zero."""
+    sig = consts["signal_mask"]
+    noi = consts["noise_mask"]
+    kept_re = consts["mraf_k"] * ff_re
+    kept_im = consts["mraf_k"] * ff_im
+    zr = 0.0 if zero_re is None else zero_re
+    zi = 0.0 if zero_im is None else zero_im
+    return (
+        jnp.where(sig, ffp_re, jnp.where(noi, kept_re, zr)),
+        jnp.where(sig, ffp_im, jnp.where(noi, kept_im, zi)),
+    )
+
+
 def fused_iteration(ff_re, ff_im, coeffs, basis, amp, n_spots, use_pallas):
     """Dispatch the fused round trip (Pallas on TPU when the spot count
     allows the in-VMEM cos/sin pair; jnp twin otherwise)."""
@@ -322,8 +343,20 @@ def make_compressed_gs_step(config: CompressedGSConfig, transforms=None):
         if config.is_kim:
             fixed = state.fixed_phase
             if config.kim_efficiency_trigger:
+                # The trigger needs the current efficiency even when no
+                # stat group is tracked (fix_phase_efficiency set alone
+                # used to IndexError here at trace time).
+                if stats_rows:
+                    eff = stats_rows[-1][0]
+                else:
+                    eff = calculate_stats(
+                        amp_ff,
+                        consts["target"],
+                        mask=consts["stat_mask"],
+                        efficiency_compensation=False,
+                    )[0]
                 fixed = jnp.logical_or(
-                    fixed, stats_rows[-1][0] > consts["fix_phase_efficiency"]
+                    fixed, eff > consts["fix_phase_efficiency"]
                 )
             streak = jnp.where(was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak)
             fixed = jnp.logical_or(
@@ -346,16 +379,9 @@ def make_compressed_gs_step(config: CompressedGSConfig, transforms=None):
         ffp_re = weights * jnp.cos(phase_ff)
         ffp_im = weights * jnp.sin(phase_ff)
         if config.mraf:
-            # Reference MRAF vector semantics (_hologram.py:1644-1654):
-            # signal spots take the amplitude constraint; noise (nan
-            # spot_amp) spots keep the RAW farfield (optionally scaled
-            # by mraf_factor); null (zero) spots go to zero.
-            sig = consts["signal_mask"]
-            noi = consts["noise_mask"]
-            kept_re = consts["mraf_k"] * ff_re
-            kept_im = consts["mraf_k"] * ff_im
-            ffp_re = jnp.where(sig, ffp_re, jnp.where(noi, kept_re, 0.0))
-            ffp_im = jnp.where(sig, ffp_im, jnp.where(noi, kept_im, 0.0))
+            ffp_re, ffp_im = apply_compressed_mraf_mix(
+                ffp_re, ffp_im, ff_re, ff_im, consts
+            )
 
         nfp_re, nfp_im = f2n(ffp_re, ffp_im, consts["coeffs"], consts["basis"], config.n_spots)
         psi = jnp.arctan2(nfp_im, nfp_re)
@@ -428,8 +454,20 @@ def make_compressed_carry_step(config: CompressedGSConfig):
         if config.is_kim:
             fixed = state.fixed_phase
             if config.kim_efficiency_trigger:
+                # The trigger needs the current efficiency even when no
+                # stat group is tracked (fix_phase_efficiency set alone
+                # used to IndexError here at trace time).
+                if stats_rows:
+                    eff = stats_rows[-1][0]
+                else:
+                    eff = calculate_stats(
+                        amp_ff,
+                        consts["target"],
+                        mask=consts["stat_mask"],
+                        efficiency_compensation=False,
+                    )[0]
                 fixed = jnp.logical_or(
-                    fixed, stats_rows[-1][0] > consts["fix_phase_efficiency"]
+                    fixed, eff > consts["fix_phase_efficiency"]
                 )
             streak = jnp.where(was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak)
             fixed = jnp.logical_or(
@@ -452,16 +490,12 @@ def make_compressed_carry_step(config: CompressedGSConfig):
         ffp_re = weights * jnp.cos(phase_ff)
         ffp_im = weights * jnp.sin(phase_ff)
         if config.mraf:
-            # Same mix as the plain step: the reference's transform
-            # normalizes the farfield to UNIT norm, so noise spots keep
-            # the NORMALIZED value (``ff_*``, raw/||raw||) — the mix is
-            # self-limiting exactly as upstream.
-            sig = consts["signal_mask"]
-            noi = consts["noise_mask"]
-            kept_re = consts["mraf_k"] * ff_re
-            kept_im = consts["mraf_k"] * ff_im
-            ffp_re = jnp.where(sig, ffp_re, jnp.where(noi, kept_re, 0.0))
-            ffp_im = jnp.where(sig, ffp_im, jnp.where(noi, kept_im, 0.0))
+            # The carry holds the raw farfield; the mix consumes the
+            # NORMALIZED values (raw/||raw||) matching the reference's
+            # unit-norm transform convention — self-limiting.
+            ffp_re, ffp_im = apply_compressed_mraf_mix(
+                ffp_re, ffp_im, ff_re, ff_im, consts
+            )
 
         next_re, next_im = fused_iteration(
             ffp_re, ffp_im, consts["coeffs"], consts["basis"],

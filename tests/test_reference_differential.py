@@ -1561,3 +1561,86 @@ class TestDefocusBlurDifferential:
                 )
 
         np.testing.assert_array_equal(run("tpu"), run("ref"))
+
+
+class TestCompressedMRAFVariantsDifferential:
+    @staticmethod
+    def _run(which, **kwargs):
+        import warnings as _w
+
+        if which == "ref":
+            from slmsuite.hardware.cameras.simulated import SimulatedCamera
+            from slmsuite.hardware.cameraslms import FourierSLM
+            from slmsuite.hardware.slms.simulated import SimulatedSLM
+            from slmsuite.holography.algorithms import CompressedSpotHologram
+        else:
+            from slmsuite_tpu.hardware.cameras.simulated import (
+                SimulatedCamera,
+            )
+            from slmsuite_tpu.hardware.cameraslms import FourierSLM
+            from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+            from slmsuite_tpu.holography.algorithms import (
+                CompressedSpotHologram,
+            )
+
+        slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+        cam = SimulatedCamera(slm, (64, 64), pitch_um=(4, 4))
+        cs = FourierSLM(cam, slm)
+        cs.calibrations["fourier"] = {
+            "M": np.array([[4e3, 0.0], [0.0, 4e3]]),
+            "b": np.array([[32.0], [32.0]]),
+            "a": np.array([[0.0], [0.0]]),
+        }
+        side = 3
+        kx, ky = np.meshgrid(
+            np.linspace(-4e-3, 4e-3, side), np.linspace(-4e-3, 4e-3, side)
+        )
+        spots = np.vstack([
+            kx.ravel(), ky.ravel(), np.linspace(-2e-7, 2e-7, side * side)
+        ])
+        amp = np.ones(9)
+        amp[4] = np.nan   # Noise spot.
+        amp[2] = 0.0      # Null spot.
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            holo = CompressedSpotHologram(
+                spots, basis="kxy", spot_amp=amp, cameraslm=cs
+            )
+            phase0 = np.random.default_rng(5).uniform(
+                -np.pi, np.pi, (128, 128)
+            ).astype(np.float32)
+            holo.reset_phase(phase0)
+            holo.optimize("WGS-Kim", maxiter=4, verbose=False, **kwargs)
+        ff = holo.amp_ff if which != "ref" else np.abs(holo.farfield)
+        return np.asarray(ff).ravel(), np.asarray(holo.phase)
+
+    def test_zero_factor_evolution_matches_reference(self, ref):
+        """Evolving zero-region weights on null spots (``zero_factor``)
+        follow the reference's host-attribute evolution — routed here to
+        the host loop, which carries ``_zero_weights_c`` like upstream's
+        ``zero_weights``."""
+        del ref
+        a_t, p_t = self._run("tpu", zero_factor=0.5)
+        a_r, p_r = self._run("ref", zero_factor=0.5)
+        np.testing.assert_allclose(a_t, a_r, atol=1e-5, rtol=0)
+        wrapped = np.angle(np.exp(1j * (p_t - p_r)))
+        assert np.percentile(np.abs(wrapped), 99) < 1e-4
+
+    def test_host_loop_mraf_matches_reference(self, ref):
+        """The host-paced loop (forced by a callback — the camera
+        feedback path) applies the SAME per-spot MRAF mix as the
+        scanned engine. Regression: the stepwise backward transform
+        used to drop the mix and suppress noise spots."""
+        del ref
+        a_t, p_t = self._run("tpu", callback=lambda h: False)
+        a_r, p_r = self._run("ref", callback=lambda h: False)
+        np.testing.assert_allclose(a_t, a_r, atol=1e-5, rtol=0)
+        assert a_t[4] > 0.1  # Noise spot kept amplitude on the host loop.
+
+    def test_kim_trigger_without_stat_groups_runs(self, ref):
+        """fix_phase_efficiency without a tracked stat group must not
+        crash (the trigger computes the efficiency inline). Regression:
+        IndexError at trace time."""
+        del ref
+        a_t, _ = self._run("tpu", fix_phase_efficiency=0.9)
+        assert np.isfinite(a_t).all()
