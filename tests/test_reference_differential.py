@@ -1644,3 +1644,62 @@ class TestCompressedMRAFVariantsDifferential:
         del ref
         a_t, _ = self._run("tpu", fix_phase_efficiency=0.9)
         assert np.isfinite(a_t).all()
+
+
+class TestSpotNullRegionDifferential:
+    def test_spot_hologram_null_region_matches_reference(self, ref):
+        """Grid SpotHologram MRAF (nan background + imprinted null
+        region around the 0th order) reproduces the reference loop to
+        float32 round-off on the calibrated rig."""
+        import warnings as _w
+
+        del ref
+
+        def build(which):
+            if which == "ref":
+                from slmsuite.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite.hardware.cameraslms import FourierSLM
+                from slmsuite.hardware.slms.simulated import SimulatedSLM
+                from slmsuite.holography.algorithms import SpotHologram
+            else:
+                from slmsuite_tpu.hardware.cameras.simulated import (
+                    SimulatedCamera,
+                )
+                from slmsuite_tpu.hardware.cameraslms import FourierSLM
+                from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+                from slmsuite_tpu.holography.algorithms import SpotHologram
+
+            slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+            cam = SimulatedCamera(slm, (128, 128), pitch_um=(4, 4))
+            cs = FourierSLM(cam, slm)
+            cs.calibrations["fourier"] = {
+                "M": np.array([[4e3, 0.0], [0.0, 4e3]]),
+                "b": np.array([[64.0], [64.0]]),
+                "a": np.array([[0.0], [0.0]]),
+            }
+            spot_kxy = np.array(
+                [[0.004, -0.004, 0.0], [0.004, 0.004, -0.006]]
+            )
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                holo = SpotHologram(
+                    (128, 128), spot_kxy, basis="kxy",
+                    null_vectors=np.array([[0.0], [0.0]]),
+                    null_region_radius_frac=0.05,
+                    cameraslm=cs,
+                )
+                phase0 = np.random.default_rng(7).uniform(
+                    -np.pi, np.pi, (128, 128)
+                ).astype(np.float32)
+                holo.reset_phase(phase0)
+                holo.optimize("WGS-Leonardo", maxiter=6, verbose=False)
+            ff = holo.amp_ff if which != "ref" else np.abs(holo.farfield)
+            return np.asarray(holo.phase), np.asarray(np.abs(np.asarray(ff)))
+
+        p_t, a_t = build("tpu")
+        p_r, a_r = build("ref")
+        wrapped = np.angle(np.exp(1j * (p_t - p_r)))
+        assert np.percentile(np.abs(wrapped), 99) < 1e-4
+        np.testing.assert_allclose(a_t, a_r, atol=1e-5, rtol=0)
