@@ -364,8 +364,11 @@ class SLM(_Picklable, ABC):
         save_h5(file_path, {"phase": np.asarray(self.phase), "display": np.asarray(self.display)})
         return file_path
 
-    def load_phase(self, file_path=None, path=".", name=None, set_phase=True):
-        """Load phase from a file (or the latest autosave); optionally write it."""
+    def load_phase(self, file_path=None, path=".", name=None, set_phase=True,
+                   settle=False):
+        """Load phase from a file (or the latest autosave); optionally
+        write it (``settle`` sleeps for :attr:`settle_time_s` after the
+        write, reference-compatible)."""
         if file_path is None:
             if name is None:
                 name = self.name + "-phase"
@@ -374,7 +377,7 @@ class SLM(_Picklable, ABC):
                 raise FileNotFoundError(f"No saved phase found under '{name}' in '{path}'.")
         data = load_h5(file_path)
         if set_phase:
-            self.set_phase(data["phase"])
+            self.set_phase(data["phase"], settle=settle)
         return data["phase"]
 
     # ------------------------------------------------------------------

@@ -176,20 +176,27 @@ class _HologramStats:
     # Plotting (ref _stats.py:340-830; simplified but same signatures).
     # ------------------------------------------------------------------
 
-    def plot_nearfield(self, title="", padded=False, figsize=(8, 4), cbar=False):
-        """Plot the nearfield amplitude and phase of the hologram."""
+    def plot_nearfield(self, source=None, title="", padded=False, figsize=(8, 4), cbar=False):
+        """Plot the nearfield amplitude and phase of the hologram (or of
+        a given complex ``source`` array, reference-compatible)."""
         import matplotlib.pyplot as plt
 
         fig, axs = plt.subplots(1, 2, figsize=figsize)
 
-        amp = self.get_amp()
+        if source is None:
+            amp = self.get_amp()
+            phase_plot = self.phase
+        else:
+            source = np.asarray(source)
+            amp = np.abs(source)
+            phase_plot = np.angle(source)
         if np.isscalar(amp):
             amp = np.full(self.slm_shape, amp)
 
         im0 = axs[0].imshow(amp)
         axs[0].set_title("Nearfield amplitude")
         im1 = axs[1].imshow(
-            np.mod(np.asarray(self.phase), 2 * np.pi),
+            np.mod(np.asarray(phase_plot), 2 * np.pi),
             cmap="twilight",
             vmin=0,
             vmax=2 * np.pi,
@@ -203,7 +210,7 @@ class _HologramStats:
         plt.show()
         return fig
 
-    def plot_farfield(self, source=None, title="", limits=None, units="knm", limit_padding=0.1, figsize=(8, 4), cbar=False):
+    def plot_farfield(self, source=None, title="", limits=None, units="knm", limit_padding=0.1, figsize=(8, 4), cbar=False, axs=None):
         """
         Plot the farfield (amplitude by default, or a given ``source``
         array), full view plus a zoom onto the target region.
@@ -233,7 +240,10 @@ class _HologramStats:
             else:
                 limits = ((0, source.shape[1]), (0, source.shape[0]))
 
-        fig, axs = plt.subplots(1, 2, figsize=figsize)
+        if axs is None:
+            fig, axs = plt.subplots(1, 2, figsize=figsize)
+        else:
+            fig = axs[0].get_figure()
         im0 = axs[0].imshow(np.nan_to_num(np.abs(source)))
         axs[0].set_title("Farfield (full)")
         zoom = np.nan_to_num(
@@ -249,8 +259,10 @@ class _HologramStats:
         plt.show()
         return limits
 
-    def plot_stats(self, stats_dict=None, stat_groups=[], ylim=None):
-        """Plot the per-iteration convergence statistics."""
+    def plot_stats(self, stats_dict=None, stat_groups=[], ylim=None, show=False):
+        """Plot the per-iteration convergence statistics. ``show`` calls
+        ``plt.show()`` (reference-compatible; the figure is returned
+        either way)."""
         import matplotlib.pyplot as plt
 
         if stats_dict is None:
@@ -265,7 +277,8 @@ class _HologramStats:
         ax.legend(fontsize=7)
         if ylim is not None:
             ax.set_ylim(ylim)
-        plt.show()
+        if show:
+            plt.show()
         return fig
 
 
