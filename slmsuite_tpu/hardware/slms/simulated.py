@@ -24,14 +24,24 @@ class SimulatedSLM(SLM):
         """
         super().__init__(resolution, pitch_um=pitch_um, settle_time_s=0, **kwargs)
 
-        if source is None:
-            self.source["amplitude_sim"] = np.ones_like(self.grid[0])
-            self.source["phase_sim"] = np.zeros_like(self.grid[0])
-        else:
-            self.source.update(source)
-            if "amplitude_sim" not in source:
-                self.source["amplitude_sim"] = self.source["amplitude"]
-                self.source["phase_sim"] = -self.source["phase"]
+        # Resolve the simulation ground truth: explicit sim keys win; a
+        # measured-only source dict derives them (sim phase is the
+        # NEGATIVE of the measured correction); no source means uniform
+        # illumination with a flat wavefront.
+        self.source.update(source or {})
+        if "amplitude_sim" not in self.source:
+            truth = (
+                {
+                    "amplitude_sim": self.source["amplitude"],
+                    "phase_sim": -self.source["phase"],
+                }
+                if source
+                else {
+                    "amplitude_sim": np.ones_like(self.grid[0]),
+                    "phase_sim": np.zeros_like(self.grid[0]),
+                }
+            )
+            self.source.update(truth)
 
         self.set_phase(None)
 
