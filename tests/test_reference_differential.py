@@ -1703,3 +1703,16 @@ class TestSpotNullRegionDifferential:
         wrapped = np.angle(np.exp(1j * (p_t - p_r)))
         assert np.percentile(np.abs(wrapped), 99) < 1e-4
         np.testing.assert_allclose(a_t, a_r, atol=1e-5, rtol=0)
+
+
+class TestTakeTileDifferential:
+    def test_take_tile_bit_identical(self, ref, rng):
+        from slmsuite_tpu.holography import analysis
+
+        img = rng.random((64, 64)).astype(np.float32)
+        vectors = np.array([[10.0, 30, 50], [12.0, 32, 52]])
+        stack = np.asarray(analysis.take(img, vectors, size=9, centered=True))
+        np.testing.assert_array_equal(
+            np.asarray(analysis.take_tile(stack)),
+            np.asarray(ref.analysis.take_tile(stack)),
+        )
