@@ -192,12 +192,15 @@ def _fused_iteration_jnp(ff_re, ff_im, coeffs, basis, amp, n_spots):
         re = ff_re @ cos - ff_im @ sin
         im = ff_re @ sin + ff_im @ cos
         mag2 = jnp.square(re) + jnp.square(im)
+        # Pre-guarded rsqrt (checkify-safe: rsqrt(0) = inf would place
+        # 0 * inf = nan in the untaken where-branch).
+        safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
         if scalar_amp:
-            inv = valid * jax.lax.rsqrt(mag2)
+            inv = valid * safe
             ur = jnp.where(mag2 > 0, re * inv, valid)
             ui = jnp.where(mag2 > 0, im * inv, 0.0)
         else:
-            inv = valid * amp_tile * jax.lax.rsqrt(mag2)
+            inv = valid * amp_tile * safe
             ur = jnp.where(mag2 > 0, re * inv, valid * amp_tile)
             ui = jnp.where(mag2 > 0, im * inv, 0.0)
         acc_re = acc_re + cos @ ur + sin @ ui

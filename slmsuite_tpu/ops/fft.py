@@ -769,7 +769,9 @@ def _wgs_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
     )
 
     # Farfield direction without transcendentals (phasor mode).
-    invb = jax.lax.rsqrt(f2)
+    # Pre-guarded rsqrt: rsqrt(0) = inf would make the untaken
+    # where-branch compute 0 * inf = nan, which checkify flags.
+    invb = jax.lax.rsqrt(jnp.where(f2 > 0, f2, 1.0))
     er = jnp.where(f2 > 0, fr * invb, 1.0)
     ei = jnp.where(f2 > 0, fi * invb, 0.0)
     if kim:
@@ -791,12 +793,12 @@ def _wgs_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
     hr, hi = _ifft_first_axis_scrambled(re, im, H)
     zr, zi = _ifft_last_axis_scrambled(hr, hi, W)
     mag2 = jnp.square(zr) + jnp.square(zi)
+    safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))  # checkify-safe
     if scalar_amp:
-        inv = jax.lax.rsqrt(mag2)
-        ur = jnp.where(mag2 > 0, zr * inv, 1.0)
-        ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+        ur = jnp.where(mag2 > 0, zr * safe, 1.0)
+        ui = jnp.where(mag2 > 0, zi * safe, 0.0)
     else:
-        inv = amp * jax.lax.rsqrt(mag2)
+        inv = amp * safe
         ur = jnp.where(mag2 > 0, zr * inv, amp)
         ui = jnp.where(mag2 > 0, zi * inv, 0.0)
     gr2, gi2 = _fft_last_axis_scrambled(ur, ui, W)
@@ -824,7 +826,7 @@ def _mraf_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
     norm_sq = jnp.sum(jnp.square(uw))
     inv_norm = jax.lax.rsqrt(norm_sq)
 
-    invf = jax.lax.rsqrt(f2)
+    invf = jax.lax.rsqrt(jnp.where(f2 > 0, f2, 1.0))  # checkify-safe
     er = jnp.where(f2 > 0, fr * invf, 1.0)
     ei = jnp.where(f2 > 0, fi * invf, 0.0)
     if kim:
@@ -856,12 +858,12 @@ def _mraf_carry_step_jnp(gr, gi, amp, weights, phase_ff, target, mask,
     hr, hi = _ifft_first_axis_scrambled(re, im, H)
     zr, zi = _ifft_last_axis_scrambled(hr, hi, W)
     mag2 = jnp.square(zr) + jnp.square(zi)
+    safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))  # checkify-safe
     if scalar_amp:
-        inv = jax.lax.rsqrt(mag2)
-        ur = jnp.where(mag2 > 0, zr * inv, 1.0)
-        ui = jnp.where(mag2 > 0, zi * inv, 0.0)
+        ur = jnp.where(mag2 > 0, zr * safe, 1.0)
+        ui = jnp.where(mag2 > 0, zi * safe, 0.0)
     else:
-        inv = amp * jax.lax.rsqrt(mag2)
+        inv = amp * safe
         ur = jnp.where(mag2 > 0, zr * inv, amp)
         ui = jnp.where(mag2 > 0, zi * inv, 0.0)
     gr2, gi2 = _fft_last_axis_scrambled(ur, ui, W)

@@ -559,9 +559,12 @@ def _weight_correction(f, t, scal_ref, rule):
     the weight scale); guards mirror ``update_weights_generic``."""
     p = scal_ref[0, _SC_EXPONENT]
     if rule in ("leonardo", "kim"):
-        # (f/t)^(-p) via exp/log.
-        c = f / t
-        c = jnp.where(jnp.isfinite(c) & (t != 0), c, 1.0)
+        # (f/t)^(-p) via exp/log. The division is pre-guarded (same
+        # result as dividing then masking, but interpret-mode checkify
+        # runs would flag the transient x/0).
+        on = t != 0
+        c = f / jnp.where(on, t, 1.0)
+        c = jnp.where(jnp.isfinite(c) & on & (c > 0), c, 1.0)
         c = jnp.exp(-p * jnp.log(c))
     elif rule == "wu":
         term = t - p * f * scal_ref[0, _SC_INV_FNORM]
@@ -638,7 +641,9 @@ def _wgs_epilogue(br, bi, w_ref, t_ref, scal_ref, r, *,
     wout_ref[...] = wout
 
     if phasor:
-        invb = jax.lax.rsqrt(f2)
+        # Pre-guarded rsqrt (interpret-mode checkify would flag the
+        # transient 0 * inf in the untaken where-branch).
+        invb = jax.lax.rsqrt(jnp.where(f2 > 0, f2, 1.0))
         # Zero field -> the atan2(0, 0) = 0 convention (unit real).
         er = jnp.where(f2 > 0, br * invb, 1.0)
         ei = jnp.where(f2 > 0, bi * invb, 0.0)
@@ -805,7 +810,7 @@ def _rows_normfwd_kernel(xr_ref, xi_ref,
         n1, n2, True,
     )
     mag2 = zr * zr + zi * zi
-    inv = jax.lax.rsqrt(mag2)
+    inv = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))  # checkify-safe
     # Zero field -> unit real direction, matching atan2(0, 0) = 0 in the
     # phase formulation.
     ur = jnp.where(mag2 > 0, zr * inv, 1.0)
@@ -831,7 +836,7 @@ def _rows_normfwd_amp_kernel(xr_ref, xi_ref, amp_ref,
         n1, n2, True,
     )
     mag2 = zr * zr + zi * zi
-    inv = amp * jax.lax.rsqrt(mag2)
+    inv = amp * jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))  # checkify-safe
     ur = jnp.where(mag2 > 0, zr * inv, amp)
     ui = jnp.where(mag2 > 0, zi * inv, 0.0)
     gr, gi = _fft_core(
@@ -1653,7 +1658,7 @@ def _cols_mraf_mix_inv_kernel(fr_ref, fi_ref, uw_ref, mc_ref,
     k = scal_ref[0, _SC_MRAF_K]
 
     f2 = fr * fr + fi * fi
-    invf = jax.lax.rsqrt(f2)
+    invf = jax.lax.rsqrt(jnp.where(f2 > 0, f2, 1.0))  # checkify-safe
     # e^{i theta} as the unit farfield direction; zero field -> the
     # atan2(0, 0) = 0 convention (unit real).
     er = jnp.where(f2 > 0, fr * invf, 1.0)
