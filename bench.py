@@ -597,8 +597,38 @@ def config_5(argv):
     )
 
 
+def _device_reachable(timeout_s=240):
+    """Probe jax device discovery in a SUBPROCESS with a timeout: over
+    the tunneled dev slice, ``jax.devices()`` can hang indefinitely when
+    the tunnel is down — better to record an explicit error line than
+    time the whole driver out. Returns None when healthy, else the
+    failure description."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return None  # CPU runs cannot hang on the tunnel.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"device discovery hung > {timeout_s}s (tunnel down?)"
+    if probe.returncode != 0:
+        return f"device discovery failed: {probe.stderr.strip()[-200:]}"
+    return None
+
+
 def main():
     argv = sys.argv[1:]
+    failure = _device_reachable()
+    if failure is not None:
+        print(json.dumps({
+            "metric": "WGS-Kim iterations/sec at 2048x2048 (32x32 spots, device stats on)",
+            "error": failure,
+        }))
+        sys.exit(1)
     configs = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
     if argv and argv[0] == "--config":
         try:
