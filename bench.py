@@ -32,7 +32,7 @@ import time
 import numpy as np
 
 
-def _emit(metric, value, unit, baseline, **extra):
+def _result(metric, value, unit, baseline, **extra):
     result = {
         "metric": metric,
         "value": round(value, 2),
@@ -40,7 +40,13 @@ def _emit(metric, value, unit, baseline, **extra):
         "vs_baseline": round(value / baseline, 4),
     }
     result.update(extra)
+    return result
+
+
+def _emit(metric, value, unit, baseline, **extra):
+    result = _result(metric, value, unit, baseline, **extra)
     print(json.dumps(result))
+    return result
 
 
 def bench_engine(model, iters):
@@ -248,6 +254,10 @@ def attest_kernel_parity(N=2048, iters=3, model=None):
     if model is None:
         model = spot_array_wgs(N=N, n_side=32, spacing_div=70)
     out = {}
+    # Restore whatever mode the caller had active (not a hardcoded
+    # "auto"): an explicit set_scrambled_mode override in the calling
+    # process must survive the attestation.
+    prior_mode = E._SCRAMBLED_MODE
     for mode in ("fused", "natural"):
         E.set_scrambled_mode("auto" if mode == "fused" else False)
         try:
@@ -260,7 +270,7 @@ def attest_kernel_parity(N=2048, iters=3, model=None):
                 np.asarray(stats[:, 0, :2]),
             )
         finally:
-            E.set_scrambled_mode("auto")
+            E.set_scrambled_mode(prior_mode)
 
     psi_f, w_f, st_f = out["fused"]
     psi_n, w_n, st_n = out["natural"]
@@ -327,6 +337,27 @@ def attest_compressed_parity(iters=3, n_spots=64, res=512):
     return True
 
 
+def _marginal_rate(once, small, iters, repeats=3):
+    """Marginal (long-minus-short) iteration rate of a host-driven loop,
+    clamped at 2x the observed wall rate. Returns ``(rate, wall_rate)``
+    so callers can emit BOTH — the marginal estimator cancels fixed
+    per-call overhead (state build/sync over the tunnel) but can read up
+    to double the end-to-end rate, so the wall rate must ride along in
+    the JSON for honest comparison against the baseline targets."""
+    t_smalls, t_larges = [], []
+    for _ in range(repeats):
+        t_smalls.append(once(small))
+        t_larges.append(once(iters))
+    t_small = sorted(t_smalls)[len(t_smalls) // 2]
+    t_large = sorted(t_larges)[len(t_larges) // 2]
+    wall_rate = iters / t_large
+    if t_large > t_small:
+        rate = min((iters - small) / (t_large - t_small), 2.0 * wall_rate)
+    else:
+        rate = wall_rate
+    return rate, wall_rate
+
+
 def iters_to_nonuniformity(stats, threshold=0.01):
     """First 1-based iteration whose spot nonuniformity (1 - uniformity)
     drops below ``threshold``; -1 if never reached in the run. The second
@@ -336,8 +367,86 @@ def iters_to_nonuniformity(stats, threshold=0.01):
     return int(hit[0]) + 1 if hit.size else -1
 
 
-def config_2(argv):
-    """Headline: WGS-Kim 2048^2, 32x32 spots, with roofline evidence."""
+def attest_nonpow2(N=1536, iters=3):
+    """
+    On-chip validation of the generalized (non-power-of-two) four-step
+    fast path: run a few WGS-Kim iterations at a composite non-pow2
+    shape through the fused scrambled engine AND the natural engine and
+    require parity — the Mosaic lowering of the unbalanced stage splits
+    (e.g. 1536 = 48 x 32) is exactly what never exercises on CPU.
+    Returns a dict of per-size pass booleans; raises on numeric
+    mismatch (a lowering failure surfaces as the raised XLA error).
+    """
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        return {"skipped": "cpu backend"}
+    from slmsuite_tpu.models import spot_array_wgs
+    from slmsuite_tpu.ops.fft import _split, _split_ok
+
+    out = {}
+    for n in (384, N):
+        if not _split_ok(n):
+            out[str(n)] = "no balanced factorization"
+            continue
+        model = spot_array_wgs(N=n, n_side=8, spacing_div=24)
+        attest_kernel_parity(n, iters=iters, model=model)
+        out[str(n)] = True
+        out[f"split_{n}"] = "x".join(str(v) for v in _split(n))
+    return out
+
+
+def bench_batch_scaling(sizes=(1, 2, 4, 8), N=1024, iters=40):
+    """
+    Single-chip batch-scaling curve of the batched multiplane engine:
+    iterations/sec at ``n_planes`` in ``sizes`` on ONE device. Near-flat
+    per-plane cost (rate_B ~ rate_1 / B) is the measurable half of the
+    multi-chip story this environment allows — B planes data-parallel
+    over a mesh would then recover rate_1 per plane, paying only the
+    psum of the (slm_shape) nearfield accumulation.
+    """
+    from slmsuite_tpu.models.parallel_models import multiplane_batched
+
+    out = {}
+    for b in sizes:
+        run = multiplane_batched(b, N=N)
+        small = max(1, iters // 5)
+
+        def once(n):
+            t0 = time.time()
+            res = run(None, n)
+            # Touch a dependent sliver of every output leaf.
+            for leaf in jax_tree_leaves(res):
+                np.asarray(leaf)[:1]
+            return time.time() - t0
+
+        once(small)
+        once(iters)
+        rate, _wall = _marginal_rate(once, small, iters)
+        out[f"b{b}"] = round(rate, 1)
+    base = out.get("b1", 0.0)
+    if base:
+        # Per-plane efficiency vs perfect scaling: rate_B * B / rate_1.
+        out[f"batch_efficiency_b{sizes[-1]}"] = round(
+            out[f"b{sizes[-1]}"] * sizes[-1] / base, 3
+        )
+    return out
+
+
+def jax_tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def config_2(argv, embed=None):
+    """Headline: WGS-Kim 2048^2, 32x32 spots, with roofline evidence.
+
+    ``embed``: extra fields folded into the emitted JSON object — the
+    driver records only the LAST line of the bench output, so the
+    default run passes compact summaries of configs 1/3/4/5 (plus
+    batch-scaling and non-pow2 attestation evidence) through here.
+    """
     import jax
 
     N = int(argv[0]) if argv else 2048
@@ -404,7 +513,9 @@ def config_2(argv):
             "roofline_utilization": round(max(bw_time, mxu_time) / t_step, 3),
         })
 
-    _emit(
+    if embed:
+        extra.update(embed)
+    return _emit(
         f"WGS-Kim iterations/sec at {N}x{N} (32x32 spots, device stats on)",
         rate, "iter/s", 1000.0,
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
@@ -423,7 +534,7 @@ def config_1(argv):
     rate, stats = bench_engine(
         spot_array_wgs(N=N, n_side=10, spacing_div=24, method="GS"), iters
     )
-    _emit(
+    return _emit(
         f"GS iterations/sec at {N}x{N} (10x10 spots)",
         rate, "iter/s", 1000.0,
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
@@ -450,7 +561,7 @@ def config_3(argv):
         # bench then times.
         extra["kernel_parity"] = attest_kernel_parity(N, model=model)
     rate, stats = bench_engine(model, iters)
-    _emit(
+    return _emit(
         f"MRAF WGS-Leonardo iterations/sec at {N}x{N} (ring target)",
         rate, "iter/s", 1000.0,
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
@@ -510,26 +621,19 @@ def config_4(argv):
         )
         return time.time() - t0
 
-    t_smalls, t_larges = [], []
-    for _ in range(3):
-        t_smalls.append(once(small))
-        t_larges.append(once(iters))
-    t_small = sorted(t_smalls)[1]
-    t_large = sorted(t_larges)[1]
-    wall_rate = iters / t_large
-    if t_large > t_small:
-        rate = min((iters - small) / (t_large - t_small), 2.0 * wall_rate)
-    else:
-        rate = wall_rate
+    rate, wall_rate = _marginal_rate(once, small, iters)
     unif = holo.stats["stats"]["experimental_spot"]["uniformity"][-1]
     # Baseline 10 iter/s: the closed-loop target set by the round-2
     # review ("config-4 >= 10 iter/s"), originally scoped for a
     # host-paced loop; the device-resident scan is bounded by the two
     # FFT pairs per iteration instead (BASELINE.md names no reference
     # number for this config).
-    _emit(
-        "closed-loop WGS iterations/sec (simulated camera feedback, 1024^2)",
+    return _emit(
+        "closed-loop WGS marginal iterations/sec "
+        "(simulated camera feedback, 1024^2)",
         rate, "iter/s", 10.0,
+        estimator="marginal (long-minus-short), clamped <= 2x wall",
+        wall_iter_s=round(wall_rate, 2),
         measured_uniformity=round(float(unif), 4),
     )
 
@@ -573,25 +677,18 @@ def config_5(argv):
 
     once(small)
     once(iters)
-    t_smalls, t_larges = [], []
-    for _ in range(3):
-        t_smalls.append(once(small))
-        t_larges.append(once(iters))
-    t_small = sorted(t_smalls)[1]
-    t_large = sorted(t_larges)[1]
-    wall_rate = iters / t_large
-    if t_large > t_small:
-        rate = min((iters - small) / (t_large - t_small), 2.0 * wall_rate)
-    else:
-        rate = wall_rate
+    rate, wall_rate = _marginal_rate(once, small, iters)
     cv = float(np.std(holo.amp_ff) / np.mean(holo.amp_ff))
     # Baseline 100 iter/s: the compressed-transform target set by the
     # round-2 review ("config-5 >= 100 iter/s") — the VPU-bound
     # sincos cost of the grid-free Zernike transform pair at 1024^2 x
     # 256 spots (BASELINE.md names no reference number for this config).
-    _emit(
-        f"compressed 3D-spot WGS iterations/sec ({kx.size} spots, 1024^2 SLM)",
+    return _emit(
+        f"compressed 3D-spot WGS marginal iterations/sec "
+        f"({kx.size} spots, 1024^2 SLM)",
         rate, "iter/s", 100.0,
+        estimator="marginal (long-minus-short), clamped <= 2x wall",
+        wall_iter_s=round(wall_rate, 2),
         amp_cv=float(f"{cv:.3g}"),
         **extra,
     )
@@ -620,6 +717,24 @@ def _device_reachable(timeout_s=240):
     return None
 
 
+#: Fields worth carrying from a full config result into the compact
+#: per-config summary embedded in the headline line.
+_COMPACT_KEYS = (
+    "unit", "vs_baseline", "kernel_parity", "estimator", "wall_iter_s",
+    "final_efficiency", "final_uniformity", "measured_uniformity",
+    "amp_cv", "iters_to_1pct_nonuniformity",
+)
+
+
+def _compact(result):
+    """Compact summary of a config result dict for headline embedding."""
+    out = {"iter_s": result.get("value")}
+    for key in _COMPACT_KEYS:
+        if key in result:
+            out[key] = result[key]
+    return out
+
+
 def main():
     argv = sys.argv[1:]
     failure = _device_reachable()
@@ -638,31 +753,52 @@ def main():
                      f"(got {argv[1:2]})")
         config(argv[2:])
         return
+    embed = {}
     if not (argv and argv[0] == "--headline"):
-        # Default run reports ALL FIVE BASELINE configs: compact lines
-        # for configs 1/3/4/5 first (reduced iteration counts; each
+        # Default run reports ALL FIVE BASELINE configs. The driver
+        # records only the LAST line of the bench output, so compact
+        # summaries of configs 1/3/4/5 (plus the batch-scaling curve and
+        # the non-pow2 on-chip attestation) are EMBEDDED in the final
+        # headline JSON object — the standalone per-config lines printed
+        # along the way are for interactive reading only. Each extra is
         # guarded so a failure cannot swallow the headline; a deadline
-        # skips stragglers on a slow tunnel session), the headline
-        # config-2 line LAST (the driver parses the tail).
+        # skips stragglers on a slow tunnel session.
         deadline = time.time() + float(
             __import__("os").environ.get("SLMSUITE_TPU_BENCH_BUDGET_S", 900)
         )
+        summaries = {}
         for n, args in ((1, ["1024", "30"]), (3, ["2048", "40"]),
                         (4, ["8"]), (5, ["256", "20"])):
             if time.time() > deadline:
+                summaries[f"c{n}"] = {"skipped": "bench budget exhausted"}
                 print(json.dumps(
                     {"metric": f"config_{n}", "skipped": "bench budget exhausted"}
                 ))
                 continue
             try:
-                configs[n](args)
+                summaries[f"c{n}"] = _compact(configs[n](args))
             except Exception as exc:  # noqa: BLE001 - report, keep headline
+                summaries[f"c{n}"] = {
+                    "error": f"{type(exc).__name__}: {exc}"[:200]
+                }
                 print(json.dumps(
                     {"metric": f"config_{n}", "error": f"{type(exc).__name__}: {exc}"}
                 ))
+        embed["configs"] = summaries
+        for key, fn in (
+            ("nonpow2_parity", attest_nonpow2),
+            ("batch_scaling_iter_s", bench_batch_scaling),
+        ):
+            if time.time() > deadline:
+                embed[key] = {"skipped": "bench budget exhausted"}
+                continue
+            try:
+                embed[key] = fn()
+            except Exception as exc:  # noqa: BLE001 - report, keep headline
+                embed[key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     else:
         argv = argv[1:]
-    config_2(argv)
+    config_2(argv, embed=embed)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,21 @@ class SimulatedSLM(SLM):
                 f"Display write of shape {display.shape} does not match "
                 f"the SLM shape {self.display.shape}."
             )
+        # Range-check like set_phase's integer fast path: silently
+        # narrowing >= bitresolution values via astype would render
+        # wrapped garbage for a buggy remote client without any error.
+        if not np.issubdtype(display.dtype, np.integer):
+            raise TypeError(
+                f"Expected integer display data; got {display.dtype}."
+            )
+        if display.size and (
+            np.any(display >= self.bitresolution) or np.any(display < 0)
+        ):
+            raise TypeError(
+                f"Display data exceeds the SLM bitdepth "
+                f"(bitresolution={self.bitresolution}): range "
+                f"[{display.min()}, {display.max()}]."
+            )
         np.copyto(self.display, display.astype(self.display.dtype))
         self.phase = 2 * np.pi - self.display * (
             2 * np.pi / self.phase_scaling / self.bitresolution

@@ -82,6 +82,21 @@ class _AbstractSpotHologram(FeedbackHologram):
     #: cleared by :meth:`_midloop_cleaning`).
     _sim_powers_value = None
 
+    @staticmethod
+    def _host_fingerprint(host):
+        """Cheap content fingerprint of a host array: shape + the exact
+        bytes of <= 1024 strided samples. Catches in-place mutation
+        (``holo.target[...] = new``, tweaked ``spot_zernike`` — standard
+        feedback-loop workflows in the reference) that an identity check
+        alone would miss; a mutation confined to non-sampled positions
+        of a > 1024-element array can still slip through, so prefer
+        reassigning attributes over partial in-place writes."""
+        if not isinstance(host, np.ndarray):
+            return None  # device arrays are immutable; identity suffices
+        flat = host.reshape(-1)
+        step = max(1, flat.size // 1024)
+        return (host.shape, flat[::step].tobytes())
+
     def _sim_engine_inputs(self):
         """
         Qualification + ingredients of the device-resident simulated
@@ -117,16 +132,25 @@ class _AbstractSpotHologram(FeedbackHologram):
         if getattr(self, "spot_ij", None) is None or self.spot_integration_width_ij is None:
             return None
 
-        key = (
-            id(self.spot_ij), id(cam.knm_cam),
-            id(slm.source.get("amplitude_sim")), id(slm.source.get("phase_sim")),
-            id(slm.source.get("phase")),
-            None if self.propagation_kernel is None else id(self.propagation_kernel),
-            int(self.spot_integration_width_ij),
+        # Cache key: identity + strided content fingerprint of every
+        # input array (mirroring :meth:`_dev_const`). Identity alone is
+        # unsound twice over: in-place mutation (wavefront-calibration
+        # updates to ``slm.source["phase"]``) never changes ``id()``,
+        # and after ``refine_offset`` reassigns ``spot_ij`` the freed
+        # array's address can be recycled by the replacement — the
+        # cache entry below also HOLDS the keyed arrays so a live key
+        # can never alias a dead array's id.
+        keyed_arrays = (
+            self.spot_ij, cam.knm_cam,
+            slm.source.get("amplitude_sim"), slm.source.get("phase_sim"),
+            slm.source.get("phase"), self.propagation_kernel,
         )
+        key = tuple(
+            (id(a), self._host_fingerprint(a)) for a in keyed_arrays
+        ) + (int(self.spot_integration_width_ij),)
         cached = getattr(self, "_sim_inputs_cache", None)
         if cached is not None and cached[0] == key:
-            return cached[1]
+            return cached[2]
 
         from slmsuite_tpu.ops.propagation import checkerboard, pad_window_slices
 
@@ -189,7 +213,7 @@ class _AbstractSpotHologram(FeedbackHologram):
             "truncates": bool(np.issubdtype(np.dtype(cam.dtype), np.integer)),
             "shape_padded": shape_padded,
         }
-        self._sim_inputs_cache = (key, (consts, statics))
+        self._sim_inputs_cache = (key, keyed_arrays, (consts, statics))
         return consts, statics
 
     def _sim_scale(self):
@@ -1031,21 +1055,6 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             use_pallas=self.cuda,
             mraf=self._mraf_enabled(),
         )
-
-    @staticmethod
-    def _host_fingerprint(host):
-        """Cheap content fingerprint of a host array: shape + the exact
-        bytes of <= 1024 strided samples. Catches in-place mutation
-        (``holo.target[...] = new``, tweaked ``spot_zernike`` — standard
-        feedback-loop workflows in the reference) that an identity check
-        alone would miss; a mutation confined to non-sampled positions
-        of a > 1024-element array can still slip through, so prefer
-        reassigning attributes over partial in-place writes."""
-        if not isinstance(host, np.ndarray):
-            return None  # device arrays are immutable; identity suffices
-        flat = host.reshape(-1)
-        step = max(1, flat.size // 1024)
-        return (host.shape, flat[::step].tobytes())
 
     def _dev_const(self, key, host, make):
         """Device copy of a (possibly large) host constant, reused

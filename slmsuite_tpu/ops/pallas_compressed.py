@@ -194,13 +194,17 @@ def _fused_iter_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, amp_ref,
     idx = p * tile + jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
     valid = (idx < n_pixels).astype(jnp.float32)
     mag2 = re * re + im * im
+    # Pre-guarded rsqrt (checkify-safe, matching _fused_iteration_jnp):
+    # rsqrt(0) = inf would place a transient 0*inf NaN in the untaken
+    # where-branch and trip the interpret+checkify sanitizer job.
+    safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
     if scalar_amp:
-        inv = valid * jax.lax.rsqrt(mag2)
+        inv = valid * safe
         ur = jnp.where(mag2 > 0, re * inv, valid)
         ui = jnp.where(mag2 > 0, im * inv, 0.0)
     else:
         amp = amp_ref[0, :]
-        inv = valid * amp * jax.lax.rsqrt(mag2)
+        inv = valid * amp * safe
         ur = jnp.where(mag2 > 0, re * inv, valid * amp)
         ui = jnp.where(mag2 > 0, im * inv, 0.0)
 

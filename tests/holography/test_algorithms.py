@@ -290,6 +290,59 @@ class TestQuadraticPhase:
         assert np.std(grad) < 1.0
 
 
+class TestStatsPlots:
+    def test_plot_stats_fixed_phase_shading(self, spot_target):
+        """plot_stats renders log-scale deficit metrics and shades the
+        fixed_phase flag history (ref _stats.py:729-830)."""
+        import matplotlib.pyplot as plt
+
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        holo.optimize(
+            method="WGS-Kim", maxiter=12, verbose=False,
+            stat_groups=["computational"], fix_phase_iteration=4,
+        )
+        assert any(
+            bool(v) for v in holo.stats["flags"].get("fixed_phase", [])
+        ), "WGS-Kim run never fixed phase; test setup is wrong"
+        ax = holo.plot_stats()
+        try:
+            assert ax.get_yscale() == "log"
+            assert ax.get_xlabel() == "Iteration"
+            # The fixed_phase window is shaded (a PolyCollection) and
+            # labeled in the legend.
+            labels = [t.get_text() for t in ax.get_legend().get_texts()]
+            assert "fixed_phase" in labels
+            assert "computational" in labels
+            assert len(ax.collections) > 0
+        finally:
+            plt.close(ax.get_figure())
+
+    def test_plot_farfield_limits_roundtrip(self, spot_target):
+        """Autocomputed limits returned by plot_farfield can be passed
+        back in explicitly and reproduce the same zoom extent."""
+        import matplotlib.pyplot as plt
+
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        holo.optimize(method="GS", maxiter=3, verbose=False)
+        fig, axs = plt.subplots(1, 2)
+        fig2, axs2 = plt.subplots(1, 2)
+        try:
+            limits = holo.plot_farfield(axs=axs)
+            limits2 = holo.plot_farfield(limits=limits, axs=axs2)
+            np.testing.assert_array_equal(
+                np.asarray(limits), np.asarray(limits2)
+            )
+            np.testing.assert_allclose(
+                axs[1].images[0].get_extent(),
+                axs2[1].images[0].get_extent(),
+            )
+        finally:
+            plt.close(fig)
+            plt.close(fig2)
+
+
 class TestStatsPersistence:
     def test_save_load(self, spot_target, tmp_path):
         target, slm_shape = spot_target

@@ -1716,3 +1716,107 @@ class TestTakeTileDifferential:
             np.asarray(analysis.take_tile(stack)),
             np.asarray(ref.analysis.take_tile(stack)),
         )
+
+
+class TestPlotFarfieldDifferential:
+    """plot_farfield unit rebasing pinned against the live reference:
+    the image extents (after rebasing knm pixel edges through
+    convert_vector into each blaze unit), the autocomputed zoom limits,
+    and the axis labels must agree for every testable unit."""
+
+    @staticmethod
+    def _build(which):
+        import warnings as _w
+
+        if which == "ref":
+            from slmsuite.hardware.cameras.simulated import SimulatedCamera
+            from slmsuite.hardware.cameraslms import FourierSLM
+            from slmsuite.hardware.slms.simulated import SimulatedSLM
+            from slmsuite.holography.algorithms import SpotHologram
+        else:
+            from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+            from slmsuite_tpu.hardware.cameraslms import FourierSLM
+            from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+            from slmsuite_tpu.holography.algorithms import SpotHologram
+
+        slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+        cam = SimulatedCamera(
+            slm, (128, 128), pitch_um=(4, 4),
+            M=np.array([[2.0e3, 0.0], [0.0, 2.0e3]]),
+            b=np.array([[64.0], [64.0]]),
+        )
+        cs = FourierSLM(cam, slm)
+        cs.calibrations["fourier"] = {
+            "M": np.array([[2e3, 0.0], [0.0, 2e3]]),
+            "b": np.array([[64.0], [64.0]]),
+            "a": np.array([[0.0], [0.0]]),
+        }
+        spot_ij = np.array([[40.0, 88, 64], [64.0, 64, 88]])
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            holo = SpotHologram((256, 256), spot_ij, basis="ij", cameraslm=cs)
+            phase0 = np.random.default_rng(7).uniform(
+                -np.pi, np.pi, (128, 128)
+            ).astype(np.float32)
+            holo.reset_phase(phase0)
+            holo.optimize("WGS-Kim", maxiter=3, verbose=False)
+        return holo
+
+    @staticmethod
+    def _render(holo, units):
+        import matplotlib.pyplot as plt
+
+        fig, axs = plt.subplots(1, 2)
+        try:
+            limits = holo.plot_farfield(units=units, axs=axs)
+            out = {
+                "limits": np.asarray(limits, dtype=float),
+                "full_extent": np.asarray(axs[0].images[0].get_extent(), float),
+                "zoom_extent": np.asarray(axs[1].images[0].get_extent(), float),
+                "xlabel": axs[0].get_xlabel(),
+                "ylabel": axs[0].get_ylabel(),
+                "n_lines": len(axs[0].lines),
+            }
+        finally:
+            plt.close(fig)
+        return out
+
+    @pytest.mark.parametrize("units", ["knm", "kxy", "mrad", "deg", "freq", "lpmm"])
+    def test_extents_match_reference(self, ref, units):
+        del ref
+        holo_t = self._build("tpu")
+        holo_r = self._build("ref")
+        out_t = self._render(holo_t, units)
+        out_r = self._render(holo_r, units)
+
+        np.testing.assert_array_equal(out_t["limits"], out_r["limits"])
+        np.testing.assert_allclose(
+            out_t["full_extent"], out_r["full_extent"], rtol=1e-6, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            out_t["zoom_extent"], out_r["zoom_extent"], rtol=1e-6, atol=1e-12
+        )
+        assert out_t["xlabel"] == out_r["xlabel"]
+        assert out_t["ylabel"] == out_r["ylabel"]
+        if units != "knm":
+            # The units kwarg must actually rebase (regression: a dead
+            # kwarg rendered knm extents whatever the caller asked).
+            knm = self._render(holo_t, "knm")
+            assert not np.allclose(out_t["full_extent"], knm["full_extent"])
+
+    def test_camera_fov_overlay(self, ref):
+        """The camera field-of-view polyline renders on the full view
+        (count the overlay lines; the reference draws the same one)."""
+        del ref
+        holo_t = self._build("tpu")
+        holo_r = self._build("ref")
+        out_t = self._render(holo_t, "knm")
+        out_r = self._render(holo_r, "knm")
+        assert holo_t._cam_points is not None
+        assert out_t["n_lines"] == out_r["n_lines"] >= 1
+
+    def test_camera_units_rejected(self, ref):
+        del ref
+        holo = self._build("tpu")
+        with pytest.raises(ValueError):
+            self._render(holo, "ij")
