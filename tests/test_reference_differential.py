@@ -1820,3 +1820,143 @@ class TestPlotFarfieldDifferential:
         holo = self._build("tpu")
         with pytest.raises(ValueError):
             self._render(holo, "ij")
+
+
+class TestSuperpixelProcessDifferential:
+    """The superpixel-calibration PROCESSING stage pinned against the
+    live reference on the SAME raw measurement dict: recovered source
+    amplitude is bit-identical, recovered phase agrees after removing
+    the global piston (a documented freedom: image_reduce_wraps picks
+    its wrap-minimizing shift from slightly different border data).
+    Documented deviations (docs/source/deviations.rst): (1) we fill the
+    final SLM row/column that the reference's imprint drops (upstream
+    window_slice clips window ends to shape-1); (2) untrusted
+    superpixels are filled by BFS affine propagation rather than the
+    reference's sweep-order majority vote — on physically consistent
+    raw data both fills land on the same field."""
+
+    @staticmethod
+    def _build(which):
+        if which == "ref":
+            from slmsuite.hardware.cameras.simulated import SimulatedCamera
+            from slmsuite.hardware.cameraslms import FourierSLM
+            from slmsuite.hardware.slms.simulated import SimulatedSLM
+        else:
+            from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+            from slmsuite_tpu.hardware.cameraslms import FourierSLM
+            from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        slm = SimulatedSLM((128, 128), pitch_um=(8, 8), wav_um=0.78)
+        cam = SimulatedCamera(
+            slm, (128, 128), pitch_um=(4, 4),
+            M=np.array([[2.0e3, 0.0], [0.0, 2.0e3]]),
+            b=np.array([[64.0], [64.0]]),
+        )
+        return FourierSLM(cam, slm)
+
+    @staticmethod
+    def _raw_measurement(slm, holey, seed=3):
+        """r001-format raw dict sampled from one smooth truth wavefront
+        (per-superpixel fringe gradients + anchored offsets), so the
+        fill strategies under test face physically consistent data."""
+        rng = np.random.default_rng(seed)
+        NY = NX = 8
+        sp = 16
+        xg, yg = np.asarray(slm.grid[0]), np.asarray(slm.grid[1])
+        truth = (
+            40.0 * (xg**2 + yg**2) * 1e4 / 6.5
+            + 3.0 * np.sin(xg * 3e2)
+            + 2.0 * (xg * yg) * 1e4
+        )
+        gy, gx = np.gradient(truth)
+        dx, dy = xg[0, 1] - xg[0, 0], yg[1, 0] - yg[0, 0]
+        kx = np.zeros((NY, NX))
+        ky = np.zeros((NY, NX))
+        offset = np.zeros((NY, NX))
+        for ny in range(NY):
+            for nx in range(NX):
+                sl = np.s_[ny * sp:(ny + 1) * sp, nx * sp:(nx + 1) * sp]
+                kxv = gx[sl].mean() / dx / (2 * np.pi)
+                kyv = gy[sl].mean() / dy / (2 * np.pi)
+                kx[ny, nx], ky[ny, nx] = kxv, kyv
+                offset[ny, nx] = np.mod(
+                    truth[sl].mean()
+                    - 2 * np.pi * (kxv * xg[sl].mean() + kyv * yg[sl].mean()),
+                    2 * np.pi,
+                )
+        power = (1e3 * np.exp(-(xg**2 + yg**2) * 1e4 / 40) + 30).reshape(
+            8, 16, 8, 16
+        ).mean(axis=(1, 3))
+        r2 = np.full((NY, NX), 0.98)
+        if holey:
+            holes = rng.random((NY, NX)) < 0.2
+            holes[2:4, 5:7] = True     # A blob of failed fits.
+            holes[4, 4] = False        # Keep the reference trusted.
+            r2[holes] = 0.2
+            kx[holes] = ky[holes] = offset[holes] = np.nan
+        return {
+            "NX": NX, "NY": NY, "nxref": 4, "nyref": 4,
+            "superpixel_size": sp,
+            "interference_point": np.array([64.0, 64.0]),
+            "interference_size": np.array([8.0, 8.0]),
+            "power": power,
+            "normalization": np.full((NY, NX), 1.1e3),
+            "background": np.zeros((NY, NX)),
+            "phase": offset, "kx": kx, "ky": ky,
+            "amp_fit": np.ones((NY, NX)),
+            "contrast_fit": np.ones((NY, NX)),
+            "r2_fit": r2,
+        }
+
+    @pytest.mark.parametrize("holey", [False, True])
+    def test_process_matches_reference(self, ref, holey):
+        import warnings as _w
+
+        import cv2
+
+        del ref
+        out = {}
+        for which in ("tpu", "ref"):
+            cs = self._build(which)
+            data = self._raw_measurement(cs.slm, holey)
+            cs.calibrations["wavefront"] = data
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                # remove_blaze=False: the power-weighted global-blaze fit
+                # ingests the border band the reference never imprints,
+                # so with it on the two sides differ by a global TILT
+                # (documented alongside the piston freedom); the core
+                # pipeline is pinned without it.
+                out[which] = cs.wavefront_calibration_superpixel_process(
+                    apply=False, plot=False, remove_blaze=False
+                )
+
+        np.testing.assert_array_equal(
+            out["tpu"]["amplitude"], out["ref"]["amplitude"]
+        )
+        np.testing.assert_array_equal(out["tpu"]["r2"], out["ref"]["r2"])
+
+        # Compare phase away from (a) the SLM border band the reference's
+        # imprint never writes (+ smoothing diffusion), and (b) untrusted
+        # superpixels (+ 1-superpixel erosion: the fill algorithms are a
+        # documented deviation; their smoothing halo is excluded too).
+        r2 = self._raw_measurement(self._build("tpu").slm, holey)["r2_fit"]
+        trusted = (r2 >= 0.9).astype(np.uint8)
+        eroded = cv2.erode(
+            trusted, np.ones((3, 3), np.uint8),
+            borderType=cv2.BORDER_CONSTANT, borderValue=0,
+        )
+        mask = cv2.resize(
+            eroded, (128, 128), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
+        mask[-24:, :] = mask[:, -24:] = False
+        assert mask.sum() > (1200 if holey else 3000)
+
+        diff = np.angle(
+            np.exp(1j * (out["tpu"]["phase"] - out["ref"]["phase"]))
+        )
+        # Remove the global piston (circular mean over the mask).
+        piston = np.angle(np.exp(1j * diff[mask]).mean())
+        residual = np.abs(np.angle(np.exp(1j * (diff - piston))))
+        assert np.percentile(residual[mask], 99) < 0.05
+        assert residual[mask].max() < 1.0  # Wrap-seam pixels only.
