@@ -33,6 +33,23 @@ def _blaze_offset(grid, vector, offset=0):
     return blaze(grid=grid, vector=vector) + offset
 
 
+def _plot_labeled_rects(ax, points, labels, colors, width, height):
+    """Annotate ``ax`` with labeled rectangles centered on ``points`` —
+    the superpixel/interference-window markers of the wavefront
+    calibration's live diagnostics (ref ``cameraslms.py:2936-2947``)."""
+    import matplotlib.pyplot as plt
+
+    for point, label, color in zip(points, labels, colors):
+        ax.add_patch(plt.Rectangle(
+            (float(point[0] - width / 2), float(point[1] - height / 2)),
+            float(width), float(height), ec=color, fc="none",
+        ))
+        ax.annotate(
+            label, (point[0], point[1]), c=color, size="x-small",
+            ha="center", va="center",
+        )
+
+
 def _patch_from_neighbors(matrix, yx):
     """Replace ``matrix[yx]`` in place with the mean of its finite
     8-neighbors (0 when none) — used to fill the reference superpixel,
@@ -1200,7 +1217,30 @@ class FourierSLM(CameraSLM):
         if no_perturbation:
             self.slm.set_phase(tick(), settle=True, phase_correct=False)
             self.cam.flush()
-            self.cam.get_image()
+            img = self.cam.get_image()
+            if plot > 0:
+                # Status rendering (ref :1948-1973): full frame with an
+                # overexposure check, and a per-spot tile zoom at plot>=2.
+                import matplotlib.pyplot as plt
+
+                spots = analysis.take(
+                    img, hologram.spot_ij, hologram.spot_integration_width_ij,
+                    centered=True, integrate=False,
+                )
+                peak = np.max(spots)
+                if peak >= self.cam.bitresolution - 1:
+                    warnings.warn("Image is overexposed.")
+                elif peak > 0.5 * self.cam.bitresolution:
+                    warnings.warn(
+                        f"Image might become overexposed during optimization "
+                        f"({peak}/{self.cam.bitresolution - 1})."
+                    )
+                self.cam.plot(img, title="Zernike Calibration Status")
+                if plot >= 2:
+                    plt.figure(figsize=(12, 12))
+                    analysis.take_plot(spots, separate_axes=False)
+                    plt.title("Zernike Calibration Status (Zoom)")
+                    plt.show()
             return hologram
 
         if np.isscalar(perturbation):
@@ -1830,6 +1870,17 @@ class FourierSLM(CameraSLM):
             ss_tot = np.sum((img0 - np.mean(img0)) ** 2)
             r2 = 1 - (ss_res / ss_tot) if ss_tot > 0 else 0
 
+            if plot_fits:
+                import matplotlib.pyplot as plt
+
+                _, axs = plt.subplots(1, 3, figsize=(20, 10))
+                axs[0].imshow(img)
+                axs[1].imshow(_sinc2d_centered(xy, *guess))
+                axs[2].imshow(_sinc2d_centered(xy, *popt))
+                for a, fit_title in enumerate(["Image", "Guess", "Fit"]):
+                    axs[a].set_title(fit_title)
+                plt.show()
+
             return (np.mod(-best_phase, 2 * np.pi), amp, r2, contrast)
 
         def take_interference_regions(img, integrate=True):
@@ -1851,6 +1902,84 @@ class FourierSLM(CameraSLM):
             centers = result[:, 1:3].T
             return centers + calibration_points
 
+        # --- Live diagnostic rendering (``plot > 1``; ref :2934-3090):
+        # the SLM phase with labeled reference/test superpixels, the
+        # log-scaled camera frame with diffractive orders and labeled
+        # interference windows, and a zoom onto the focused window. ---
+        def plot_labeled(schedule, img, title="", focus=0):
+            import matplotlib.pyplot as plt
+
+            fig, axs = plt.subplots(1, 3, figsize=(16, 4))
+
+            axs[0].imshow(
+                np.mod(self.slm.phase, 2 * np.pi),
+                cmap="twilight", interpolation="none",
+            )
+            center = np.array([superpixel_size / 2, superpixel_size / 2])
+            points, labels, colors = [], [], []
+            for i in range(num_points):
+                if schedule is not None and schedule[i] == -1:
+                    continue
+                points.append(
+                    reference_superpixels_coords[:, i] * superpixel_size
+                    + center
+                )
+                labels.append(str(i) if num_points > 1 else "Reference\nSuperpixel")
+                colors.append((1 if i == focus else 0.5, 0.2, 0))
+                if schedule is not None:
+                    points.append(
+                        (index2coord(schedule)[:, i] * superpixel_size
+                         + center).ravel()
+                    )
+                    labels.append(str(i) if num_points > 1 else "Test\nSuperpixel")
+                    colors.append((1 if i == focus else 0.5, 0, 0.2))
+            _plot_labeled_rects(
+                axs[0], points, labels, colors, superpixel_size, superpixel_size
+            )
+            axs[0].set_title("SLM Phase")
+
+            if img is not None:
+                im = axs[1].imshow(np.log10(np.asarray(img, float) + 0.1))
+                im.set_clim(0, np.log10(self.cam.bitresolution))
+            dpoint = field_point - base_point
+            points = [(base_point + n * dpoint).ravel() for n in range(-2, 3)]
+            labels = ["-2nd", "-1st", "0th", "1st", "2nd"]
+            colors = ["b"] * 5
+            focus_point = None
+            for i in range(num_points):
+                if schedule is not None and schedule[i] == -1:
+                    continue
+                points.append(calibration_points[:, i])
+                labels.append(str(i) if num_points > 1 else "Calibration\nPoint")
+                colors.append((1 if i == focus else 0.5, 0, 0))
+                if i == focus:
+                    focus_point = calibration_points[:, i]
+            wh, hh = (int(v) for v in interference_window)
+            _plot_labeled_rects(axs[1], points, labels, colors, wh, hh)
+            axs[1].set_title("Camera Result")
+
+            if img is not None:
+                im = axs[2].imshow(np.log10(np.asarray(img, float) + 0.1))
+                im.set_clim(0, np.log10(self.cam.bitresolution))
+                step = 2 if self.cam.bitdepth > 10 else 1
+                bitres_list = np.power(
+                    2, np.arange(0, self.cam.bitdepth + 1, step), dtype=int
+                )
+                cbar = fig.colorbar(im, ax=axs[2])
+                cbar.ax.set_yticks(np.log10(bitres_list))
+                cbar.ax.set_yticklabels(bitres_list)
+            if focus_point is None:
+                focus_point = base_point.ravel()
+            axs[2].scatter([focus_point[0]], [focus_point[1]], 5, "r", "*")
+            axs[2].set_xlim(focus_point[0] - wh / 2, focus_point[0] + wh / 2)
+            axs[2].set_ylim(focus_point[1] + hh / 2, focus_point[1] - hh / 2)
+            for spine in axs[2].spines.values():
+                spine.set_color("r")
+                spine.set_linewidth(1.5)
+            axs[2].set_title(title)
+
+            plt.show()
+
         # --- One measurement (one schedule column). ---
         def measure(schedule):
             if measure_background:
@@ -1861,6 +1990,8 @@ class FourierSLM(CameraSLM):
             norm = take_interference_regions(superpixels(schedule, 0, None))
 
             position_image = superpixels(schedule, None, 0)
+            if plot > 1:
+                plot_labeled(schedule, position_image, title="Test Point")
             if phase_steps is None and not corrected_amplitude:
                 return {
                     "power": take_interference_regions(position_image),
@@ -1901,6 +2032,8 @@ class FourierSLM(CameraSLM):
             results = []
             if phase_steps == 1:
                 result_img = superpixels(schedule, 0, 0, target_blaze=target_blaze_fixed)
+                if plot > 1:
+                    plot_labeled(schedule, result_img, title="Interference")
                 cropped = take_interference_regions(result_img, integrate=False)
                 coord_difference = index2coord(schedule) - index2coord(reference_superpixels)
                 results = [
@@ -2217,6 +2350,114 @@ class FourierSLM(CameraSLM):
             self.slm.plot_source(source=wavefront_calibration)
 
         return wavefront_calibration
+
+    def _wavefront_calibrate_zernike_plot_raw(self, calibration_points=None, index=0):
+        """Raw-data diagnostic for the Zernike wavefront calibration:
+        scatter of the per-point aberration correction for one Zernike
+        term over the camera plane (ref ``cameraslms.py:2041-2063``)."""
+        import matplotlib.pyplot as plt
+
+        dat = self.calibrations["wavefront_zernike"]
+        if calibration_points is None:
+            calibration_points = np.copy(dat["corrected_spots"])
+        points_ij = np.asarray(dat["calibration_points_ij"])
+        zernike_indices = np.asarray(dat["zernike_indices"])
+
+        aberration = np.asarray(calibration_points)[index, :]
+        lim = np.max(np.abs(aberration)) or 1
+
+        plt.scatter(points_ij[0, :], points_ij[1, :], c=aberration, cmap="seismic")
+        plt.gca().invert_yaxis()
+        cbar = plt.colorbar()
+        cbar.ax.set_ylabel("Aberration Correction [rad]")
+        plt.clim(-lim, lim)
+        plt.title(f"Zernike $Z_{{{zernike_indices[index]}}}$")
+
+    def _wavefront_calibration_superpixel_plot_raw(
+        self, index=0, r2_threshold=0, phase_detail=True
+    ):
+        """
+        Raw-data diagnostic for the superpixel wavefront calibration
+        (ref ``cameraslms.py:3984-4094``): the calibration point's camera
+        location, the measured per-superpixel fringe phase, and either
+        the phase derivatives (``phase_detail``) or the measured power
+        and fit r². ``index=None`` plots all calibration points' camera
+        locations instead.
+        """
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(16, 8))
+        data = self.calibrations["wavefront_superpixel"]
+
+        if index is None:
+            coords = np.asarray(data["calibration_points"])
+            plt.subplot(1, 4, 1)
+            plt.scatter(coords[0, :], coords[1, :], c="r")
+            for i in range(coords.shape[1]):
+                plt.annotate(str(i), (coords[0, i], coords[1, i]))
+            plt.title("Calibration Points")
+            plt.xlabel("Camera $x$ [pix]")
+            plt.ylabel("Camera $y$ [pix]")
+            plt.xlim([0, self.cam.shape[1]])
+            plt.ylim([0, self.cam.shape[0]])
+            plt.gca().set_aspect(1)
+            return
+
+        coord = np.asarray(data["calibration_points"])[:, index]
+        phase = np.array(data["phase"][index], dtype=float)
+        kx = np.array(data["kx"][index], dtype=float)
+        ky = np.array(data["ky"][index], dtype=float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            power = np.asarray(data["power"][index], dtype=float) / np.asarray(
+                data["normalization"][index], dtype=float
+            )
+        r2 = np.array(data["r2_fit"][index], dtype=float)
+
+        below = r2 < r2_threshold
+        for matrix in (phase, kx, ky, power):
+            matrix[below] = np.nan
+
+        kscale = np.nanmax(
+            [np.nanmax(np.abs(kx), initial=0), np.nanmax(np.abs(ky), initial=0)]
+        ) or 1
+
+        plt.subplot(1, 4, 1)
+        plt.scatter(coord[0], coord[1], c="r")
+        plt.annotate(str(index), (coord[0], coord[1]))
+        plt.title(f"Calibration Point {index}")
+        plt.xlabel("Camera $x$ [pix]")
+        plt.ylabel("Camera $y$ [pix]")
+        plt.xlim([0, self.cam.shape[1]])
+        plt.ylim([0, self.cam.shape[0]])
+        plt.gca().set_aspect(1)
+
+        plt.subplot(1, 4, 2)
+        plt.imshow(phase, clim=(0, 2 * np.pi), cmap="twilight", interpolation="none")
+        plt.title(r"Phase Correction $\phi$")
+        plt.xticks([])
+        plt.yticks([])
+
+        plt.subplot(1, 4, 3)
+        if phase_detail:
+            plt.imshow(kx, clim=(-kscale, kscale), cmap="twilight", interpolation="none")
+            plt.title(r"$k_x \propto \partial\phi/\partial x$")
+        else:
+            plt.imshow(power)
+            plt.title("Measured Beam Power")
+        plt.xticks([])
+        plt.yticks([])
+
+        plt.subplot(1, 4, 4)
+        if phase_detail:
+            plt.imshow(ky, clim=(-kscale, kscale), cmap="twilight", interpolation="none")
+            plt.title(r"$k_y \propto \partial\phi/\partial y$")
+        else:
+            plt.imshow(r2, clim=(0, 1))
+            plt.title("$R^2$")
+        plt.xticks([])
+        plt.yticks([])
+
+        plt.show()
 
     def wavefront_calibration_superpixel_window(self, superpixel_size):
         """

@@ -3,6 +3,8 @@ Integration tests for FourierSLM calibration on the simulated rig
 (mirrors reference tests/hardware/test_cameraslm.py).
 """
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -330,3 +332,148 @@ class TestWavefrontSmokeFast:
         fs.slm.source["phase"] = correction
         # The corrected spot concentrates more power at the peak.
         assert after > 1.1 * before
+
+
+class TestWavefrontDiagnosticPlots:
+    """The ``plot=1/2`` levels of both wavefront calibrations render
+    real diagnostics (ref ``cameraslms.py:2934-3090, 3984-4094,
+    1948-1973, 2041-2063``); these smoke them under Agg and count the
+    produced figures."""
+
+    @staticmethod
+    def _rig():
+        from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        slm = SimulatedSLM(resolution=(256, 256), pitch_um=(8, 8), wav_um=0.78)
+        slm.set_source_analytic(
+            "gaussian2d", sim=True, x0=0, y0=0, a=1, c=0,
+            wx=0.35 * 256 * slm.pitch[0], wy=0.35 * 256 * slm.pitch[1],
+        )
+        cam = SimulatedCamera(
+            slm, resolution=(256, 256), pitch_um=(5.5, 5.5),
+            M=np.array([[4.0e3, 100.0], [-100.0, 4.0e3]]),
+            b=np.array([[128.0], [128.0]]),
+        )
+        cam.set_exposure(1.0)
+        fs = FourierSLM(cam, slm)
+        fs.fourier_calibrate(array_shape=5, array_pitch=8, verbose=False)
+        return fs
+
+    @pytest.mark.slow
+    def test_superpixel_live_diagnostics(self, tmp_path):
+        """plot=2 renders the labeled SLM/camera/zoom triptych per
+        measurement (test_index measures exactly one column)."""
+        import matplotlib.pyplot as plt
+
+        fs = self._rig()
+        plt.close("all")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            fs.wavefront_calibrate(
+                method="superpixel",
+                calibration_points=np.array([[160.0], [110.0]]),
+                superpixel_size=64, phase_steps=1, plot=2, test_index=0,
+            )
+        figs = [plt.figure(n) for n in plt.get_fignums()]
+        assert len(figs) >= 2  # Test-point + interference triptychs.
+        for i, fig in enumerate(figs):
+            fig.savefig(tmp_path / f"superpixel_diag_{i}.png")
+        assert any(len(fig.axes) >= 3 for fig in figs)
+        plt.close("all")
+
+    @pytest.mark.slow
+    def test_superpixel_plot_raw(self, tmp_path):
+        import matplotlib.pyplot as plt
+
+        fs = self._rig()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            fs.wavefront_calibrate(
+                method="superpixel",
+                calibration_points=np.array([[160.0], [110.0]]),
+                superpixel_size=64, phase_steps=1, plot=-1,
+            )
+        plt.close("all")
+        fs._wavefront_calibration_superpixel_plot_raw(index=0)
+        fs._wavefront_calibration_superpixel_plot_raw(
+            index=0, phase_detail=False, r2_threshold=0.5
+        )
+        fs._wavefront_calibration_superpixel_plot_raw(index=None)
+        figs = [plt.figure(n) for n in plt.get_fignums()]
+        assert len(figs) >= 3
+        for i, fig in enumerate(figs):
+            fig.savefig(tmp_path / f"superpixel_raw_{i}.png")
+        plt.close("all")
+
+    def test_zernike_status_and_raw_plots(self, tmp_path):
+        import matplotlib.pyplot as plt
+
+        fs = self._rig()
+        plt.close("all")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            # perturbation=0 takes the no-perturbation status branch.
+            fs.wavefront_calibrate_zernike(
+                calibration_points=np.array([[130.0, 160], [110.0, 140]]),
+                zernike_indices=5, perturbation=0, plot=2,
+            )
+        assert len(plt.get_fignums()) >= 2  # Status frame + tile zoom.
+        plt.close("all")
+
+        # Raw-data scatter from a stored zernike calibration.
+        fs.calibrations["wavefront_zernike"] = {
+            "corrected_spots": np.array([[0.1, -0.2], [0.3, 0.0], [0.05, 0.1]]),
+            "calibration_points_ij": np.array([[130.0, 160], [110.0, 140]]),
+            "zernike_indices": np.array([1, 2, 4]),
+        }
+        fs._wavefront_calibrate_zernike_plot_raw(index=2)
+        figs = [plt.figure(n) for n in plt.get_fignums()]
+        assert len(figs) >= 1
+        figs[0].savefig(tmp_path / "zernike_raw.png")
+        plt.close("all")
+
+
+class TestSuperpixelR001Migration:
+    """A pre-0.1 (r001-format, no __version__) wavefront h5 file loads
+    and processes — the versioned-migration branch of
+    wavefront_calibration_superpixel_process (ref dispatch
+    ``cameraslms.py:3608-3621``)."""
+
+    def test_r001_file_roundtrip(self, tmp_path):
+        from slmsuite_tpu.misc.files import load_h5, save_h5
+
+        fs = TestWavefrontDiagnosticPlots._rig()
+        NY = NX = 4
+        sp = 64
+        rng = np.random.default_rng(5)
+        r001 = {
+            "NX": NX, "NY": NY, "nxref": 2, "nyref": 2,
+            "superpixel_size": sp,
+            "interference_point": np.array([160.0, 110.0]),
+            "interference_size": np.array([8.0, 8.0]),
+            "power": rng.uniform(500, 1000, (NY, NX)),
+            "normalization": np.full((NY, NX), 1.1e3),
+            "background": np.zeros((NY, NX)),
+            "phase": rng.uniform(0, 2 * np.pi, (NY, NX)),
+            "kx": rng.uniform(-1e-4, 1e-4, (NY, NX)),
+            "ky": rng.uniform(-1e-4, 1e-4, (NY, NX)),
+            "amp_fit": np.ones((NY, NX)),
+            "contrast_fit": np.ones((NY, NX)),
+            "r2_fit": np.full((NY, NX), 0.97),
+        }
+        path = str(tmp_path / "wavefront_r001.h5")
+        save_h5(path, r001)
+
+        loaded = load_h5(path)
+        assert "__version__" not in loaded
+        fs.calibrations["wavefront"] = loaded
+        out = fs.wavefront_calibration_superpixel_process(
+            smooth=2, apply=True, plot=False
+        )
+        # The version key was backfilled by the migration dispatch.
+        assert fs.calibrations["wavefront"]["__version__"] == "0.0.1"
+        assert out["phase"].shape == tuple(fs.slm.shape)
+        assert np.isfinite(out["phase"]).all()
+        assert np.isfinite(out["amplitude"]).all()
+        assert "phase" in fs.slm.source
