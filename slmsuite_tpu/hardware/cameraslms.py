@@ -1351,6 +1351,11 @@ class FourierSLM(CameraSLM):
             ]
         )
 
+        if plot:
+            import matplotlib.pyplot as plt
+
+            plt.scatter(*points_ij[:2], c="r", zorder=10)
+
         for i in range(points_ij.shape[1]):
             neighbors = set()
             for simplex in simplices:
@@ -1358,6 +1363,15 @@ class FourierSLM(CameraSLM):
                     neighbors.update(simplex)
             neighbors.discard(i)
             count = max(len(neighbors), 1)
+
+            if plot:
+                # Render the neighbor graph the averaging walks.
+                for n in neighbors:
+                    plt.plot(
+                        [points_ij[0, n], points_ij[0, i]],
+                        [points_ij[1, n], points_ij[1, i]],
+                        c="k", linewidth=1,
+                    )
 
             final[x_smooth, i] = (1 - smoothing_xy) * (
                 vectors[x_smooth, i] - base_xy[0, i]
@@ -1372,6 +1386,10 @@ class FourierSLM(CameraSLM):
             final[to_smooth, i] = (1 - smoothing) * vectors[to_smooth, i]
             for n in neighbors:
                 final[to_smooth, i] += smoothing * vectors[to_smooth, n] / count
+
+        if plot:
+            plt.gca().invert_yaxis()
+            plt.title("Nearest Neighbor Smoothing")
 
         return final
 
@@ -1808,6 +1826,23 @@ class FourierSLM(CameraSLM):
             ss_res = np.sum((intensities - cos(phases, *popt)) ** 2)
             ss_tot = np.sum((intensities - np.mean(intensities)) ** 2)
             r2 = 1 - (ss_res / ss_tot) if ss_tot > 0 else 0
+
+            if plot_this:
+                import matplotlib.pyplot as plt
+
+                plt.scatter(phases / np.pi, intensities, color="k", label="Data")
+                phases_fine = np.linspace(0, 2 * np.pi, 100)
+                plt.plot(phases_fine / np.pi, cos(phases_fine, *popt), "k-", label="Fit")
+                plt.plot(phases_fine / np.pi, cos(phases_fine, *guess), "k--", label="Guess")
+                plt.plot(best_phase / np.pi, popt[1] + popt[2], "xr", label="Phase")
+                plt.legend(loc="best")
+                plt.title(f"Interference ($R^2$={r2:.3f})")
+                plt.grid()
+                plt.xlim([0, 2])
+                plt.xlabel(r"$\phi$ $[\pi]$")
+                plt.ylabel("Signal")
+                plt.show()
+
             return best_phase, amp, r2, contrast
 
         # --- Single-shot fringe-image fit (ref :2794-2930). ---
@@ -2068,7 +2103,9 @@ class FourierSLM(CameraSLM):
                     )
                 iresults = np.array(iresults)
                 for i in range(num_points):
-                    results.append(fit_phase(phases, iresults[:, i]))
+                    results.append(
+                        fit_phase(phases, iresults[:, i], plot_this=plot_fits)
+                    )
 
             results = np.array(results)
             return {

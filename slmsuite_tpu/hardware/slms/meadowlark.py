@@ -25,6 +25,38 @@ _DEFAULT_SDK_ROOTS = [
 ]
 
 
+#: Package-data SDK compatibility matrix (feature support per Blink SDK
+#: generation; same facts as the reference's ``meadowlark.csv`` table).
+SDK_TABLE_PATH = os.path.join(os.path.dirname(__file__), "meadowlark.csv")
+
+
+def sdk_feature_table(path=SDK_TABLE_PATH):
+    """
+    Blink-SDK compatibility matrix as
+    ``{feature: {"hdmi": ..., "pcie": ..., "legacy_pcie": ...}}``.
+    Boolean-ish cells parse to bools; free-text cells (tested models,
+    resolutions, versions) stay strings. Use to check whether a call
+    like :meth:`Meadowlark.get_temperature` is meaningful on the
+    detected ``sdk_interface`` before driving hardware.
+    """
+    import csv
+
+    def parse(cell):
+        if cell in ("yes", "y"):
+            return True
+        if cell in ("no", "n", ""):
+            return False
+        return cell
+
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    header = rows[0][1:]
+    return {
+        row[0]: dict(zip(header, (parse(c) for c in row[1:])))
+        for row in rows[1:]
+    }
+
+
 def _find_dll(sdk_path=None):
     """Locate ``Blink_C_wrapper.dll`` under ``sdk_path`` or default roots."""
     roots = [sdk_path] if sdk_path else _DEFAULT_SDK_ROOTS
@@ -131,25 +163,64 @@ class Meadowlark(SLM):
         )
         self.set_phase(None)
 
+    @staticmethod
+    def _locate_lut_file(search_path, slm_shape=None):
+        """
+        Pick the ``.lut`` file to load from ``search_path`` (searched
+        recursively). Meadowlark ships per-device calibrations named like
+        ``slm5758_at532.lut``; when several files are present, prefer one
+        whose name carries the SLM's own dimensions, else fall back to
+        the most recently created file (warning). Ref
+        ``meadowlark.py:968-1018``.
+        """
+        import glob
+
+        files = set(
+            glob.glob(os.path.join(str(search_path), "**", "*.lut"),
+                      recursive=True)
+        )
+        if len(files) == 1:
+            return files.pop()
+        if not files:
+            raise FileNotFoundError(f"No .lut file found in '{search_path}'.")
+        if slm_shape:
+            matching = {
+                f for f in files
+                if str(slm_shape[1]) in os.path.basename(f)
+                and str(slm_shape[0]) in os.path.basename(f)
+            }
+            if len(matching) == 1:
+                return matching.pop()
+            if matching:
+                files = matching
+        best = max(files, key=os.path.getctime)
+        warnings.warn(
+            f"Multiple LUT files located. Defaulting to the most recent "
+            f"one: {best}.")
+        return best
+
     def _load_lut(self, lut_path):
-        """Load a voltage lookup table; search directories for ``*.lut``."""
+        """Load a voltage lookup table (the phase-to-voltage calibration
+        of the liquid crystal); directories are searched via
+        :meth:`_locate_lut_file`, preferring a file matching this SLM's
+        dimensions."""
         if lut_path is not None and os.path.isdir(lut_path):
-            luts = sorted(
-                os.path.join(lut_path, f)
-                for f in os.listdir(lut_path) if f.lower().endswith(".lut")
-            )
-            if not luts:
-                raise FileNotFoundError(f"No .lut files in '{lut_path}'.")
-            if len(luts) > 1:
-                warnings.warn(f"Multiple LUTs in '{lut_path}'; using '{luts[0]}'.")
-            lut_path = luts[0]
+            slm_shape = tuple(self.shape) if hasattr(self, "shape") else None
+            lut_path = self._locate_lut_file(lut_path, slm_shape)
         if lut_path is None:
-            return
-        encoded = lut_path.encode("utf-8")
+            return None
+        if not os.path.exists(lut_path):
+            raise FileNotFoundError(f"Failed to locate LUT at: '{lut_path}'.")
+        encoded = str(lut_path).encode("utf-8")
         if self.sdk_interface == "pcie":
-            self.slm_lib.Load_LUT_file(ctypes.c_uint(self.slm_number), encoded)
+            success = self.slm_lib.Load_LUT_file(
+                ctypes.c_uint(self.slm_number), encoded
+            )
+            if success != 1:
+                warnings.warn(f"Failed to load LUT file: '{lut_path}'.")
         else:
             self.slm_lib.Load_lut(encoded)
+        return str(lut_path)
 
     #: Whether image writes wait for an external input trigger (PCIe).
     _wait_for_trigger = False
@@ -201,8 +272,9 @@ class Meadowlark(SLM):
 
     def load_lut(self, lut_path):
         """Load a voltage lookup table (``.lut`` file, or a directory to
-        search for one)."""
-        self._load_lut(lut_path)
+        search for one — see :meth:`_locate_lut_file` for the selection
+        rules). Returns the path that was loaded."""
+        return self._load_lut(lut_path)
 
     def get_last_error_message(self):
         """Last SDK error message (PCIe SDKs only)."""

@@ -535,8 +535,15 @@ class SLM(_Picklable, ABC):
         return np.zeros(self.shape)
 
     def plot_source(self, source=None, sim=False, power=False):
-        """Plot the source amplitude and phase distributions."""
+        """
+        Plot the source phase and amplitude (or power) distributions,
+        plus — for measured sources carrying a wavefront-calibration
+        fit — the r² goodness-of-fit map with the ``r2_threshold``
+        contour overlaid on every panel (the fit-quality boundary of
+        the usable correction). Ref ``slms/slm.py:1240-1330``.
+        """
         import matplotlib.pyplot as plt
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
 
         if source is None:
             source = self.source
@@ -547,14 +554,50 @@ class SLM(_Picklable, ABC):
                 "wavefront calibration or set_source_analytic()."
             )
 
-        fig, axs = plt.subplots(1, 2, figsize=(10, 5))
-        axs[0].imshow(
-            np.mod(source["phase" + suffix], 2 * np.pi), cmap="twilight", vmin=0, vmax=2 * np.pi
+        plot_r2 = not sim and "r2" in source
+        r2_full_shape = plot_r2 and (
+            np.shape(source["r2"]) == tuple(self.shape)
         )
-        axs[0].set_title("Source Phase")
+        plot_contour = r2_full_shape and "r2_threshold" in source
+
+        def r2_contour(ax):
+            if plot_contour:
+                ax.contour(
+                    source["r2"], levels=[float(source["r2_threshold"])],
+                    colors="red", linewidths=1,
+                )
+
+        fig, axs = plt.subplots(1, 3 if plot_r2 else 2, figsize=(10, 6))
+
+        im = axs[0].imshow(
+            np.mod(source["phase" + suffix], 2 * np.pi),
+            cmap="twilight", vmin=0, vmax=2 * np.pi, interpolation="none",
+        )
+        r2_contour(axs[0])
+        axs[0].set_title("Simulated Source Phase" if sim else "Source Phase")
+        cax = make_axes_locatable(axs[0]).append_axes("right", size="5%", pad=0.05)
+        plt.colorbar(im, cax=cax)
+
         data = source["amplitude" + suffix]
-        axs[1].imshow(np.square(data) if power else data, clim=(0, 1))
-        axs[1].set_title("Source Power" if power else "Source Amplitude")
+        im = axs[1].imshow(np.square(data) if power else data, clim=(0, 1))
+        r2_contour(axs[1])
+        kind = "Power" if power else "Amplitude"
+        axs[1].set_title(f"Simulated Source {kind}" if sim else f"Source {kind}")
+        cax = make_axes_locatable(axs[1]).append_axes("right", size="5%", pad=0.05)
+        plt.colorbar(im, cax=cax)
+
+        if plot_r2:
+            im = axs[2].imshow(source["r2"], clim=(0, 1))
+            r2_contour(axs[2])
+            axs[2].set_title("Cal Fitting $R^2$")
+            unit = "pix" if r2_full_shape else "superpix"
+            axs[2].set_xlabel(f"SLM $x$ [{unit}]")
+            axs[2].set_ylabel(f"SLM $y$ [{unit}]")
+
+        for ax in axs[:2]:
+            ax.set_xlabel("SLM $x$ [pix]")
+            ax.set_ylabel("SLM $y$ [pix]")
+
         plt.show()
         return axs
 

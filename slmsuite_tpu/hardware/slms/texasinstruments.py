@@ -22,6 +22,7 @@ Parity: reference ``slmsuite/hardware/slms/texasinstruments.py``
 (``PLM``, ``DLPC900``) and ``texas_instruments.yaml``.
 """
 
+import os
 import time
 import warnings
 from enum import IntEnum
@@ -36,36 +37,45 @@ except ImportError:
     hid = None
 
 
-#: Published PLM EVM specifications (TI). ``displacement_ratios`` are the
-#: 16 mirror heights as fractions of full stroke; ``memory_lut`` maps a
-#: height state to its 4-bit memory code; ``electrode_layout`` places
-#: memory bit b within the pixel's 2x2 electrode block.
-PLM_MODELS = {
-    "p47": {
-        "name": ".47 PLM",
-        "shape": (540, 960),
-        "pitch_um": (10.8, 10.8),
-        "displacement_ratios": (
-            0.0, 0.0126, 0.0259, 0.0495, 0.071, 0.0878, 0.1382, 0.2153,
-            0.3274, 0.361, 0.4204, 0.5046, 0.5916, 0.673, 0.8254, 1.0,
-        ),
-        "memory_lut": (3, 2, 1, 7, 0, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12),
-        "electrode_layout": ((2, 3), (0, 1)),
-        "data_flip": (False, False),
-    },
-    "p67": {
-        "name": ".67 PLM",
-        "shape": (800, 1358),
-        "pitch_um": (10.8, 10.8),
-        "displacement_ratios": (
-            0.0, 0.0107, 0.0219, 0.0450, 0.0598, 0.0775, 0.1206, 0.1850,
-            0.3655, 0.3955, 0.4510, 0.5244, 0.6393, 0.7116, 0.8502, 1.0,
-        ),
-        "memory_lut": (3, 2, 1, 7, 0, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12),
-        "electrode_layout": ((1, 3), (0, 2)),
-        "data_flip": (False, True),
-    },
-}
+#: Package-data model database (TI-published PLM EVM specifications;
+#: ref ships the same facts in ``texas_instruments.yaml``).
+MODEL_DB_PATH = os.path.join(os.path.dirname(__file__), "texas_instruments.yaml")
+
+
+def _load_model_db(path=MODEL_DB_PATH):
+    """
+    Load the PLM model database from :data:`MODEL_DB_PATH`.
+
+    ``displacement_ratios`` are the 16 mirror heights as fractions of
+    full stroke; ``memory_lut`` maps a height state to its 4-bit memory
+    code; ``electrode_layout`` places memory bit b within the pixel's
+    2x2 electrode block; ``data_flip`` flips the bitpacked frame.
+    Values are normalized to hashable tuples (the in-memory schema the
+    driver code indexes).
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    models = {}
+    for key, spec in raw.items():
+        models[key] = {
+            "name": str(spec["name"]),
+            "shape": tuple(int(v) for v in spec["shape"]),
+            "pitch_um": tuple(float(v) for v in spec["pitch_um"]),
+            "displacement_ratios": tuple(
+                float(v) for v in spec["displacement_ratios"]
+            ),
+            "memory_lut": tuple(int(v) for v in spec["memory_lut"]),
+            "electrode_layout": tuple(
+                tuple(int(v) for v in row) for row in spec["electrode_layout"]
+            ),
+            "data_flip": tuple(bool(v) for v in spec["data_flip"]),
+        }
+    return models
+
+
+PLM_MODELS = _load_model_db()
 
 #: USB identifiers for the DLPC900 HID interface.
 DLPC900_VENDOR_ID = 0x0451

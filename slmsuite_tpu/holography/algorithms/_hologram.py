@@ -639,6 +639,111 @@ class Hologram(_HologramStats):
             shape = (largest, largest)
         return shape
 
+    #: Live f32 ``(N, N)`` planes of one scanned WGS iteration on TPU —
+    #: the HBM working set the memory-constrained-shape model charges.
+    #: Fused carry-mode step: carry field pair (2) + weights (1) + Kim
+    #: phasor pair (2) + target & masks (2) + out-of-place kernel
+    #: outputs before donation recycles them (5) + four-step stage
+    #: workspace (2) = 14. Natural path adds the materialized complex
+    #: farfield, amp_ff/theta, and constrained planes ( + 8).
+    _STEP_LIVE_PLANES = {"fused": 14, "natural": 22}
+
+    #: Multiplicative slack for XLA fragmentation/donation timing; the
+    #: compiled peak can transiently exceed the analytic live set.
+    _HBM_SLACK = 1.25
+
+    def _calculate_memory_constrained_shape(
+        self, device=0, dtype=None, budget=None, path="fused"
+    ):
+        """
+        Largest square computational side :math:`N` whose scanned WGS
+        step fits in the per-chip HBM budget — the TPU analog of the
+        reference's cupy-mempool heuristic (ref ``_hologram.py:727-738``,
+        which divides the pool among 8 flat arrays). Here the live set
+        is modeled from the engine's actual buffers
+        (:attr:`_STEP_LIVE_PLANES` planes of ``dtype``, times
+        :attr:`_HBM_SLACK` for allocator fragmentation).
+
+        Parameters
+        ----------
+        device : int
+            Device index for :meth:`get_mempool_limit`.
+        dtype : type OR None
+            Plane dtype; defaults to :attr:`dtype` (f32).
+        budget : int OR None
+            HBM budget in bytes. Defaults to the live device's reported
+            ``bytes_limit``; pass explicitly to plan for other hardware
+            (e.g. ``16e9`` for a v5e chip) or when no device is attached.
+        path : str
+            ``"fused"`` (scrambled carry-mode Pallas step, the default at
+            power-of-two shapes) or ``"natural"`` (einsum path).
+
+        Returns
+        -------
+        float
+            Maximum square side length.
+        """
+        if dtype is None:
+            dtype = self.dtype
+        return Hologram._memory_constrained_side(
+            budget, device=device, dtype=dtype, path=path
+        )
+
+    @staticmethod
+    def _memory_constrained_side(budget, device=0, dtype=np.float32,
+                                 path="fused"):
+        """Core of :meth:`_calculate_memory_constrained_shape` (shared
+        with the instance-free :meth:`suggest_memory_strategy`)."""
+        if budget is None:
+            budget = Hologram.get_mempool_limit(device=device)
+        if budget is None or budget <= 0:
+            raise RuntimeError(
+                "No device HBM budget available; pass budget= explicitly "
+                "(e.g. 16e9 for a v5e chip)."
+            )
+        planes = Hologram._STEP_LIVE_PLANES[path]
+        bytes_per_value = np.dtype(dtype).itemsize
+        values_per_plane = budget / (
+            planes * bytes_per_value * Hologram._HBM_SLACK
+        )
+        return float(np.sqrt(values_per_plane))
+
+    @staticmethod
+    def suggest_memory_strategy(shape, budget=None, device=0,
+                                dtype=np.float32, spots=False):
+        """
+        Sizing advice for a computational ``shape`` against a per-chip
+        HBM ``budget``: whether the single-chip scanned engine fits, the
+        largest side that would, and — above the budget — which scaling
+        path to take (the row-sharded pencil-FFT plane engine
+        :mod:`slmsuite_tpu.parallel.plane` for image holograms; the
+        grid-free :class:`CompressedSpotHologram` transform, which never
+        materializes the padded plane at all, for spot workloads).
+
+        Returns
+        -------
+        dict
+            ``{"shape", "max_side", "fits", "recommendation", "budget"}``.
+        """
+        max_side = Hologram._memory_constrained_side(
+            budget, device=device, dtype=dtype
+        )
+        side = int(np.max(shape) if not np.isscalar(shape) else shape)
+        fits = side <= max_side
+        if fits:
+            recommendation = "single-chip"
+        elif spots:
+            recommendation = "compressed"
+        else:
+            recommendation = "shard-plane"
+        return {
+            "shape": (side, side),
+            "max_side": max_side,
+            "fits": fits,
+            "recommendation": recommendation,
+            "budget": budget,
+        }
+
     # ------------------------------------------------------------------
     # Initialization helpers (ref :501-536).
     # ------------------------------------------------------------------

@@ -178,8 +178,12 @@ class _HologramStats:
 
     def plot_nearfield(self, source=None, title="", padded=False, figsize=(8, 4), cbar=False):
         """Plot the nearfield amplitude and phase of the hologram (or of
-        a given complex ``source`` array, reference-compatible)."""
+        a given complex ``source`` array). ``padded`` shows the full
+        computational :attr:`shape` (the SLM region padded with zeros)
+        instead of the bare :attr:`slm_shape` — ref ``_stats.py:340-422``."""
         import matplotlib.pyplot as plt
+
+        from slmsuite_tpu.holography import toolbox
 
         fig, axs = plt.subplots(1, 2, figsize=figsize)
 
@@ -192,16 +196,30 @@ class _HologramStats:
             phase_plot = np.angle(source)
         if np.isscalar(amp):
             amp = np.full(self.slm_shape, amp)
+        amp = np.asarray(amp)
+        phase_plot = np.asarray(phase_plot)
 
-        im0 = axs[0].imshow(amp)
+        shown_shape = tuple(self.shape) if padded else tuple(self.slm_shape)
+        if amp.shape != shown_shape:
+            amp = toolbox.pad(amp, shown_shape)
+        vmax = float(np.nanmax(amp)) or 1.0
+        im0 = axs[0].imshow(amp, vmin=0, vmax=vmax)
         axs[0].set_title("Nearfield amplitude")
+        phase_shown = np.mod(phase_plot, 2 * np.pi)
+        if phase_shown.shape != shown_shape:
+            phase_shown = toolbox.pad(phase_shown, shown_shape)
         im1 = axs[1].imshow(
-            np.mod(np.asarray(phase_plot), 2 * np.pi),
+            phase_shown,
             cmap="twilight",
             vmin=0,
             vmax=2 * np.pi,
+            interpolation="none",
         )
         axs[1].set_title("Nearfield phase")
+        for i, ax in enumerate(axs):
+            ax.set_xlabel("SLM $x$ [pix]")
+            if i == 0:
+                ax.set_ylabel("SLM $y$ [pix]")
         if cbar:
             fig.colorbar(im0, ax=axs[0])
             fig.colorbar(im1, ax=axs[1])

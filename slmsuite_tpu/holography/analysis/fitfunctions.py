@@ -147,6 +147,38 @@ def _sinc2d_centered_taylor(xy, R, a=1, b=0, c=0, d=0, kx=0, ky=0):
     return sinc_term * (a * 0.5 * (1 + np.cos(kx * xy[0] + ky * xy[1] - b)) + c) + d
 
 
+def _sinc2d_centered_jacobian(xy, R, a=1, b=0, c=0, d=0, kx=0, ky=0):
+    r"""
+    Analytic Jacobian of :meth:`_sinc2d_centered` with respect to
+    ``(R, a, b, c, d, kx, ky)``, shape ``(npoints, 7)`` — usable as the
+    ``jac`` argument of ``scipy.optimize.curve_fit`` for the superpixel
+    fringe fit (ref ``fitfunctions.py:509-541``; unused by ``image_fit``
+    in both packages).
+    """
+    scx = np.sinc((1 / R) * xy[0])
+    scy = np.sinc((1 / R) * xy[1])
+    cx = np.cos((np.pi / R) * xy[0])
+    cy = np.cos((np.pi / R) * xy[1])
+    sinc_term = np.square(scx * scy)
+    phase = kx * xy[0] + ky * xy[1] - b
+    cos_term = 0.5 * (1 + np.cos(phase))
+    dcos_term = -0.5 * np.sin(phase)
+    # d/dR of sinc(x/R)^2 = (2/R) sinc(x/R) (sinc(x/R) - cos(pi x/R));
+    # the product rule couples the x and y factors.
+    dsinc_dR = (2 / R) * scx * scy * (
+        scx * (scy - cy) + scy * (scx - cx)
+    )
+    return np.vstack((
+        dsinc_dR * (a * cos_term + c),                  # R
+        sinc_term * cos_term,                           # a
+        -sinc_term * a * dcos_term,                     # b
+        sinc_term,                                      # c
+        np.full_like(np.asarray(xy[0], dtype=float), 1.0),  # d
+        xy[0] * sinc_term * a * dcos_term,              # kx
+        xy[1] * sinc_term * a * dcos_term,              # ky
+    )).T
+
+
 def exponential_jump(x, x0, a, b, c):
     r"""
     Step + exponential relaxation used by settle calibration:

@@ -23,10 +23,16 @@ __all__ = ["trace", "time_scan", "bytes_accessed"]
 
 @contextlib.contextmanager
 def trace(log_dir, host_tracer_level=2):
-    """Record a ``jax.profiler`` trace into ``log_dir`` (TensorBoard format)."""
+    """Record a ``jax.profiler`` trace into ``log_dir`` (TensorBoard format).
+    ``host_tracer_level`` maps to ``ProfileOptions.host_tracer_level``
+    (0 = off, 1 = trace regions, 2 = +Python, 3 = verbose)."""
     import jax
 
-    jax.profiler.start_trace(log_dir, create_perfetto_link=False)
+    options = jax.profiler.ProfileOptions()
+    options.host_tracer_level = int(host_tracer_level)
+    jax.profiler.start_trace(
+        log_dir, create_perfetto_link=False, profiler_options=options
+    )
     try:
         yield
     finally:

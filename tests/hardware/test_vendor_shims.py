@@ -366,3 +366,107 @@ def test_window_manager_multi_window(monkeypatch):
             break
         time.sleep(0.01)
     assert not manager._threads
+
+
+class TestVendorDataTables:
+    """Package-data vendor tables match the reference's files
+    (ref slms/texas_instruments.yaml, slms/meadowlark.csv)."""
+
+    def test_plm_model_db_matches_reference(self):
+        import os
+
+        import yaml
+
+        from slmsuite_tpu.hardware.slms.texasinstruments import PLM_MODELS
+
+        ref_path = "/root/reference/slmsuite/hardware/slms/texas_instruments.yaml"
+        if not os.path.isfile(ref_path):
+            pytest.skip("reference checkout not mounted")
+        with open(ref_path) as f:
+            ref_db = yaml.safe_load(f)
+
+        assert set(PLM_MODELS) == set(ref_db)
+        for key, ref_spec in ref_db.items():
+            ours = PLM_MODELS[key]
+            assert ours["name"] == ref_spec["name"]
+            assert ours["shape"] == tuple(ref_spec["shape"])
+            # Reference stores pitch in meters; ours in micrometers.
+            np.testing.assert_allclose(
+                np.asarray(ours["pitch_um"]) * 1e-6, ref_spec["pitch"]
+            )
+            np.testing.assert_allclose(
+                ours["displacement_ratios"], ref_spec["displacement_ratios"]
+            )
+            assert ours["memory_lut"] == tuple(ref_spec["memory_lut"])
+            assert ours["electrode_layout"] == tuple(
+                tuple(row) for row in ref_spec["electrode_layout"]
+            )
+            assert ours["data_flip"] == tuple(
+                bool(v) for v in ref_spec["data_flip"]
+            )
+
+    def test_plm_driver_uses_db(self):
+        from slmsuite_tpu.hardware.slms import texasinstruments as ti
+
+        # Every listed model is loadable through the public lookup.
+        for model in ti.PLM.get_model_list():
+            spec = ti.PLM.load_model_config(model)
+            assert len(spec["displacement_ratios"]) == 16
+            assert sorted(spec["memory_lut"]) == list(range(16))
+
+    def test_meadowlark_sdk_table(self):
+        from slmsuite_tpu.hardware.slms.meadowlark import sdk_feature_table
+
+        table = sdk_feature_table()
+        assert table["get_temperature"] == {
+            "hdmi": True, "pcie": True, "legacy_pcie": False
+        }
+        assert table["multiple_slms_via_slm_number"]["hdmi"] is False
+        assert table["multiple_slms_via_slm_number"]["pcie"] is True
+        assert "1024 x 1024" in table["supported_resolutions"]["pcie"]
+        assert table["blink_version"]["legacy_pcie"] == "<=1.1.4.867"
+
+
+class TestMeadowlarkLutLocator:
+    def test_single_file(self, tmp_path):
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        (tmp_path / "a.lut").write_text("x")
+        assert Meadowlark._locate_lut_file(tmp_path).endswith("a.lut")
+
+    def test_prefers_matching_dimensions(self, tmp_path):
+        """Meadowlark ships per-device LUTs named like slm5758_at532;
+        with several candidates, the one carrying this SLM's dimensions
+        wins (ref meadowlark.py:968-1018)."""
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        (tmp_path / "slm1234_at532_1920x1152.lut").write_text("x")
+        (tmp_path / "slm5678_at532_1024x1024.lut").write_text("x")
+        chosen = Meadowlark._locate_lut_file(tmp_path, slm_shape=(1152, 1920))
+        assert "1920x1152" in chosen
+
+    def test_multiple_falls_back_most_recent(self, tmp_path):
+        import time as _t
+
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        (tmp_path / "old.lut").write_text("x")
+        _t.sleep(0.05)
+        (tmp_path / "new.lut").write_text("x")
+        with pytest.warns(UserWarning, match="most recent"):
+            chosen = Meadowlark._locate_lut_file(tmp_path)
+        assert chosen.endswith("new.lut")
+
+    def test_searches_recursively(self, tmp_path):
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        sub = tmp_path / "LUT"
+        sub.mkdir()
+        (sub / "slm9_at780.lut").write_text("x")
+        assert Meadowlark._locate_lut_file(tmp_path).endswith("slm9_at780.lut")
+
+    def test_empty_raises(self, tmp_path):
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        with pytest.raises(FileNotFoundError):
+            Meadowlark._locate_lut_file(tmp_path)

@@ -1490,3 +1490,42 @@ class TestWexpKernel:
         sig = mag > mag.max() * 1e-3
         diff = np.angle(np.exp(1j * (got - ref)))
         assert np.abs(diff[sig]).max() < 2e-4
+
+
+class TestMemoryConstrainedShape:
+    """TPU analog of the reference's mempool-constrained shape heuristic
+    (ref _hologram.py:727-738): live-buffer model of the scanned engine
+    vs a per-chip HBM budget, with a scaling-path recommendation."""
+
+    def test_constrained_side_v5e(self, spot_target):
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        side = holo._calculate_memory_constrained_shape(budget=16e9)
+        # 14 planes x 4 B x 1.25 slack -> sqrt(16e9/70) ~ 15.1k.
+        assert 14000 < side < 16000
+        # The natural path's working set is larger.
+        assert holo._calculate_memory_constrained_shape(
+            budget=16e9, path="natural"
+        ) < side
+
+    def test_strategy_flip(self):
+        # A full v5e chip fits the fused 8192^2 step (14 planes x 268 MB
+        # x 1.25 ~ 4.7 GB)...
+        fits = Hologram.suggest_memory_strategy((8192, 8192), budget=16e9)
+        assert fits["fits"] and fits["recommendation"] == "single-chip"
+        # ...but a quartered budget (co-tenancy / XLA_PYTHON_CLIENT_MEM_
+        # FRACTION) flips the recommendation to the sharded-plane path,
+        # or the compressed transform for spot workloads.
+        tight = Hologram.suggest_memory_strategy((8192, 8192), budget=4e9)
+        assert not tight["fits"]
+        assert tight["recommendation"] == "shard-plane"
+        assert tight["max_side"] < 8192
+        spots = Hologram.suggest_memory_strategy(
+            (8192, 8192), budget=4e9, spots=True
+        )
+        assert spots["recommendation"] == "compressed"
+
+    def test_no_budget_raises(self, monkeypatch):
+        monkeypatch.setattr(Hologram, "get_mempool_limit", staticmethod(lambda device=0: -1))
+        with pytest.raises(RuntimeError):
+            Hologram.suggest_memory_strategy((4096, 4096))

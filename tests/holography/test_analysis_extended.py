@@ -173,3 +173,71 @@ class TestOrientationAnd8Bit:
         out = analysis._make_8bit(np.full((8, 8), 3.3))
         assert out.dtype == np.uint8
         assert np.all(out == 0)
+
+
+class TestSinc2dJacobian:
+    def test_jacobian_matches_finite_differences(self):
+        """_sinc2d_centered_jacobian is the true gradient of
+        _sinc2d_centered (the reference's jacobian at fitfunctions.py:509
+        omits the np.sinc pi-normalization in its cos terms — ours fixes
+        that; both are unused by image_fit)."""
+        from slmsuite_tpu.holography.analysis.fitfunctions import (
+            _sinc2d_centered,
+            _sinc2d_centered_jacobian,
+        )
+
+        rng = np.random.default_rng(0)
+        xy = [rng.uniform(-5, 5, 40), rng.uniform(-5, 5, 40)]
+        params = dict(R=3.2, a=1.4, b=0.7, c=0.2, d=0.05, kx=0.8, ky=-0.5)
+        jac = _sinc2d_centered_jacobian(xy, **params)
+        assert jac.shape == (40, 7)
+        eps = 1e-6
+        for i, key in enumerate(params):
+            hi = dict(params); hi[key] += eps
+            lo = dict(params); lo[key] -= eps
+            fd = (_sinc2d_centered(xy, **hi) - _sinc2d_centered(xy, **lo)) / (2 * eps)
+            np.testing.assert_allclose(jac[:, i], fd, atol=1e-8)
+
+
+class TestPlotSourceR2Contour:
+    def test_r2_panel_and_contour(self):
+        """plot_source renders the r2 panel with the threshold contour
+        when a processed wavefront calibration populated the source
+        (ref slms/slm.py:1240-1330)."""
+        import matplotlib.pyplot as plt
+
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        slm = SimulatedSLM((64, 64), pitch_um=(8, 8), wav_um=0.78)
+        rng = np.random.default_rng(1)
+        r2 = np.clip(rng.uniform(0.5, 1.0, (64, 64)), 0, 1)
+        slm.source.update({
+            "amplitude": np.ones((64, 64)),
+            "phase": rng.uniform(0, 2 * np.pi, (64, 64)),
+            "r2": r2,
+            "r2_threshold": 0.9,
+        })
+        axs = slm.plot_source()
+        try:
+            assert len(axs) == 3
+            assert axs[2].get_title() == "Cal Fitting $R^2$"
+            # The contour drew line artists on the r2 panel.
+            assert len(axs[2].collections) > 0
+        finally:
+            plt.close("all")
+
+    def test_no_r2_two_panels(self):
+        import matplotlib.pyplot as plt
+
+        from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+
+        slm = SimulatedSLM((32, 32), pitch_um=(8, 8), wav_um=0.78)
+        slm.source.update({
+            "amplitude": np.ones((32, 32)),
+            "phase": np.zeros((32, 32)),
+        })
+        axs = slm.plot_source()
+        try:
+            assert len(axs) == 2
+        finally:
+            plt.close("all")
