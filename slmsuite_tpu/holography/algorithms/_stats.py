@@ -376,7 +376,18 @@ class _HologramStats:
             spine.set_linewidth(1.5)
 
         # Rebase both images' extents from knm into the requested units.
+        # Every non-knm blaze unit needs hardware (pitch/wavelength);
+        # without a cameraslm fall back to knm like the reference does
+        # for bare Holograms (ref _stats.py:567-571), but loudly.
         hardware = getattr(self, "cameraslm", None)
+        if hardware is None and units != "knm":
+            import warnings
+
+            warnings.warn(
+                f"plot_farfield: units='{units}' needs a cameraslm for the "
+                "unit conversion; falling back to 'knm'."
+            )
+            units = "knm"
 
         def rebase(img):
             if units == "knm":
