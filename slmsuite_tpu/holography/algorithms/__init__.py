@@ -8,6 +8,8 @@ Class hierarchy (parity: reference ``algorithms/__init__.py:39-59``):
 - :class:`SpotHologram` — DFT-based optical focus arrays.
 - :class:`CompressedSpotHologram` — grid-free (Zernike-basis) spot arrays.
 - :class:`MultiplaneHologram` — several holograms sharing one nearfield.
+- :func:`optimize_batch` — K *independent* holograms advanced in
+  lockstep through one vmapped device program (beyond the reference).
 """
 
 from slmsuite_tpu.holography.algorithms._header import (  # noqa: F401
@@ -47,3 +49,7 @@ try:
     __all__.append("MultiplaneHologram")
 except ImportError:
     pass
+
+from slmsuite_tpu.holography.algorithms._batch import optimize_batch  # noqa: F401
+
+__all__.append("optimize_batch")

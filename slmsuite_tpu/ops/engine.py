@@ -1047,6 +1047,97 @@ def _finalize_fused(config: GSConfig, state: GSState):
     return state
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_batch_run(config: GSConfig, n_iterations: int, scramble: bool):
+    """Compile ``vmap(scan(step))`` over a leading batch axis — K
+    *independent* holograms advance in lockstep through one program.
+    Scramble promotion, fused provisioning, and carry entry/exit happen
+    per instance inside the vmap (all pure jnp transforms)."""
+    base_config = config
+    sconfig = (
+        dataclasses.replace(config, scrambled=True) if scramble else config
+    )
+    step = make_gs_step(sconfig)
+    fused = _fused_active(sconfig) or _mraf_fused_active(sconfig)
+
+    def single(state, consts):
+        if scramble:
+            state = _permute_state(state, base_config.shape)
+            consts = scramble_consts(consts, base_config.shape)
+        state = _provision_fused(sconfig, state)
+        if fused:
+            consts = _augment_fused_consts(sconfig, consts)
+            from slmsuite_tpu.ops import fft as _fft
+
+            state = state._replace(
+                psi=_fft.wgs_carry_entry(state.psi, consts["amp"])
+            )
+            if sconfig.is_kim:
+                state = state._replace(
+                    phase_ff=_fft.wgs_phasor_entry(state.phase_ff)
+                )
+
+        def body(carry, _):
+            return step(carry, consts)
+
+        final, stats = jax.lax.scan(body, state, None, length=n_iterations)
+
+        if fused:
+            from slmsuite_tpu.ops import fft as _fft
+
+            final = final._replace(psi=_fft.wgs_carry_exit(*final.psi))
+            if sconfig.is_kim:
+                final = final._replace(
+                    phase_ff=_fft.wgs_phasor_exit(*final.phase_ff)
+                )
+        if scramble:
+            final = _permute_state(final, base_config.shape, unscramble=True)
+        final = _finalize_fused(sconfig, final)
+        return final, stats
+
+    return jax.jit(jax.vmap(single), donate_argnums=(0,))
+
+
+def run_gs_batch(config, states, consts, n_iterations, mesh=None,
+                 axis_name="data"):
+    """
+    Run ``n_iterations`` of GS/WGS on a BATCH of independent holograms
+    (no coupling — contrast :mod:`slmsuite_tpu.parallel.multiplane`,
+    whose planes share one phase). ``states``/``consts`` are the
+    per-instance pytrees stacked on a leading axis of size B.
+
+    With ``mesh``, the batch axis shards over ``axis_name`` — B
+    holograms optimize on B/n_devices chips each with NO collectives
+    (embarrassingly parallel; ICI silent). B must divide evenly.
+
+    Returns ``(states, stats)`` with stats shape
+    ``(B, n_iterations, len(stat_groups) + 1, 4)``.
+    """
+    import jax.tree_util as jtu
+
+    scramble = _can_scramble(config)
+    run = _compiled_batch_run(config, int(n_iterations), scramble)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_devices = int(np.prod(list(mesh.shape.values())))
+        batch = jtu.tree_leaves(states)[0].shape[0]
+        if batch % n_devices:
+            raise ValueError(
+                f"Batch size {batch} must divide the mesh "
+                f"({n_devices} devices) for sharded batch optimization."
+            )
+        sharding = NamedSharding(mesh, PartitionSpec(axis_name))
+
+        def shard(x):
+            return jax.device_put(x, sharding)
+
+        states = jtu.tree_map(shard, states)
+        consts = jtu.tree_map(shard, consts)
+    return run(states, consts)
+
+
 def run_gs_chunked(config, state, consts, n_iterations, chunk=None, on_chunk=None):
     """
     Like :meth:`run_gs` but split into ``chunk``-sized scans with

@@ -20,6 +20,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fi
 EXAMPLES = [
     "structured_light.py",
     "computational_holography.py",
+    "batched_holography.py",
     "zernike_holography.py",
     "experimental_holography.py",
     "multichip_scaling.py",

@@ -619,3 +619,117 @@ def test_compressed_mesh_indivisible_falls_back():
                       stat_groups=["computational_spot"])
     assert any("must divide the mesh" in str(w.message) for w in caught)
     assert np.isfinite(np.asarray(holo.phase)).all()
+
+
+class TestOptimizeBatch:
+    """optimize_batch: K independent holograms through one vmapped
+    program — per-instance results must match individual optimize()
+    exactly, on one device and sharded over the mesh."""
+
+    @staticmethod
+    def _make_holograms(k=4, N=64, seed=0):
+        from slmsuite_tpu.holography.algorithms import Hologram
+
+        rng = np.random.default_rng(seed)
+        holos = []
+        for i in range(k):
+            target = np.zeros((N, N), np.float32)
+            ys = rng.integers(8, N - 8, 3)
+            xs = rng.integers(8, N - 8, 3)
+            target[ys, xs] = 1.0
+            target /= np.sqrt((target**2).sum())
+            h = Hologram(target, slm_shape=(N, N))
+            h.reset_phase(
+                rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+            )
+            holos.append(h)
+        return holos
+
+    @pytest.mark.parametrize("method", ["GS", "WGS-Kim"])
+    def test_matches_individual(self, method):
+        from slmsuite_tpu.holography.algorithms import optimize_batch
+
+        batch = self._make_holograms()
+        solo = self._make_holograms()
+        optimize_batch(
+            batch, method, maxiter=8, verbose=False,
+            stat_groups=["computational"],
+        )
+        for h in solo:
+            h.optimize(
+                method, maxiter=8, verbose=False,
+                stat_groups=["computational"],
+            )
+        for hb, hs in zip(batch, solo):
+            np.testing.assert_allclose(
+                np.asarray(hb.phase), np.asarray(hs.phase), atol=2e-5
+            )
+            np.testing.assert_allclose(
+                hb.weights, hs.weights, atol=2e-5, rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                hb.stats["stats"]["computational"]["efficiency"],
+                hs.stats["stats"]["computational"]["efficiency"],
+                atol=1e-5,
+            )
+            assert hb.iter == hs.iter == 8
+
+    def test_mesh_sharded_matches_single_device(self):
+        from slmsuite_tpu.holography.algorithms import optimize_batch
+
+        mesh = make_mesh(axis_names=("data",))
+        k = 8  # One hologram per virtual device.
+        batch = self._make_holograms(k=k)
+        solo = self._make_holograms(k=k)
+        optimize_batch(
+            batch, "WGS-Kim", maxiter=6, verbose=False, mesh=mesh,
+        )
+        optimize_batch(solo, "WGS-Kim", maxiter=6, verbose=False)
+        for hb, hs in zip(batch, solo):
+            np.testing.assert_allclose(
+                np.asarray(hb.phase), np.asarray(hs.phase), atol=2e-5
+            )
+
+    def test_mesh_indivisible_raises(self):
+        from slmsuite_tpu.holography.algorithms import optimize_batch
+
+        mesh = make_mesh(axis_names=("data",))
+        batch = self._make_holograms(k=3)
+        with pytest.raises(ValueError, match="divide"):
+            optimize_batch(batch, "GS", maxiter=2, verbose=False, mesh=mesh)
+
+    def test_heterogeneous_rejected(self):
+        from slmsuite_tpu.holography.algorithms import Hologram, optimize_batch
+
+        t1 = np.zeros((64, 64), np.float32); t1[10, 10] = 1
+        t2 = np.zeros((32, 32), np.float32); t2[10, 10] = 1
+        batch = [Hologram(t1, slm_shape=(64, 64)), Hologram(t2, slm_shape=(32, 32))]
+        with pytest.raises(ValueError, match="[Hh]omogeneous"):
+            optimize_batch(batch, "GS", maxiter=2, verbose=False)
+
+    def test_mraf_batch(self):
+        """Nan-target (MRAF) holograms batch too (carry-mode path)."""
+        from slmsuite_tpu.holography.algorithms import Hologram, optimize_batch
+
+        rng = np.random.default_rng(3)
+        batch, solo = [], []
+        for holos in (batch, solo):
+            for i in range(2):
+                target = np.zeros((64, 64), np.float32)
+                target[20 + 8 * i, 30] = 1.0
+                target /= np.sqrt(np.nansum(target**2))
+                noise = np.ones((64, 64), bool)
+                noise[10:50, 10:50] = False
+                target[noise] = np.nan
+                h = Hologram(target, slm_shape=(64, 64))
+                h.reset_phase(
+                    rng.bit_generator.state and np.zeros((64, 64), np.float32)
+                )
+                holos.append(h)
+        optimize_batch(batch, "WGS-Leonardo", maxiter=5, verbose=False)
+        for h in solo:
+            h.optimize("WGS-Leonardo", maxiter=5, verbose=False)
+        for hb, hs in zip(batch, solo):
+            np.testing.assert_allclose(
+                np.asarray(hb.phase), np.asarray(hs.phase), atol=2e-5
+            )
