@@ -388,12 +388,34 @@ class PLM(ScreenMirrored):
             out = out[:, ::-1]
         return np.ascontiguousarray(out)
 
+    def _pack_frame(self, display):
+        """8-bit gray ``display`` (already cropped to :attr:`plm_shape`)
+        -> (2H, 2W) electrode bitmap. Prefers the fused one-pass C kernel
+        (:meth:`slmsuite_tpu.native.plm_electrode_map_native`: LUT gather
+        + bit spread + scan flips together); falls back to the numpy
+        passes."""
+        from slmsuite_tpu.native import plm_electrode_map_native
+
+        display = np.ascontiguousarray(display, dtype=np.uint8)
+        h, w = display.shape
+        out = np.empty((2 * h, 2 * w), dtype=np.uint8)
+        layout = self.model["electrode_layout"]
+        flip_y, flip_x = self.model["data_flip"]
+        if plm_electrode_map_native(
+            display, out, self._gray_to_code,
+            [layout[dy][dx] for dy in range(2) for dx in range(2)],
+            flip_y, flip_x,
+        ):
+            return out
+        return self._electrode_map(self._gray_to_code[display])
+
     def _set_phase_hw(self, display, block=True):
         """Quantize to PLM states, pack electrodes, and render."""
         display = np.asarray(display, dtype=np.uint8)
         # 8-bit gray from SLM._phase2gray -> 4-bit electrode code -> bitmap.
-        codes = self._gray_to_code[display[: self.plm_shape[0], : self.plm_shape[1]]]
-        bitmap = self._electrode_map(codes)
+        bitmap = self._pack_frame(
+            display[: self.plm_shape[0], : self.plm_shape[1]]
+        )
 
         # Pad to the full screen if the electrode grid undershoots it.
         full = np.zeros((self.shape[0], self.shape[1]), dtype=np.uint8)
@@ -444,7 +466,13 @@ class PLM(ScreenMirrored):
             )
 
         def pack8(maps):
-            stacked = (np.stack(maps) & 1).astype(np.uint8)
+            from slmsuite_tpu.native import plm_bitpack8_native
+
+            stacked = np.ascontiguousarray(np.stack(maps), dtype=np.uint8)
+            out = np.empty(stacked.shape[1:], dtype=np.uint8)
+            if plm_bitpack8_native(stacked, out):
+                return out
+            stacked &= 1
             shifts = np.arange(8, dtype=np.uint8)[:, None, None]
             return np.bitwise_or.reduce(np.left_shift(stacked, shifts), axis=0)
 

@@ -470,3 +470,70 @@ class TestMeadowlarkLutLocator:
 
         with pytest.raises(FileNotFoundError):
             Meadowlark._locate_lut_file(tmp_path)
+
+
+class TestNativePLMPack:
+    """The fused C electrode-packing kernel is bit-identical to the
+    numpy passes across models (layouts/flips) and random frames."""
+
+    @pytest.mark.parametrize("model", ["p47", "p67"])
+    def test_electrode_map_native_matches_numpy(self, model):
+        from slmsuite_tpu.hardware.slms.texasinstruments import PLM_MODELS
+        from slmsuite_tpu.native import plm_electrode_map_native
+
+        spec = PLM_MODELS[model]
+        layout = spec["electrode_layout"]
+        flip_y, flip_x = spec["data_flip"]
+        rng = np.random.default_rng(hash(model) % 2**31)
+        lut = rng.integers(0, 16, 256).astype(np.uint8)
+        display = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+
+        # Numpy reference (the _electrode_map passes, inlined).
+        codes = lut[display]
+        expected = np.zeros((48, 80), np.uint8)
+        for dy in range(2):
+            for dx in range(2):
+                expected[dy::2, dx::2] = ((codes >> layout[dy][dx]) & 1) * 255
+        if flip_y:
+            expected = expected[::-1, :]
+        if flip_x:
+            expected = expected[:, ::-1]
+
+        out = np.empty((48, 80), np.uint8)
+        ok = plm_electrode_map_native(
+            display, out,
+            lut, [layout[dy][dx] for dy in range(2) for dx in range(2)],
+            flip_y, flip_x,
+        )
+        if not ok:
+            pytest.skip("no C compiler available")
+        np.testing.assert_array_equal(out, expected)
+
+    def test_bitpack8_native_matches_numpy(self):
+        from slmsuite_tpu.native import plm_bitpack8_native
+
+        rng = np.random.default_rng(7)
+        maps = rng.integers(0, 2, (8, 16, 24)).astype(np.uint8)
+        out = np.empty((16, 24), np.uint8)
+        ok = plm_bitpack8_native(np.ascontiguousarray(maps), out)
+        if not ok:
+            pytest.skip("no C compiler available")
+        shifts = np.arange(8, dtype=np.uint8)[:, None, None]
+        expected = np.bitwise_or.reduce(
+            np.left_shift(maps & 1, shifts), axis=0
+        )
+        np.testing.assert_array_equal(out, expected)
+
+    def test_pack_frame_through_driver(self):
+        """_pack_frame (native or fallback) matches _electrode_map."""
+        from slmsuite_tpu.hardware.slms.texasinstruments import PLM
+
+        plm = PLM.__new__(PLM)  # No hardware: exercise the pure helpers.
+        plm.model = dict(PLM.load_model_config("p67"))
+        rng = np.random.default_rng(2)
+        delta = None  # _init unused; build the LUT directly.
+        plm._gray_to_code = rng.integers(0, 16, 256).astype(np.uint8)
+        display = rng.integers(0, 256, (32, 56)).astype(np.uint8)
+        fused = plm._pack_frame(display)
+        manual = plm._electrode_map(plm._gray_to_code[display])
+        np.testing.assert_array_equal(fused, manual)
