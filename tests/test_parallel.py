@@ -733,3 +733,43 @@ class TestOptimizeBatch:
             np.testing.assert_allclose(
                 np.asarray(hb.phase), np.asarray(hs.phase), atol=2e-5
             )
+
+    def test_spot_hologram_batch(self):
+        """SpotHolograms (spot-index consts) batch bit-identically."""
+        from slmsuite_tpu.holography.algorithms import (
+            SpotHologram,
+            optimize_batch,
+        )
+
+        def make(seed):
+            r = np.random.default_rng(seed)
+            xy = np.round(
+                np.vstack([r.uniform(20, 108, 3), r.uniform(20, 108, 3)])
+            )
+            h = SpotHologram((128, 128), xy, basis="knm")
+            h.reset_phase(
+                np.random.default_rng(99).uniform(
+                    -np.pi, np.pi, (128, 128)
+                ).astype(np.float32)
+            )
+            return h
+
+        batch = [make(i) for i in range(3)]
+        solo = [make(i) for i in range(3)]
+        optimize_batch(
+            batch, "WGS-Kim", maxiter=6, verbose=False,
+            stat_groups=["computational_spot"],
+        )
+        for h in solo:
+            h.optimize(
+                "WGS-Kim", maxiter=6, verbose=False,
+                stat_groups=["computational_spot"],
+            )
+        for hb, hs in zip(batch, solo):
+            np.testing.assert_array_equal(
+                np.asarray(hb.phase), np.asarray(hs.phase)
+            )
+            np.testing.assert_array_equal(
+                hb.stats["stats"]["computational_spot"]["uniformity"],
+                hs.stats["stats"]["computational_spot"]["uniformity"],
+            )
