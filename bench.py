@@ -753,52 +753,75 @@ def main():
                      f"(got {argv[1:2]})")
         config(argv[2:])
         return
-    embed = {}
-    if not (argv and argv[0] == "--headline"):
-        # Default run reports ALL FIVE BASELINE configs. The driver
-        # records only the LAST line of the bench output, so compact
-        # summaries of configs 1/3/4/5 (plus the batch-scaling curve and
-        # the non-pow2 on-chip attestation) are EMBEDDED in the final
-        # headline JSON object — the standalone per-config lines printed
-        # along the way are for interactive reading only. Each extra is
-        # guarded so a failure cannot swallow the headline; a deadline
-        # skips stragglers on a slow tunnel session.
-        deadline = time.time() + float(
-            __import__("os").environ.get("SLMSUITE_TPU_BENCH_BUDGET_S", 900)
-        )
-        summaries = {}
-        for n, args in ((1, ["1024", "30"]), (3, ["2048", "40"]),
-                        (4, ["8"]), (5, ["256", "20"])):
-            if time.time() > deadline:
-                summaries[f"c{n}"] = {"skipped": "bench budget exhausted"}
-                print(json.dumps(
-                    {"metric": f"config_{n}", "skipped": "bench budget exhausted"}
-                ))
-                continue
-            try:
-                summaries[f"c{n}"] = _compact(configs[n](args))
-            except Exception as exc:  # noqa: BLE001 - report, keep headline
-                summaries[f"c{n}"] = {
-                    "error": f"{type(exc).__name__}: {exc}"[:200]
-                }
-                print(json.dumps(
-                    {"metric": f"config_{n}", "error": f"{type(exc).__name__}: {exc}"}
-                ))
-        embed["configs"] = summaries
-        for key, fn in (
-            ("nonpow2_parity", attest_nonpow2),
-            ("batch_scaling_iter_s", bench_batch_scaling),
-        ):
-            if time.time() > deadline:
-                embed[key] = {"skipped": "bench budget exhausted"}
-                continue
-            try:
-                embed[key] = fn()
-            except Exception as exc:  # noqa: BLE001 - report, keep headline
-                embed[key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    else:
+
+    headline_only = bool(argv and argv[0] == "--headline")
+    if headline_only:
         argv = argv[1:]
-    config_2(argv, embed=embed)
+
+    # The HEADLINE runs (and prints) FIRST: the driver records only the
+    # LAST line of the bench output, and on a flaky tunnel a hang in the
+    # extras must not cost the headline — the plain line printed here is
+    # the tail until the richer combined line below supersedes it.
+    headline = config_2(argv)
+    if headline_only:
+        return
+
+    # Extras: compact summaries of configs 1/3/4/5, the non-pow2 on-chip
+    # attestation, and the batch-scaling curve, EMBEDDED in a re-emitted
+    # headline line (the standalone per-config lines are for interactive
+    # reading only). Each extra is exception-guarded AND runs under a
+    # SIGALRM watchdog so an in-config device stall cannot hang the
+    # process past the budget.
+    import os
+    import signal
+
+    deadline = time.time() + float(
+        os.environ.get("SLMSUITE_TPU_BENCH_BUDGET_S", 900)
+    )
+
+    def with_watchdog(fn, *args):
+        remaining = deadline - time.time()
+        if remaining <= 1:
+            raise TimeoutError("bench budget exhausted")
+        if hasattr(signal, "SIGALRM"):
+            def on_alarm(signum, frame):
+                raise TimeoutError("bench budget exhausted (watchdog)")
+
+            prev = signal.signal(signal.SIGALRM, on_alarm)
+            signal.alarm(int(remaining) + 1)
+            try:
+                return fn(*args)
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, prev)
+        return fn(*args)
+
+    summaries = {}
+    for n, args in ((1, ["1024", "30"]), (3, ["2048", "40"]),
+                    (4, ["8"]), (5, ["256", "20"])):
+        try:
+            summaries[f"c{n}"] = _compact(with_watchdog(configs[n], args))
+        except Exception as exc:  # noqa: BLE001 - report, keep headline
+            summaries[f"c{n}"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
+            print(json.dumps(
+                {"metric": f"config_{n}", "error": f"{type(exc).__name__}: {exc}"}
+            ))
+    embed = {"configs": summaries}
+    for key, fn in (
+        ("nonpow2_parity", attest_nonpow2),
+        ("batch_scaling_iter_s", bench_batch_scaling),
+    ):
+        try:
+            embed[key] = with_watchdog(fn)
+        except Exception as exc:  # noqa: BLE001 - report, keep headline
+            embed[key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    # Final (tail) line: the headline metrics with all evidence embedded.
+    final = dict(headline)
+    final.update(embed)
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
