@@ -26,10 +26,31 @@ Methodology notes for this environment:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the tunneled dev slice spends
+    most of a bench run compiling (~10 programs x 20-40 s each); the
+    cache survives across runs AND rounds, so only the first run after
+    a code change pays it. Harmless no-op if the backend can't
+    serialize executables."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SLMSUITE_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/slmsuite_tpu_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
 
 
 def _result(metric, value, unit, baseline, **extra):
@@ -153,7 +174,7 @@ def measure_copy_pass_seconds(N=2048):
 
         return lambda k: run(x, jnp.float32(k * 1e-12))
 
-    per_iter, noise = _per_iter_seconds(make_run, 5, 45)
+    per_iter, noise = _per_iter_seconds(make_run, 10, 90, repeats=9)
     return per_iter / planes, noise
 
 
@@ -185,7 +206,7 @@ def measure_matmul_seconds(N=2048):
 
         return lambda k: run(c, jnp.float32(k * 1e-12))
 
-    return _per_iter_seconds(make_run, 20, 120)
+    return _per_iter_seconds(make_run, 20, 180, repeats=9)
 
 
 def step_model(N, fused, stats_on=True):
@@ -488,11 +509,21 @@ def config_2(argv, embed=None):
         # measured dense HIGHEST matmul (ceil(N/128)^3 passes).
         model_tiles = step_bytes / tile
         mm_passes = (-(-N // 128)) ** 3
-        model_matmuls = step_passes / mm_passes
+        # The measured matmul unit is HIGHEST (6 bf16 MXU passes per
+        # 128^3 MAC block); the engine's stage dots cost fewer passes
+        # at reduced kernel precision, so scale the model accordingly.
+        from slmsuite_tpu.ops import pallas_fft as PF
+
+        precision = PF._DOT_PRECISION
+        precision_factor = {"HIGHEST": 1.0, "BF16X3": 0.5, "DEFAULT": 1 / 6}[
+            precision
+        ]
+        model_matmuls = step_passes / mm_passes * precision_factor
         bw_time = (model_tiles / 2) * t_copy
         mxu_time = model_matmuls * t_mm
         extra.update({
             "fused_step": fused,
+            "fft_precision": precision,
             "bytes_per_step_mb": round(step_bytes / 1e6, 1),
             "mxu_passes_per_step": step_passes,
             "est_copy_bw_gbs": round(2 * tile / t_copy / 1e9, 1),
@@ -700,7 +731,6 @@ def _device_reachable(timeout_s=240):
     the tunnel is down — better to record an explicit error line than
     time the whole driver out. Returns None when healthy, else the
     failure description."""
-    import os
     import subprocess
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -737,6 +767,7 @@ def _compact(result):
 
 def main():
     argv = sys.argv[1:]
+    _enable_compile_cache()
     failure = _device_reachable()
     if failure is not None:
         print(json.dumps({
@@ -772,7 +803,6 @@ def main():
     # reading only). Each extra is exception-guarded AND runs under a
     # SIGALRM watchdog so an in-config device stall cannot hang the
     # process past the budget.
-    import os
     import signal
 
     deadline = time.time() + float(
