@@ -1,12 +1,21 @@
 """
 Meadowlark Optics SLMs via the Blink SDK (``Blink_C_wrapper.dll``).
 
-Supports the HDMI-interfaced SDK and the PCIe (1920/1024 "HSP") SDKs,
-which expose slightly different C entry points; the variant is detected
-from the DLL's exported symbols. The SDK is Windows-only and loaded with
-:mod:`ctypes`; this module imports cleanly without it.
+Meadowlark has shipped several generations of the Blink SDK whose C
+entry points differ in name AND arity: the HDMI-interfaced SDK, three
+"modern" PCIe SDK revisions, and the legacy PCIe ("HSP") SDK. The
+generation is detected by parsing the argument counts of
+``Create_SDK``/``Write_image`` out of the SDK's own ``Blink_C_wrapper.h``
+header (the vendor keeps the header next to the DLL), falling back to a
+symbol heuristic when no header ships. All per-generation differences —
+constructor arity, write-call arity, geometry/telemetry function names —
+live in the :data:`SDK_VARIANTS` table rather than branchy methods.
 
-Parity: reference ``slmsuite/hardware/slms/meadowlark.py`` (``Meadowlark``).
+The SDK is Windows-only and loaded with :mod:`ctypes`; this module
+imports cleanly without it.
+
+Parity: reference ``slmsuite/hardware/slms/meadowlark.py`` (``Meadowlark``,
+``_SDK_MODE`` at ``:34-68``, header tracing at ``:846-880``).
 """
 
 import ctypes
@@ -28,6 +37,70 @@ _DEFAULT_SDK_ROOTS = [
 #: Package-data SDK compatibility matrix (feature support per Blink SDK
 #: generation; same facts as the reference's ``meadowlark.csv`` table).
 SDK_TABLE_PATH = os.path.join(os.path.dirname(__file__), "meadowlark.csv")
+
+#: Per-generation SDK description. ``traces`` are the
+#: ``(len(args(Create_SDK)), len(args(Write_image)))`` pairs seen in that
+#: generation's header; ``temperature``/``coverglass`` map to the
+#: ``(function_name, takes_board_argument)`` pair for telemetry; the
+#: geometry entries likewise. ``write`` names the dispatch style used by
+#: :meth:`Meadowlark._set_phase_hw`.
+SDK_VARIANTS = {
+    "hdmi": dict(
+        traces={(0, 2), (1, 2), (0, 3)},
+        pcie=False,
+        width=("Get_Width", False),
+        height=("Get_Height", False),
+        depth=("Get_Depth", False),
+        serial=(None, False),  # HDMI SDK exposes no serial read.
+        temperature=("Get_SLMTemp", False),
+        coverglass=("Get_SLMVCom", False),
+        write="hdmi",
+    ),
+    "pcie_modern_3": dict(
+        traces={(2, 3)},
+        pcie=True,
+        width=("Get_image_width", True),
+        height=("Get_image_height", True),
+        depth=("Get_image_depth", True),
+        serial=("Read_Serial_Number", True),
+        temperature=("Read_SLM_temperature", True),
+        coverglass=("Read_coverglass_voltage", True),
+        write="pcie_3",
+    ),
+    "pcie_modern_6": dict(
+        traces={(2, 6)},
+        pcie=True,
+        width=("Get_image_width", True),
+        height=("Get_image_height", True),
+        depth=("Get_image_depth", True),
+        serial=("Read_Serial_Number", True),
+        temperature=("Get_SLMTemp", True),
+        coverglass=("Get_cover_voltage", True),
+        write="pcie_6",
+    ),
+    "pcie_modern_8": dict(
+        traces={(2, 8)},
+        pcie=True,
+        width=("Get_image_width", True),
+        height=("Get_image_height", True),
+        depth=("Get_image_depth", True),
+        serial=("Read_Serial_Number", True),
+        temperature=("Get_SLMTemp", True),
+        coverglass=("Get_cover_voltage", True),
+        write="pcie_8",
+    ),
+    "pcie_legacy": dict(
+        traces={(8, 8)},
+        pcie=True,
+        width=("Get_image_width", True),
+        height=("Get_image_height", True),
+        depth=("Get_image_depth", True),
+        serial=("Read_Serial_Number", True),
+        temperature=("Read_SLM_temperature", True),
+        coverglass=("Read_coverglass_voltage", True),
+        write="pcie_8",  # Legacy HSP boards share the 8-argument write.
+    ),
+}
 
 
 def sdk_feature_table(path=SDK_TABLE_PATH):
@@ -58,19 +131,74 @@ def sdk_feature_table(path=SDK_TABLE_PATH):
 
 
 def _find_dll(sdk_path=None):
-    """Locate ``Blink_C_wrapper.dll`` under ``sdk_path`` or default roots."""
+    """Locate ``Blink_C_wrapper.dll`` under ``sdk_path`` or default roots
+    (most recently modified first; calibration-kit copies excluded)."""
     roots = [sdk_path] if sdk_path else _DEFAULT_SDK_ROOTS
+    found = []
     for root in roots:
         if root is None or not os.path.isdir(root):
             continue
         for dirpath, _, filenames in os.walk(root):
+            if "Cal Kit" in dirpath:
+                continue
             for fname in filenames:
                 if fname.lower() == "blink_c_wrapper.dll":
-                    return os.path.join(dirpath, fname)
-    raise FileNotFoundError(
-        "Blink_C_wrapper.dll not found. Install the Meadowlark Blink SDK or "
-        "pass sdk_path pointing at it."
-    )
+                    found.append(os.path.join(dirpath, fname))
+    if not found:
+        raise FileNotFoundError(
+            "Blink_C_wrapper.dll not found. Install the Meadowlark Blink SDK "
+            "or pass sdk_path pointing at it."
+        )
+    found.sort(key=os.path.getmtime, reverse=True)
+    return found[0]
+
+
+def _parse_sdk_header(dll_path):
+    """
+    Argument-count trace ``(n_args(Create_SDK), n_args(Write_image))``
+    from the ``Blink_C_wrapper.h`` header shipped next to ``dll_path``,
+    or None when the header is absent/unparsable. This is the reliable
+    generation fingerprint — the vendor changed these aritites with each
+    SDK revision (see :data:`SDK_VARIANTS`).
+    """
+    header = os.path.join(os.path.dirname(dll_path), "Blink_C_wrapper.h")
+    if not os.path.isfile(header):
+        return None
+    try:
+        with open(header) as f:
+            text = f.read()
+        trace = []
+        for name in ("Create_SDK(", "Write_image("):
+            start = text.find(name)
+            if start < 0:
+                return None
+            args = text[start:].split("(", 1)[1].split(")", 1)[0].strip()
+            trace.append(0 if len(args) < 2 else args.count(",") + 1)
+        return tuple(trace)
+    except OSError:
+        return None
+
+
+def _detect_variant(dll_path, lib):
+    """SDK generation name (:data:`SDK_VARIANTS` key) for a loaded DLL:
+    header-trace match first, exported-symbol heuristic as fallback."""
+    trace = _parse_sdk_header(dll_path)
+    if trace is not None:
+        for name, spec in SDK_VARIANTS.items():
+            if trace in spec["traces"]:
+                return name
+        warnings.warn(
+            f"Unrecognized Blink SDK header trace {trace}; "
+            f"falling back to symbol detection."
+        )
+    # No/unknown header: split on the symbols unique to each family.
+    if hasattr(lib, "Get_Width") and not hasattr(lib, "Get_image_width"):
+        return "hdmi"
+    if hasattr(lib, "Get_last_error_message"):
+        return "pcie_modern_6"
+    if hasattr(lib, "Set_true_frames") or hasattr(lib, "Get_image_width"):
+        return "pcie_legacy"
+    return "hdmi"
 
 
 class Meadowlark(SLM):
@@ -81,11 +209,19 @@ class Meadowlark(SLM):
     ----------
     slm_lib : ctypes.CDLL
         Handle to ``Blink_C_wrapper``.
+    sdk_variant : str
+        Which SDK generation was detected (:data:`SDK_VARIANTS` key).
     sdk_interface : {'hdmi', 'pcie'}
-        Which SDK generation was detected.
+        Coarse interface class (back-compatible alias of the variant).
     slm_number : int
         Board index (PCIe SDKs support multiple boards).
     """
+
+    #: Loaded DLLs, one per variant — the vendor SDK misbehaves when the
+    #: same generation is constructed twice in a process.
+    _lib_cache = {}
+    #: Board count reported at Create_SDK time, per variant.
+    _board_count = {}
 
     def __init__(
         self,
@@ -94,7 +230,7 @@ class Meadowlark(SLM):
         lut_path=None,
         slm_number=1,
         wav_um=1,
-        pitch_um=(8, 8),
+        pitch_um=None,
         **kwargs,
     ):
         """
@@ -107,46 +243,36 @@ class Meadowlark(SLM):
             the SDK's default LUT is used if None.
         slm_number : int
             1-indexed board number (PCIe only).
-        wav_um, pitch_um, **kwargs
+        pitch_um : (float, float) OR None
+            Pixel pitch; None queries the SDK where supported
+            (modern PCIe ``Get_pitch``), else defaults to 8 um.
+        wav_um, **kwargs
             See :meth:`.SLM.__init__`.
         """
         if verbose:
             print("Meadowlark SLM initializing... ", end="")
         dll_path = _find_dll(sdk_path)
-        self.slm_lib = ctypes.CDLL(dll_path)
         self.slm_number = int(slm_number)
-
-        # The HDMI SDK exports Write_image(data, is_8bit); the PCIe SDK
-        # exports Write_image(board, data, size, ...) plus board counting.
+        self.sdk_variant, self.slm_lib = self._open_sdk(dll_path)
         self.sdk_interface = (
-            "pcie" if hasattr(self.slm_lib, "Get_last_error_message") or
-            hasattr(self.slm_lib, "Set_true_frames") else "hdmi"
+            "pcie" if SDK_VARIANTS[self.sdk_variant]["pcie"] else "hdmi"
         )
 
-        if self.sdk_interface == "pcie":
-            n_boards = ctypes.c_uint(0)
-            constructed = ctypes.c_bool(False)
-            # bit_depth=12, is_nematic=1, RAM_write=1, use_GPU=0, max_transients=10
-            self.slm_lib.Create_SDK(
-                ctypes.c_uint(12), ctypes.byref(n_boards), ctypes.byref(constructed),
-                ctypes.c_bool(True), ctypes.c_bool(True), ctypes.c_bool(False),
-                ctypes.c_uint(10), ctypes.c_char_p(b""),
+        n_boards = Meadowlark._board_count.get(self.sdk_variant, 1)
+        if self.is_pcie and n_boards < self.slm_number:
+            raise RuntimeError(
+                f"Blink SDK found {n_boards} board(s); requested "
+                f"board {self.slm_number}."
             )
-            if not constructed.value or n_boards.value < slm_number:
-                raise RuntimeError(
-                    f"Blink PCIe SDK init failed "
-                    f"({n_boards.value} board(s) found, requested {slm_number})."
-                )
-            width = self.slm_lib.Get_image_width(ctypes.c_uint(slm_number))
-            height = self.slm_lib.Get_image_height(ctypes.c_uint(slm_number))
-            depth = self.slm_lib.Get_image_depth(ctypes.c_uint(slm_number))
-            bitdepth = int(depth) if depth in (8, 12, 16) else 12
-        else:
-            self.slm_lib.Create_SDK()
-            width = self.slm_lib.Get_Width()
-            height = self.slm_lib.Get_Height()
-            depth = self.slm_lib.Get_Depth()
-            bitdepth = int(depth) if depth in (8, 12, 16) else 8
+
+        width = self._query("width")
+        height = self._query("height")
+        depth = self._query("depth")
+        bitdepth = int(depth) if depth in (8, 12, 16) else (
+            12 if self.is_pcie else 8
+        )
+        if pitch_um is None:
+            pitch_um = self._query_pitch()
 
         self._load_lut(lut_path)
         if verbose:
@@ -162,6 +288,81 @@ class Meadowlark(SLM):
             **kwargs,
         )
         self.set_phase(None)
+
+    # ---------------------------------------------------------------- SDK
+
+    @classmethod
+    def _open_sdk(cls, dll_path):
+        """Load (or reuse) the DLL for ``dll_path`` and run the
+        per-generation ``Create_SDK`` handshake. Returns
+        ``(variant, lib)``."""
+        lib = ctypes.CDLL(dll_path)
+        variant = _detect_variant(dll_path, lib)
+        cached = cls._lib_cache.get(variant)
+        if cached is not None:
+            return variant, cached
+
+        spec = SDK_VARIANTS[variant]
+        trace = _parse_sdk_header(dll_path) or next(iter(spec["traces"]))
+        if variant == "hdmi":
+            if trace[0] == 1:
+                lib.Create_SDK(ctypes.c_uint(1))  # 1 = "python caller".
+            else:
+                lib.Create_SDK()
+            cls._board_count[variant] = 1
+        elif variant == "pcie_legacy":
+            # The legacy HSP Create_SDK takes the full option block; the
+            # OverDrive-specific options stay at vendor defaults.
+            n_boards = ctypes.c_uint(0)
+            ok = ctypes.c_bool(False)
+            lib.Create_SDK(
+                ctypes.c_uint(8),            # bitdepth (HSP512 boards)
+                ctypes.byref(n_boards),
+                ctypes.byref(ok),
+                ctypes.c_bool(True),         # is_nematic_type
+                ctypes.c_bool(True),         # RAM_write_enable
+                ctypes.c_bool(False),        # use_GPU (OverDrive only)
+                ctypes.c_uint(10),           # max_transients (OverDrive)
+                ctypes.c_int(0),             # regional LUT (OverDrive)
+            )
+            if not ok.value:
+                raise RuntimeError("Blink legacy PCIe SDK init failed.")
+            cls._board_count[variant] = int(n_boards.value)
+        else:
+            # Modern PCIe: Create_SDK(&n_boards, &status).
+            n_boards = ctypes.c_uint(0)
+            status = ctypes.c_int(-1)
+            lib.Create_SDK(ctypes.byref(n_boards), ctypes.byref(status))
+            if status.value not in (0, 1):  # 0 = success with no boards.
+                raise RuntimeError(
+                    f"Blink PCIe SDK init failed (status {status.value})."
+                )
+            cls._board_count[variant] = int(n_boards.value)
+        cls._lib_cache[variant] = lib
+        return variant, lib
+
+    def _query(self, what):
+        """Run a :data:`SDK_VARIANTS` geometry/telemetry getter; returns
+        the raw value or None when the generation lacks the call."""
+        name, takes_board = SDK_VARIANTS[self.sdk_variant][what]
+        if name is None or not hasattr(self.slm_lib, name):
+            return None
+        fn = getattr(self.slm_lib, name)
+        if takes_board:
+            return fn(ctypes.c_int(self.slm_number))
+        return fn()
+
+    def _query_pitch(self):
+        """Pixel pitch in um from the SDK (modern PCIe ``Get_pitch``),
+        or the 8 um default every current Meadowlark model uses."""
+        if self.is_pcie and hasattr(self.slm_lib, "Get_pitch"):
+            self.slm_lib.Get_pitch.restype = ctypes.c_double
+            pitch = float(self.slm_lib.Get_pitch(ctypes.c_int(self.slm_number)))
+            if pitch > 0:
+                return (pitch, pitch)
+        return (8, 8)
+
+    # ---------------------------------------------------------------- LUT
 
     @staticmethod
     def _locate_lut_file(search_path, slm_shape=None):
@@ -212,7 +413,7 @@ class Meadowlark(SLM):
         if not os.path.exists(lut_path):
             raise FileNotFoundError(f"Failed to locate LUT at: '{lut_path}'.")
         encoded = str(lut_path).encode("utf-8")
-        if self.sdk_interface == "pcie":
+        if self.is_pcie:
             success = self.slm_lib.Load_LUT_file(
                 ctypes.c_uint(self.slm_number), encoded
             )
@@ -222,32 +423,67 @@ class Meadowlark(SLM):
             self.slm_lib.Load_lut(encoded)
         return str(lut_path)
 
+    def load_lut(self, lut_path):
+        """Load a voltage lookup table (``.lut`` file, or a directory to
+        search for one — see :meth:`_locate_lut_file` for the selection
+        rules). Returns the path that was loaded."""
+        return self._load_lut(lut_path)
+
+    # -------------------------------------------------------------- write
+
     #: Whether image writes wait for an external input trigger (PCIe).
     _wait_for_trigger = False
     #: Whether image writes emit an output trigger pulse (PCIe).
     _output_pulse = False
+    #: Whether an output pulse also fires on every SLM refresh (PCIe 8-arg).
+    _output_pulse_refresh = False
 
     @property
     def is_pcie(self):
         """Whether the detected SDK uses a PCIe connection."""
         return self.sdk_interface == "pcie"
 
-    def _set_phase_hw(self, display):
+    def _set_phase_hw(self, display, timeout_s=5.0):
         data = np.ascontiguousarray(display)
         ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
-        if self.sdk_interface == "pcie":
-            self.slm_lib.Write_image(
-                ctypes.c_uint(self.slm_number), ptr, ctypes.c_uint(data.size),
-                ctypes.c_uint(int(self._wait_for_trigger)),
-                ctypes.c_uint(0),  # flip_immediate
-                ctypes.c_uint(int(self._output_pulse)),
-                ctypes.c_uint(5000),
-            )
-            self.slm_lib.ImageWriteComplete(
-                ctypes.c_uint(self.slm_number), ctypes.c_uint(5000)
-            )
-        else:
+        style = SDK_VARIANTS[self.sdk_variant]["write"]
+        board = ctypes.c_uint(self.slm_number)
+        timeout = ctypes.c_uint(int(timeout_s * 1000))
+
+        if style == "hdmi":
             self.slm_lib.Write_image(ptr, ctypes.c_uint(self.bitdepth == 8))
+            return
+        # The PCIe writes never flip_immediate: the flip must wait for
+        # vsync so all pixels land on the same frame.
+        if style == "pcie_3":
+            status = self.slm_lib.Write_image(board, ptr, timeout)
+        elif style == "pcie_6":
+            status = self.slm_lib.Write_image(
+                board, ptr,
+                ctypes.c_bool(self._wait_for_trigger),
+                ctypes.c_bool(False),                  # flip_immediate
+                ctypes.c_bool(self._output_pulse),
+                timeout,
+            )
+        else:  # pcie_8 (modern 8-argument and legacy HSP)
+            status = self.slm_lib.Write_image(
+                board, ptr, ctypes.c_uint(data.size),
+                ctypes.c_bool(self._wait_for_trigger),
+                ctypes.c_bool(False),                  # flip_immediate
+                ctypes.c_bool(self._output_pulse),
+                ctypes.c_bool(self._output_pulse_refresh),
+                timeout,
+            )
+        if status != 1:
+            raise RuntimeError("Blink SDK Write_image failed (DMA error).")
+        status = self.slm_lib.ImageWriteComplete(board, timeout)
+        if status != 1:
+            raise RuntimeError(
+                "Blink SDK ImageWriteComplete failed — trigger never "
+                "received within the timeout?"
+            )
+
+    # ----------------------------------------------------------- triggers
 
     def set_input_trigger(self, on=False):
         """Wait for an external input trigger before each image write
@@ -263,22 +499,33 @@ class Meadowlark(SLM):
             )
         self._wait_for_trigger = bool(on)
 
-    def set_output_trigger(self, on=False):
+    def set_output_trigger(self, on=False, on_refresh=None):
         """Emit an output trigger pulse synchronized with each image
-        write (PCIe SDKs only)."""
+        write (PCIe SDKs only). ``on_refresh`` additionally pulses at the
+        SLM refresh rate — only the 8-argument SDK generation supports
+        it; other generations warn and ignore."""
         if not self.is_pcie:
             raise NotImplementedError("HDMI SLMs do not support output triggering.")
+        style = SDK_VARIANTS[self.sdk_variant]["write"]
+        if style == "pcie_3" and hasattr(self.slm_lib, "SetOutputPulse"):
+            self.slm_lib.SetOutputPulse(
+                ctypes.c_uint(self.slm_number), ctypes.c_bool(on)
+            )
+        if on_refresh is not None:
+            if style == "pcie_8":
+                self._output_pulse_refresh = bool(on_refresh)
+            else:
+                warnings.warn(
+                    "on_refresh is not supported by this Blink SDK "
+                    "generation; ignored."
+                )
         self._output_pulse = bool(on)
 
-    def load_lut(self, lut_path):
-        """Load a voltage lookup table (``.lut`` file, or a directory to
-        search for one — see :meth:`_locate_lut_file` for the selection
-        rules). Returns the path that was loaded."""
-        return self._load_lut(lut_path)
+    # ---------------------------------------------------------- telemetry
 
     def get_last_error_message(self):
         """Last SDK error message (PCIe SDKs only)."""
-        if not self.is_pcie:
+        if not self.is_pcie or not hasattr(self.slm_lib, "Get_last_error_message"):
             raise NotImplementedError(
                 "Error message retrieval not supported for this model."
             )
@@ -290,30 +537,41 @@ class Meadowlark(SLM):
         self.slm_lib.Get_version_info.restype = ctypes.c_char_p
         return self.slm_lib.Get_version_info().decode("utf-8")
 
+    def get_serial(self):
+        """Board serial number (PCIe SDKs; HDMI boards expose none)."""
+        serial = self._query("serial")
+        if serial is None:
+            raise NotImplementedError(
+                "Serial readout not supported for this model."
+            )
+        return int(serial)
+
     def get_temperature(self):
         """Return the SLM temperature in deg C."""
-        if self.sdk_interface == "pcie":
-            self.slm_lib.Read_SLM_temperature.restype = ctypes.c_double
-            return float(self.slm_lib.Read_SLM_temperature(
-                ctypes.c_uint(self.slm_number)
-            ))
-        self.slm_lib.Get_SLMTemp.restype = ctypes.c_double
-        return float(self.slm_lib.Get_SLMTemp())
+        name, takes_board = SDK_VARIANTS[self.sdk_variant]["temperature"]
+        fn = getattr(self.slm_lib, name)
+        fn.restype = ctypes.c_double
+        return float(
+            fn(ctypes.c_int(self.slm_number)) if takes_board else fn()
+        )
 
     def get_coverglass_voltage(self):
         """Return the coverglass voltage in V."""
-        if self.sdk_interface == "pcie":
-            self.slm_lib.Read_coverglass_voltage.restype = ctypes.c_double
-            return float(self.slm_lib.Read_coverglass_voltage(
-                ctypes.c_uint(self.slm_number)
-            ))
-        self.slm_lib.Get_SLMVCom.restype = ctypes.c_double
-        return float(self.slm_lib.Get_SLMVCom())
+        name, takes_board = SDK_VARIANTS[self.sdk_variant]["coverglass"]
+        fn = getattr(self.slm_lib, name)
+        fn.restype = ctypes.c_double
+        return float(
+            fn(ctypes.c_int(self.slm_number)) if takes_board else fn()
+        )
+
+    # ------------------------------------------------------------- close
 
     def close(self):
         """Release the SDK."""
         if getattr(self, "slm_lib", None) is not None:
             self.slm_lib.Delete_SDK()
+            Meadowlark._lib_cache.pop(self.sdk_variant, None)
+            Meadowlark._board_count.pop(self.sdk_variant, None)
             self.slm_lib = None
 
     def close_sdk(self):
@@ -321,9 +579,35 @@ class Meadowlark(SLM):
         self.close()
 
     @staticmethod
-    def info(verbose=True):
-        """The Blink SDK does not enumerate; returns the DLL path found."""
-        path = _find_dll(None)
+    def info(verbose=True, sdk_path=None):
+        """Enumerate boards on the detected SDK: ``[(board, description)]``.
+        For HDMI SDKs the display window opens as a side effect of the
+        vendor's own enumeration call."""
+        dll_path = _find_dll(sdk_path)
+        variant, lib = Meadowlark._open_sdk(dll_path)
+        spec = SDK_VARIANTS[variant]
+
+        def query(what, board):
+            name, takes_board = spec[what]
+            if name is None or not hasattr(lib, name):
+                return None
+            fn = getattr(lib, name)
+            return fn(ctypes.c_int(board)) if takes_board else fn()
+
+        boards = range(1, Meadowlark._board_count.get(variant, 1) + 1)
+        out = [
+            (
+                b,
+                f"{query('serial', b) or 'Meadowlark HDMI'} "
+                f"({query('width', b)}x{query('height', b)}, "
+                f"{query('depth', b)}-bit)",
+            )
+            for b in boards
+        ]
         if verbose:
-            print("Blink SDK:", path)
-        return [path]
+            print(f"Using Blink SDK variant '{variant}' at {dll_path}")
+            for b, desc in out:
+                print(f"SLM {b}: {desc}")
+            if not out:
+                print("No boards found.")
+        return out

@@ -155,6 +155,121 @@ class TestMeadowlarkLogic:
         (nested / "Blink_C_wrapper.dll").write_bytes(b"")
         assert _find_dll(str(tmp_path)) == str(nested / "Blink_C_wrapper.dll")
 
+    def test_find_dll_skips_cal_kit(self, tmp_path):
+        from slmsuite_tpu.hardware.slms.meadowlark import _find_dll
+
+        kit = tmp_path / "Cal Kit"
+        sdk = tmp_path / "SDK"
+        kit.mkdir()
+        sdk.mkdir()
+        (kit / "Blink_C_wrapper.dll").write_bytes(b"")
+        (sdk / "Blink_C_wrapper.dll").write_bytes(b"")
+        assert _find_dll(str(tmp_path)) == str(sdk / "Blink_C_wrapper.dll")
+
+    @pytest.mark.parametrize(
+        "create_sig, write_sig, expect",
+        [
+            ("void Create_SDK()",
+             "void Write_image(unsigned char* data, unsigned int is8)",
+             "hdmi"),
+            ("void Create_SDK(unsigned int python)",
+             "void Write_image(unsigned char* d, unsigned int is8)",
+             "hdmi"),
+            ("void Create_SDK(unsigned int* n, int* ok)",
+             "int Write_image(int board, unsigned char* d, unsigned int timeout)",
+             "pcie_modern_3"),
+            ("void Create_SDK(unsigned int* n, int* ok)",
+             "int Write_image(int b, unsigned char* d, bool wt, bool fi, bool op, unsigned int t)",
+             "pcie_modern_6"),
+            ("void Create_SDK(unsigned int* n, int* ok)",
+             "int Write_image(int b, unsigned char* d, unsigned int sz, bool wt, bool fi, bool op, bool orf, unsigned int t)",
+             "pcie_modern_8"),
+            ("void Create_SDK(unsigned int bd, unsigned int* n, bool* ok, bool nem, bool ram, bool gpu, unsigned int mt, int lut)",
+             "int Write_image(int b, unsigned char* d, unsigned int sz, bool wt, bool fi, bool op, bool orf, unsigned int t)",
+             "pcie_legacy"),
+        ],
+    )
+    def test_header_trace_detection(self, tmp_path, create_sig, write_sig, expect):
+        """The SDK generation is fingerprinted from the argument counts
+        of Create_SDK/Write_image in the vendor header (the arities
+        changed with each Blink SDK revision)."""
+        from slmsuite_tpu.hardware.slms import meadowlark as ml
+
+        dll = tmp_path / "Blink_C_wrapper.dll"
+        dll.write_bytes(b"")
+        header = create_sig if "Create_SDK(" in create_sig else ""
+        (tmp_path / "Blink_C_wrapper.h").write_text(
+            header + ";\n" + write_sig + ";\n"
+        )
+        trace = ml._parse_sdk_header(str(dll))
+        assert trace is not None
+        assert ml._detect_variant(str(dll), lib=object()) == expect
+
+    def test_header_absent_symbol_fallback(self, tmp_path):
+        from slmsuite_tpu.hardware.slms import meadowlark as ml
+
+        dll = tmp_path / "Blink_C_wrapper.dll"
+        dll.write_bytes(b"")
+
+        class HdmiLib:
+            Get_Width = staticmethod(lambda: 1920)
+
+        class ModernLib:
+            Get_image_width = staticmethod(lambda b: 1920)
+            Get_last_error_message = staticmethod(lambda: b"")
+
+        assert ml._detect_variant(str(dll), HdmiLib()) == "hdmi"
+        assert ml._detect_variant(str(dll), ModernLib()) == "pcie_modern_6"
+
+    @pytest.mark.parametrize("variant, n_args", [
+        ("pcie_modern_3", 3), ("pcie_modern_6", 6), ("pcie_modern_8", 8),
+        ("pcie_legacy", 8), ("hdmi", 2),
+    ])
+    def test_write_dispatch_arity(self, variant, n_args):
+        """_set_phase_hw issues the Write_image call with the arity the
+        detected SDK generation expects."""
+        import numpy as np
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        calls = {}
+
+        class FakeLib:
+            def Write_image(self, *args):
+                calls["write"] = len(args)
+                return 1
+
+            def ImageWriteComplete(self, *args):
+                calls["complete"] = len(args)
+                return 1
+
+        slm = Meadowlark.__new__(Meadowlark)
+        slm.sdk_variant = variant
+        slm.sdk_interface = "hdmi" if variant == "hdmi" else "pcie"
+        slm.slm_number = 1
+        slm.slm_lib = FakeLib()
+        slm.bitdepth = 8
+        Meadowlark._set_phase_hw(slm, np.zeros((4, 4), np.uint8))
+        assert calls["write"] == n_args
+        if variant != "hdmi":
+            assert calls["complete"] == 2
+
+    def test_sdk_variant_table_complete(self):
+        """Every variant names its geometry/telemetry calls and a write
+        style; every header trace maps to exactly one variant."""
+        from slmsuite_tpu.hardware.slms.meadowlark import SDK_VARIANTS
+
+        seen = {}
+        for name, spec in SDK_VARIANTS.items():
+            for key in ("width", "height", "depth", "serial",
+                        "temperature", "coverglass"):
+                fn, takes_board = spec[key]
+                assert fn is None or isinstance(fn, str)
+                assert isinstance(takes_board, bool)
+            assert spec["write"] in ("hdmi", "pcie_3", "pcie_6", "pcie_8")
+            for trace in spec["traces"]:
+                assert trace not in seen, f"{trace} in both {seen.get(trace)} and {name}"
+                seen[trace] = name
+
 
 class TestPLMBitpack:
     def test_bitpack_8(self):
