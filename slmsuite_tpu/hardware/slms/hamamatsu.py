@@ -105,6 +105,19 @@ class Hamamatsu(SLM):
         if verbose:
             print(f"success (serial {self.serial})")
 
+        # Frame-memory writes require the head in USB/trigger mode; heads
+        # left in DVI mode by other software are switched and rebooted
+        # (matching the reference driver's init, ref hamamatsu.py:124-143).
+        mode = self.get_mode()
+        if mode == 0:
+            if verbose:
+                print("head in DVI mode; switching to USB and rebooting...")
+            self.set_mode(1)
+            self.reboot()
+        elif mode != 1:
+            self.close()
+            raise RuntimeError(f"Unknown Hamamatsu SLM mode {mode}.")
+
         super().__init__(
             tuple(int(x) for x in resolution),
             bitdepth=8,
@@ -169,6 +182,28 @@ class Hamamatsu(SLM):
         led = ctypes.c_uint32(0)
         self._lib.Check_LED(ctypes.c_uint8(self.board_id), ctypes.byref(led))
         return int(led.value)
+
+    def get_mode(self):
+        """Current control mode: ``0`` = DVI (video input), ``1`` =
+        USB/trigger (frame-memory slots)."""
+        mode = ctypes.c_uint32(0)
+        status = self._lib.Mode_Check(
+            ctypes.c_uint8(self.board_id), ctypes.byref(mode)
+        )
+        if status != 1:
+            raise RuntimeError("Failed to read Hamamatsu SLM mode.")
+        return int(mode.value)
+
+    def set_mode(self, mode):
+        """Set the control mode (``0`` = DVI, ``1`` = USB/trigger). A
+        mode change only takes effect after :meth:`reboot`."""
+        if mode not in (0, 1):
+            raise ValueError(f"Unknown Hamamatsu SLM mode {mode}.")
+        status = self._lib.Mode_Select(
+            ctypes.c_uint8(self.board_id), ctypes.c_uint32(mode)
+        )
+        if status != 1:
+            raise RuntimeError("Failed to set Hamamatsu SLM mode.")
 
     def reboot(self):
         """Reboot the head."""

@@ -271,6 +271,89 @@ class TestMeadowlarkLogic:
                 seen[trace] = name
 
 
+class TestHamamatsuLogic:
+    def _fake_lib(self, start_mode=1):
+        import ctypes
+
+        class FakeLib:
+            def __init__(self):
+                self.mode = start_mode
+                self.calls = []
+                self.frames = {}
+                self.displayed = None
+
+            def Open_Dev(self, ids_ref, size):
+                ids_ref._obj[0] = 7
+                return 1
+
+            def Close_Dev(self, ids_ref, size):
+                self.calls.append("close")
+                return 1
+
+            def Check_HeadSerial(self, bid, serial_ref, size):
+                serial_ref._obj.value = 12345
+                return 1
+
+            def Mode_Check(self, bid, mode_ref):
+                mode_ref._obj.value = self.mode
+                return 1
+
+            def Mode_Select(self, bid, mode):
+                self.mode = mode.value
+                self.calls.append(("mode", mode.value))
+                return 1
+
+            def Reboot(self, bid):
+                self.calls.append("reboot")
+                return 1
+
+            def Write_FMemArray(self, bid, ptr, size, w, h, slot):
+                self.frames[slot.value] = (w.value, h.value, size.value)
+                return 1
+
+            def Change_DispSlot(self, bid, slot):
+                self.displayed = slot.value
+                return 1
+
+        return FakeLib()
+
+    def _make(self, monkeypatch, lib):
+        from slmsuite_tpu.hardware.slms import hamamatsu as hm
+
+        monkeypatch.setattr(hm, "_load_dll", lambda dll_path=None: lib)
+        return hm.Hamamatsu(resolution=(64, 32), verbose=False)
+
+    def test_init_usb_mode_writes_frame(self, monkeypatch):
+        lib = self._fake_lib(start_mode=1)
+        slm = self._make(monkeypatch, lib)
+        assert slm.serial == 12345
+        assert "reboot" not in lib.calls
+        # set_phase(None) in init uploaded a zero frame to slot 0.
+        assert lib.frames[0] == (64, 32, 64 * 32)
+        assert lib.displayed == 0
+
+    def test_init_dvi_mode_switches_and_reboots(self, monkeypatch):
+        lib = self._fake_lib(start_mode=0)
+        slm = self._make(monkeypatch, lib)
+        assert ("mode", 1) in lib.calls
+        assert "reboot" in lib.calls
+        assert slm.get_mode() == 1
+
+    def test_set_mode_validates(self, monkeypatch):
+        lib = self._fake_lib()
+        slm = self._make(monkeypatch, lib)
+        with pytest.raises(ValueError):
+            slm.set_mode(3)
+
+    def test_slot_select(self, monkeypatch):
+        import numpy as np
+
+        lib = self._fake_lib()
+        slm = self._make(monkeypatch, lib)
+        slm._set_phase_hw(np.zeros((32, 64), np.uint8), slot_number=2)
+        assert 2 in lib.frames and lib.displayed == 2
+
+
 class TestPLMBitpack:
     def test_bitpack_8(self):
         from slmsuite_tpu.hardware.slms.texasinstruments import PLM
