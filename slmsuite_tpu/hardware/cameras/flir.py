@@ -62,8 +62,6 @@ class FLIR(Camera):
         self.cam.Init()
         FLIR._instances += 1
 
-        nodemap = self.cam.GetNodeMap()
-
         # Manual exposure/gain so feedback measurements are repeatable.
         self.cam.ExposureAuto.SetValue(PySpin.ExposureAuto_Off)
         self.cam.GainAuto.SetValue(PySpin.GainAuto_Off)
@@ -76,14 +74,8 @@ class FLIR(Camera):
 
         width = int(self.cam.WidthMax.GetValue())
         height = int(self.cam.HeightMax.GetValue())
-        try:
-            bitdepth = int(
-                PySpin.CEnumerationPtr(
-                    nodemap.GetNode("PixelSize")
-                ).GetIntValue()
-            )
-        except Exception:
-            bitdepth = 8
+        bitdepth = self._configure_adc_depth(kwargs.pop("bitdepth", None))
+        self._configure_frame_rate()
 
         self.cam.BeginAcquisition()
         if verbose:
@@ -95,6 +87,66 @@ class FLIR(Camera):
             name=f"FLIR_{serial or self.cam.DeviceSerialNumber.GetValue()}",
             **kwargs,
         )
+
+    def _configure_adc_depth(self, bitdepth=None):
+        """
+        Select the sensor ADC bit depth (8/10/12) and the matching
+        transport pixel format (Mono8 for 8-bit, Mono16 otherwise — the
+        sensor left-justifies into 16-bit containers). ``None`` picks
+        the deepest ADC the model offers. Returns the selected depth.
+        Ref ``flir.py:317-385``.
+        """
+        if bitdepth is not None and bitdepth not in (8, 10, 12):
+            raise ValueError(
+                f"Unsupported bitdepth {bitdepth}; FLIR ADCs are 8/10/12-bit."
+            )
+        try:
+            adc = self.cam.AdcBitDepth
+            entries = [
+                e for e in adc.GetEntries()
+                if PySpin.IsAvailable(e) and PySpin.IsReadable(e)
+            ]
+            depths = sorted(
+                int(e.GetSymbolic().replace("Bit", "")) for e in entries
+            )
+            chosen = bitdepth if bitdepth in depths else depths[-1]
+            adc.SetIntValue(
+                adc.GetEntryByName(f"Bit{chosen}").GetValue()
+            )
+        except (PySpin.SpinnakerException, AttributeError, IndexError):
+            # Model exposes no ADC selector; fall back to the pixel size.
+            try:
+                chosen = int(
+                    PySpin.CEnumerationPtr(
+                        self.cam.GetNodeMap().GetNode("PixelSize")
+                    ).GetIntValue()
+                )
+            except Exception:
+                chosen = bitdepth or 8
+        try:
+            fmt = PySpin.PixelFormat_Mono8 if chosen == 8 else \
+                PySpin.PixelFormat_Mono16
+            self.cam.PixelFormat.SetValue(fmt)
+        except PySpin.SpinnakerException:
+            pass
+        return int(chosen)
+
+    def _configure_frame_rate(self):
+        """Disable automatic frame rate and drive the camera at its
+        maximum — an auto-limited frame rate silently caps the exposure
+        range autoexposure can reach. Ref ``flir.py:387-420``."""
+        try:
+            if hasattr(self.cam, "AcquisitionFrameRateAuto"):
+                self.cam.AcquisitionFrameRateAuto.SetValue(
+                    self.cam.AcquisitionFrameRateAuto.GetEntryByName("Off").GetValue()
+                )
+            if hasattr(self.cam, "AcquisitionFrameRateEnable"):
+                self.cam.AcquisitionFrameRateEnable.SetValue(True)
+            rate = self.cam.AcquisitionFrameRate
+            if rate.GetAccessMode() == PySpin.RW:
+                rate.SetValue(rate.GetMax())
+        except PySpin.SpinnakerException:
+            pass
 
     def close(self):
         """End acquisition and release the camera (and SDK if last)."""
