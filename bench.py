@@ -436,9 +436,13 @@ def bench_batch_scaling(sizes=(1, 2, 4, 8), N=1024, iters=40):
         def once(n):
             t0 = time.time()
             res = run(None, n)
-            # Touch a dependent sliver of every output leaf.
+            # Touch a dependent sliver of every output leaf. The slice
+            # must happen ON DEVICE (leaf.ravel()[:2]) — np.asarray on
+            # the whole leaf would drag megabytes of psi/weights planes
+            # through the tunnel per call and swamp the iteration cost
+            # (this exact bug made round-3 batch numbers fetch-bound).
             for leaf in jax_tree_leaves(res):
-                np.asarray(leaf)[:1]
+                np.asarray(leaf.ravel()[:2])
             return time.time() - t0
 
         once(small)

@@ -219,6 +219,71 @@ def _permute_planes(arrays, shape, unscramble=False):
     ]
 
 
+def _scan_planes(step, n_iterations, psi, weights, consts):
+    """Scan the step with the Kim state initialized fresh (local
+    plane count inferred from the weights shard)."""
+    carry = (
+        psi,
+        weights,
+        jnp.zeros_like(weights),                         # phase_ff
+        jnp.zeros(weights.shape[0], dtype=bool),         # fixed
+        jnp.zeros(weights.shape[0], dtype=jnp.int32),    # streak
+    )
+
+    def body(carry, i):
+        return step(carry, dict(consts, iteration=i))
+
+    carry, stats = jax.lax.scan(body, carry, jnp.arange(n_iterations))
+    return carry[0], carry[1], stats
+
+
+def _scalar_keys(config):
+    return (
+        "amp", "feedback_exponent", "feedback_factor",
+        "fix_phase_iteration", "fix_phase_efficiency",
+    ) + (("mraf_factor",) if config.mraf else ())
+
+
+def _plane_keys(config):
+    return ("kernels", "targets") + (("mcodes",) if config.mraf else ())
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batched_single(config, n_iterations):
+    """Cached jitted single-device runner — rebuilding the jit wrapper
+    per call would retrace the whole scan every invocation (a ~1 s cost
+    at 1024² that used to swamp per-iteration timing)."""
+    step = make_batched_gs_step(config)
+    return jax.jit(functools.partial(_scan_planes, step, n_iterations))
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_batched_sharded(config, n_iterations, mesh, axis_name):
+    """Cached jitted shard_map runner (planes over ``axis_name``)."""
+    step = make_batched_gs_step(config, axis_name=axis_name)
+
+    replicated = P()
+    scalar_keys = _scalar_keys(config)
+    plane_keys = _plane_keys(config)
+    in_specs = (
+        replicated,                      # psi
+        P(axis_name, None, None),        # weights
+        {
+            **{key: P(axis_name, None, None) for key in plane_keys},
+            "plane_weights": P(axis_name),
+            **{key: replicated for key in scalar_keys},
+        },
+    )
+    out_specs = (replicated, P(axis_name, None, None), P(None, axis_name, None))
+
+    return jax.jit(
+        shard_map(
+            functools.partial(_scan_planes, step, n_iterations),
+            mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False,
+        )
+    )
+
+
 def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_name="data"):
     """
     Run ``n_iterations`` of the batched multiplane loop.
@@ -247,61 +312,16 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
         (weights,) = _permute_planes([weights], config.shape, unscramble=True)
         return psi, weights, stats
 
-    def scan_planes(step, psi, weights, consts):
-        """Scan the step with the Kim state initialized fresh (local
-        plane count inferred from the weights shard)."""
-        carry = (
-            psi,
-            weights,
-            jnp.zeros_like(weights),                         # phase_ff
-            jnp.zeros(weights.shape[0], dtype=bool),         # fixed
-            jnp.zeros(weights.shape[0], dtype=jnp.int32),    # streak
-        )
-
-        def body(carry, i):
-            return step(carry, dict(consts, iteration=i))
-
-        carry, stats = jax.lax.scan(body, carry, jnp.arange(n_iterations))
-        return carry[0], carry[1], stats
-
     if mesh is None:
-        step = make_batched_gs_step(config)
-        run = jax.jit(
-            lambda psi, weights, consts: scan_planes(step, psi, weights, consts)
-        )
+        run = _compiled_batched_single(config, int(n_iterations))
         return run(psi, weights, consts)
 
-    # Sharded path.
-    step = make_batched_gs_step(config, axis_name=axis_name)
-
-    replicated = P()
-    plane_sharded = P(axis_name)
-
-    scalar_keys = (
-        "amp", "feedback_exponent", "feedback_factor",
-        "fix_phase_iteration", "fix_phase_efficiency",
-    ) + (("mraf_factor",) if config.mraf else ())
-    plane_keys = ("kernels", "targets") + (("mcodes",) if config.mraf else ())
-    in_specs = (
-        replicated,                      # psi
-        P(axis_name, None, None),        # weights
-        {
-            **{key: P(axis_name, None, None) for key in plane_keys},
-            "plane_weights": plane_sharded,
-            **{key: replicated for key in scalar_keys},
-        },
-    )
-    out_specs = (replicated, P(axis_name, None, None), P(None, axis_name, None))
-
-    fn = jax.jit(
-        shard_map(
-            lambda psi, weights, consts: scan_planes(step, psi, weights, consts),
-            mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False,
-        )
-    )
+    fn = _compiled_batched_sharded(config, int(n_iterations), mesh, axis_name)
+    scalar_keys = _scalar_keys(config)
+    plane_keys = _plane_keys(config)
 
     # Place inputs on the mesh.
-    psi = jax.device_put(psi, NamedSharding(mesh, replicated))
+    psi = jax.device_put(psi, NamedSharding(mesh, P()))
     weights = jax.device_put(weights, NamedSharding(mesh, P(axis_name, None, None)))
     consts = {
         **{
