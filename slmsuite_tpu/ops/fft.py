@@ -454,6 +454,24 @@ def wexp_ifft2_scrambled_phase(weights, phase):
     return jnp.arctan2(im, re)
 
 
+def wexp_ifft2_scrambled(weights, phase):
+    """
+    Complex ``ifft2_scrambled(weights * e^{i phase})`` (ortho) — like
+    :meth:`wexp_ifft2_scrambled_phase` but returning the full complex
+    nearfield pair (the multiplane backward needs the per-plane complex
+    contribution for the weighted sum). On TPU the constraint synthesis
+    fuses into the inverse cols kernel; elsewhere it composes the
+    einsum pieces. ``phase`` must be bounded (atan2 output).
+    """
+    if _use_pallas_scrambled(weights.shape):
+        from slmsuite_tpu.ops import pallas_fft as _pf
+
+        return _pf.wexp_ifft2_scrambled(weights, phase)
+    return ifft2_scrambled_pair(
+        weights * jnp.cos(phase), weights * jnp.sin(phase)
+    )
+
+
 # --------------------------------------------------------------------------
 # Fused WGS forward half: FFT + stats partials + weight update + Kim
 # select + amplitude constraint, all in the scrambled layout. The jnp

@@ -499,6 +499,7 @@ def fft2_scrambled_polar_from_phase(psi, amp):
             out_specs=[data_spec, data_spec],
             out_shape=out_shape,
             compiler_params=params,
+            interpret=_INTERPRET,
         )(psi, *[jnp.asarray(m) for m in mats])
     else:
         xr, xi = pl.pallas_call(
@@ -508,6 +509,7 @@ def fft2_scrambled_polar_from_phase(psi, amp):
             out_specs=[data_spec, data_spec],
             out_shape=out_shape,
             compiler_params=params,
+            interpret=_INTERPRET,
         )(psi, amp, *[jnp.asarray(m) for m in mats])
 
     # Columns pass with fused polar epilogue.
@@ -525,6 +527,7 @@ def fft2_scrambled_polar_from_phase(psi, amp):
         out_specs=[data_specc, data_specc],
         out_shape=out_shape,
         compiler_params=params,
+        interpret=_INTERPRET,
     )(xr, xi, *[jnp.asarray(m) for m in cmats])
     if scalar_amp:
         # Linearity: the scalar amplitude scales |F| only (fuses into
@@ -1898,6 +1901,36 @@ def wexp_ifft2_scrambled_phase(weights, phase):
 
 
 @jax.jit
+def wexp_ifft2_scrambled(weights, phase):
+    """
+    Complex ``ifft2_scrambled(weights * e^{i phase})`` (ortho),
+    scrambled in -> natural out: the constraint synthesis fuses into the
+    inverse cols kernel, so the constrained complex farfield never
+    exists in HBM (the multiplane backward's per-plane contribution).
+    ``phase`` must be bounded (atan2 output) — :func:`_sincos` contract.
+    """
+    H, W = weights.shape
+    n1c, n2c, *imats = _plan_f32(H, True)
+    blockc = min(BLOCK, W)
+    col_spec = pl.BlockSpec((H, blockc), lambda i: (0, i))
+    iconst = [pl.BlockSpec(m.shape, lambda i: (0, 0)) for m in imats]
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    hr, hi = pl.pallas_call(
+        functools.partial(_cols_wexp_inv_kernel, n1=n1c, n2=n2c),
+        grid=(W // blockc,),
+        in_specs=[col_spec, col_spec] + iconst,
+        out_specs=[col_spec, col_spec],
+        out_shape=[plane, plane],
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(weights, phase, *[jnp.asarray(m) for m in imats])
+    gr, gi = _fft_rows(hr, hi, True)
+    scale = 1.0 / np.sqrt(H * W)
+    return gr * scale, gi * scale
+
+
+@jax.jit
 def ifft2_scrambled_phase(xr, xi):
     """
     Inverse ortho 2D FFT consuming the scrambled layout and returning
@@ -1917,4 +1950,5 @@ def ifft2_scrambled_phase(xr, xi):
         out_specs=data_spec,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
     )(xr, xi, *[jnp.asarray(m) for m in mats])

@@ -72,14 +72,25 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
     if config.scrambled:
         from slmsuite_tpu.ops import fft as _fft
 
-    def plane_forward(psi, kernel, amp):
-        """Returns (amp_ff, theta); complex farfield never materializes
-        in the scrambled (Pallas) mode."""
+    # Non-MRAF scrambled planes synthesize the constrained farfield
+    # inside the fused inverse kernel (plane_backward_wexp); MRAF's
+    # region mixing needs the explicit complex farfield.
+    use_wexp = config.scrambled and not config.mraf
+
+    def plane_forward(psi, kernel, amp, amp_canvas):
+        """Returns (amp_ff, theta). In the scrambled (Pallas) mode the
+        forward rides the fused from-phase kernel: neither the complex
+        nearfield nor the complex farfield ever materializes in HBM —
+        only the padded phase canvas (1 plane) crosses per plane."""
+        if config.scrambled:
+            total = psi + kernel if config.has_kernel else psi
+            phase = jax.lax.dynamic_update_slice(
+                jnp.zeros(config.shape, jnp.float32), total, (y0, x0)
+            )
+            return _fft.fft2_scrambled_polar_from_phase(phase, amp_canvas)
         nearfield = build_folded_nearfield(
             psi, amp, config.shape, kernel if config.has_kernel else None
         )
-        if config.scrambled:
-            return _fft.fft2_scrambled_polar(nearfield.real, nearfield.imag)
         farfield = nearfield_to_farfield(nearfield)
         return jnp.abs(farfield), jnp.arctan2(farfield.imag, farfield.real)
 
@@ -124,6 +135,12 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
 
         # Column 4 carries the fixed-phase flag history next to the stats.
         stats = jnp.concatenate([stats, fixed_in.astype(jnp.float32)[None]])
+        if use_wexp:
+            # The constrained farfield is synthesized INSIDE the fused
+            # inverse kernel (plane_backward_wexp) from (weights,
+            # phase_ff) — never materialize it here.
+            constrained = jnp.zeros((), jnp.complex64)
+            return constrained, weights, phase_ff, fixed, streak, stats
         constrained = weights * jnp.exp(1j * phase_ff)
         if config.mraf:
             # Mixed-region constraint (engine parity, ref
@@ -144,18 +161,30 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
             weights, phase_ff, fixed, streak, stats,
         )
 
-    def plane_backward(constrained, kernel, plane_weight):
-        if config.scrambled:
-            re, im = _fft.ifft2_scrambled(constrained.real, constrained.imag)
-            nearfield = (re + 1j * im).astype(jnp.complex64)
-        else:
-            nearfield = farfield_to_nearfield(constrained)
+    def _window_contribution(nearfield, kernel, plane_weight):
         window = jax.lax.dynamic_slice(
             nearfield, (y0, x0), tuple(config.slm_shape)
         )
         if config.has_kernel:
             window = window * jnp.exp(-1j * kernel)
         return plane_weight * window
+
+    def plane_backward(constrained, kernel, plane_weight):
+        if config.scrambled:
+            re, im = _fft.ifft2_scrambled(constrained.real, constrained.imag)
+            nearfield = (re + 1j * im).astype(jnp.complex64)
+        else:
+            nearfield = farfield_to_nearfield(constrained)
+        return _window_contribution(nearfield, kernel, plane_weight)
+
+    def plane_backward_wexp(weights, phase_ff, kernel, plane_weight):
+        """Fused backward: the constrained farfield w * e^{i phase} is
+        synthesized inside the inverse cols kernel and never crosses
+        HBM (non-MRAF scrambled path only — MRAF's region mixing needs
+        the explicit complex farfield)."""
+        re, im = _fft.wexp_ifft2_scrambled(weights, phase_ff)
+        nearfield = (re + 1j * im).astype(jnp.complex64)
+        return _window_contribution(nearfield, kernel, plane_weight)
 
     def step(carry, consts):
         psi, weights, phase_ff, fixed, streak = carry
@@ -168,8 +197,21 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
             else jnp.zeros((targets.shape[0], 1, 1), jnp.uint8)
         )
 
+        if config.scrambled:
+            # Padded source-amplitude plane, shared by every plane and
+            # iteration (XLA CSEs it across the vmap).
+            amp_canvas = jax.lax.dynamic_update_slice(
+                jnp.zeros(config.shape, jnp.float32),
+                jnp.broadcast_to(
+                    jnp.asarray(consts["amp"], jnp.float32),
+                    tuple(config.slm_shape),
+                ),
+                (y0, x0),
+            )
+        else:
+            amp_canvas = None
         amps_ff, thetas = jax.vmap(
-            lambda k: plane_forward(psi, k, consts["amp"])
+            lambda k: plane_forward(psi, k, consts["amp"], amp_canvas)
         )(kernels)
         constrained, weights, phase_ff, fixed, streak, stats = jax.vmap(
             lambda a, th, w, t, mc, pff, fx, st: plane_constrain(
@@ -177,7 +219,14 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
             )
         )(amps_ff, thetas, weights, targets, mcodes, phase_ff, fixed, streak)
 
-        contributions = jax.vmap(plane_backward)(constrained, kernels, plane_weights)
+        if use_wexp:
+            contributions = jax.vmap(plane_backward_wexp)(
+                weights, phase_ff, kernels, plane_weights
+            )
+        else:
+            contributions = jax.vmap(plane_backward)(
+                constrained, kernels, plane_weights
+            )
         combined = jnp.sum(contributions, axis=0)
         if axis_name is not None:
             combined = jax.lax.psum(combined, axis_name)
