@@ -222,6 +222,9 @@ class Meadowlark(SLM):
     _lib_cache = {}
     #: Board count reported at Create_SDK time, per variant.
     _board_count = {}
+    #: Header trace ``(create_args, write_args)`` per variant — the HDMI
+    #: family shipped both 2- and 3-argument ``Write_image`` revisions.
+    _trace = {}
 
     def __init__(
         self,
@@ -304,6 +307,7 @@ class Meadowlark(SLM):
 
         spec = SDK_VARIANTS[variant]
         trace = _parse_sdk_header(dll_path) or next(iter(spec["traces"]))
+        cls._trace[variant] = trace
         if variant == "hdmi":
             if trace[0] == 1:
                 lib.Create_SDK(ctypes.c_uint(1))  # 1 = "python caller".
@@ -451,7 +455,16 @@ class Meadowlark(SLM):
         timeout = ctypes.c_uint(int(timeout_s * 1000))
 
         if style == "hdmi":
-            self.slm_lib.Write_image(ptr, ctypes.c_uint(self.bitdepth == 8))
+            # The HDMI family shipped 2- and 3-argument Write_image
+            # revisions (the 3-argument one takes the board first).
+            if Meadowlark._trace.get("hdmi", (0, 2))[1] == 3:
+                self.slm_lib.Write_image(
+                    board, ptr, ctypes.c_uint(self.bitdepth == 8)
+                )
+            else:
+                self.slm_lib.Write_image(
+                    ptr, ctypes.c_uint(self.bitdepth == 8)
+                )
             return
         # The PCIe writes never flip_immediate: the flip must wait for
         # vsync so all pixels land on the same frame.

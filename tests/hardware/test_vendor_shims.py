@@ -253,6 +253,32 @@ class TestMeadowlarkLogic:
         if variant != "hdmi":
             assert calls["complete"] == 2
 
+    def test_hdmi_three_arg_write(self):
+        """The (0, 3) HDMI header trace switches to the board-first
+        3-argument Write_image revision."""
+        import numpy as np
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        calls = {}
+
+        class FakeLib:
+            def Write_image(self, *args):
+                calls["write"] = len(args)
+
+        slm = Meadowlark.__new__(Meadowlark)
+        slm.sdk_variant = "hdmi"
+        slm.sdk_interface = "hdmi"
+        slm.slm_number = 1
+        slm.slm_lib = FakeLib()
+        slm.bitdepth = 8
+        prior = dict(Meadowlark._trace)
+        Meadowlark._trace["hdmi"] = (0, 3)
+        try:
+            Meadowlark._set_phase_hw(slm, np.zeros((4, 4), np.uint8))
+        finally:
+            Meadowlark._trace = prior
+        assert calls["write"] == 3
+
     def test_sdk_variant_table_complete(self):
         """Every variant names its geometry/telemetry calls and a write
         style; every header trace maps to exactly one variant."""
