@@ -110,6 +110,11 @@ class FLIR(Camera):
                 int(e.GetSymbolic().replace("Bit", "")) for e in entries
             )
             chosen = bitdepth if bitdepth in depths else depths[-1]
+            if bitdepth is not None and chosen != bitdepth:
+                warnings.warn(
+                    f"Requested ADC bitdepth {bitdepth} is not offered by "
+                    f"this model (available: {depths}); using {chosen}."
+                )
             adc.SetIntValue(
                 adc.GetEntryByName(f"Bit{chosen}").GetValue()
             )
@@ -129,6 +134,11 @@ class FLIR(Camera):
             self.cam.PixelFormat.SetValue(fmt)
         except PySpin.SpinnakerException:
             pass
+        # Mono16 transport left-justifies the ADC value; record the
+        # shift so _get_image_hw returns data spanning [0, 2^bitdepth)
+        # and Camera.bitresolution-based overexposure/autoexposure logic
+        # stays correct.
+        self._transport_shift = 0 if chosen == 8 else max(0, 16 - int(chosen))
         return int(chosen)
 
     def _configure_frame_rate(self):
@@ -210,6 +220,10 @@ class FLIR(Camera):
             frame = np.array(image.GetNDArray(), copy=True)
         finally:
             image.Release()
+        shift = getattr(self, "_transport_shift", 0)
+        if shift:
+            # Undo the Mono16 left-justification (see _configure_adc_depth).
+            frame = frame >> shift
         return frame
 
     def flush(self, timeout_s=1):

@@ -114,6 +114,9 @@ class Hamamatsu(SLM):
                 print("head in DVI mode; switching to USB and rebooting...")
             self.set_mode(1)
             self.reboot()
+            # The controller drops off USB while rebooting; re-open the
+            # device and confirm the mode took before any frame upload.
+            self._reopen_after_reboot()
         elif mode != 1:
             self.close()
             raise RuntimeError(f"Unknown Hamamatsu SLM mode {mode}.")
@@ -208,6 +211,30 @@ class Hamamatsu(SLM):
     def reboot(self):
         """Reboot the head."""
         self._lib.Reboot(ctypes.c_uint8(self.board_id))
+
+    def _reopen_after_reboot(self, timeout_s=20.0, poll_s=1.0):
+        """Wait for a rebooting controller to re-enumerate on USB, then
+        re-open it and verify it came back in USB/trigger mode. The
+        board drops off the bus for several seconds after ``Reboot``;
+        writing to the stale handle during that window fails."""
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        last_exc = None
+        while time.monotonic() < deadline:
+            time.sleep(poll_s)
+            try:
+                ids = (ctypes.c_uint8 * 16)()
+                n = self._lib.Open_Dev(ctypes.byref(ids), ctypes.c_int32(16))
+                if n > 0 and self.board_id in [int(ids[i]) for i in range(n)]:
+                    if self.get_mode() == 1:
+                        return
+            except (OSError, RuntimeError) as exc:
+                last_exc = exc
+        raise RuntimeError(
+            f"Hamamatsu head {self.board_id} did not return in USB mode "
+            f"within {timeout_s:.0f} s of the mode-switch reboot."
+        ) from last_exc
 
     def close(self):
         """Close the USB device."""

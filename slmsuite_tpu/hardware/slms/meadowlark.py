@@ -132,25 +132,28 @@ def sdk_feature_table(path=SDK_TABLE_PATH):
 
 def _find_dll(sdk_path=None):
     """Locate ``Blink_C_wrapper.dll`` under ``sdk_path`` or default roots
-    (most recently modified first; calibration-kit copies excluded)."""
+    (calibration-kit copies excluded). Root order is deterministic — the
+    FIRST root containing a DLL wins (mtime only breaks ties within a
+    root; an unrelated reinstall must not silently flip which SDK
+    generation drives the hardware)."""
     roots = [sdk_path] if sdk_path else _DEFAULT_SDK_ROOTS
-    found = []
     for root in roots:
         if root is None or not os.path.isdir(root):
             continue
+        found = []
         for dirpath, _, filenames in os.walk(root):
             if "Cal Kit" in dirpath:
                 continue
             for fname in filenames:
                 if fname.lower() == "blink_c_wrapper.dll":
                     found.append(os.path.join(dirpath, fname))
-    if not found:
-        raise FileNotFoundError(
-            "Blink_C_wrapper.dll not found. Install the Meadowlark Blink SDK "
-            "or pass sdk_path pointing at it."
-        )
-    found.sort(key=os.path.getmtime, reverse=True)
-    return found[0]
+        if found:
+            found.sort(key=os.path.getmtime, reverse=True)
+            return found[0]
+    raise FileNotFoundError(
+        "Blink_C_wrapper.dll not found. Install the Meadowlark Blink SDK "
+        "or pass sdk_path pointing at it."
+    )
 
 
 def _parse_sdk_header(dll_path):
@@ -165,7 +168,9 @@ def _parse_sdk_header(dll_path):
     if not os.path.isfile(header):
         return None
     try:
-        with open(header) as f:
+        # Vendor headers carry CP1252 banner bytes on occasion; decode
+        # permissively — only the ASCII prototypes matter here.
+        with open(header, errors="replace") as f:
             text = f.read()
         trace = []
         for name in ("Create_SDK(", "Write_image("):
@@ -175,7 +180,7 @@ def _parse_sdk_header(dll_path):
             args = text[start:].split("(", 1)[1].split(")", 1)[0].strip()
             trace.append(0 if len(args) < 2 else args.count(",") + 1)
         return tuple(trace)
-    except OSError:
+    except (OSError, ValueError):
         return None
 
 
@@ -192,9 +197,19 @@ def _detect_variant(dll_path, lib):
             f"falling back to symbol detection."
         )
     # No/unknown header: split on the symbols unique to each family.
+    # Exported symbols cannot distinguish the modern PCIe revisions
+    # (only the header arity can) — warn, since calling the wrong
+    # Write_image arity mis-feeds the vendor ABI.
     if hasattr(lib, "Get_Width") and not hasattr(lib, "Get_image_width"):
         return "hdmi"
     if hasattr(lib, "Get_last_error_message"):
+        warnings.warn(
+            "Blink_C_wrapper.h not found next to the DLL: a modern PCIe "
+            "SDK was detected by symbols, but the Write_image revision "
+            "(6- vs 8-argument) cannot be distinguished without the "
+            "header. Assuming the 6-argument revision — reinstall the "
+            "SDK with its header if writes fail."
+        )
         return "pcie_modern_6"
     if hasattr(lib, "Set_true_frames") or hasattr(lib, "Get_image_width"):
         return "pcie_legacy"
@@ -225,6 +240,9 @@ class Meadowlark(SLM):
     #: Header trace ``(create_args, write_args)`` per variant — the HDMI
     #: family shipped both 2- and 3-argument ``Write_image`` revisions.
     _trace = {}
+    #: Live instances per variant; Delete_SDK runs when the LAST board
+    #: closes (PCIe SDKs serve several boards from one SDK handle).
+    _refcount = {}
 
     def __init__(
         self,
@@ -257,6 +275,9 @@ class Meadowlark(SLM):
         dll_path = _find_dll(sdk_path)
         self.slm_number = int(slm_number)
         self.sdk_variant, self.slm_lib = self._open_sdk(dll_path)
+        Meadowlark._refcount[self.sdk_variant] = (
+            Meadowlark._refcount.get(self.sdk_variant, 0) + 1
+        )
         self.sdk_interface = (
             "pcie" if SDK_VARIANTS[self.sdk_variant]["pcie"] else "hdmi"
         )
@@ -306,7 +327,15 @@ class Meadowlark(SLM):
             return variant, cached
 
         spec = SDK_VARIANTS[variant]
-        trace = _parse_sdk_header(dll_path) or next(iter(spec["traces"]))
+        # Headerless fallback traces are the SAFE arity per family (the
+        # HDMI set contains both 2- and 3-argument writes; set iteration
+        # order must not pick the write arity).
+        fallback = {
+            "hdmi": (0, 2), "pcie_modern_3": (2, 3),
+            "pcie_modern_6": (2, 6), "pcie_modern_8": (2, 8),
+            "pcie_legacy": (8, 8),
+        }[variant]
+        trace = _parse_sdk_header(dll_path) or fallback
         cls._trace[variant] = trace
         if variant == "hdmi":
             if trace[0] == 1:
@@ -580,12 +609,21 @@ class Meadowlark(SLM):
     # ------------------------------------------------------------- close
 
     def close(self):
-        """Release the SDK."""
-        if getattr(self, "slm_lib", None) is not None:
-            self.slm_lib.Delete_SDK()
-            Meadowlark._lib_cache.pop(self.sdk_variant, None)
-            Meadowlark._board_count.pop(self.sdk_variant, None)
-            self.slm_lib = None
+        """Release this board; the shared SDK is deleted when the LAST
+        open board of its generation closes (sibling instances keep a
+        live handle until then)."""
+        if getattr(self, "slm_lib", None) is None:
+            return
+        variant = self.sdk_variant
+        self.slm_lib = None
+        remaining = Meadowlark._refcount.get(variant, 1) - 1
+        Meadowlark._refcount[variant] = max(remaining, 0)
+        if remaining <= 0:
+            lib = Meadowlark._lib_cache.pop(variant, None)
+            Meadowlark._board_count.pop(variant, None)
+            Meadowlark._refcount.pop(variant, None)
+            if lib is not None:
+                lib.Delete_SDK()
 
     def close_sdk(self):
         """Release the SDK (alias of :meth:`close` for API parity)."""

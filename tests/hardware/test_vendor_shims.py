@@ -279,6 +279,42 @@ class TestMeadowlarkLogic:
             Meadowlark._trace = prior
         assert calls["write"] == 3
 
+    def test_close_refcounts_shared_sdk(self):
+        """Two boards share one SDK handle; Delete_SDK only runs when
+        the LAST board closes."""
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        calls = []
+
+        class FakeLib:
+            def Delete_SDK(self):
+                calls.append("delete")
+
+        lib = FakeLib()
+        variant = "pcie_modern_6"
+        prior = (dict(Meadowlark._lib_cache), dict(Meadowlark._refcount),
+                 dict(Meadowlark._board_count))
+        Meadowlark._lib_cache[variant] = lib
+        Meadowlark._refcount[variant] = 2
+        try:
+            boards = []
+            for n in (1, 2):
+                slm = Meadowlark.__new__(Meadowlark)
+                slm.sdk_variant = variant
+                slm.slm_lib = lib
+                boards.append(slm)
+            boards[0].close()
+            assert calls == []  # Sibling still open.
+            assert Meadowlark._refcount[variant] == 1
+            boards[1].close()
+            assert calls == ["delete"]
+            assert variant not in Meadowlark._lib_cache
+            boards[1].close()  # Idempotent.
+            assert calls == ["delete"]
+        finally:
+            (Meadowlark._lib_cache, Meadowlark._refcount,
+             Meadowlark._board_count) = prior
+
     def test_sdk_variant_table_complete(self):
         """Every variant names its geometry/telemetry calls and a write
         style; every header trace maps to exactly one variant."""
