@@ -128,17 +128,34 @@ class FLIR(Camera):
                 )
             except Exception:
                 chosen = bitdepth or 8
+        # Mono16 transport left-justifies the ADC value; record the
+        # shift so _get_image_hw returns data spanning [0, 2^bitdepth)
+        # and Camera.bitresolution-based overexposure/autoexposure logic
+        # stays correct. The shift applies ONLY if the Mono16 format
+        # actually took — shifting Mono8 frames would zero valid data.
+        self._transport_shift = 0
+        set_ok = False
         try:
             fmt = PySpin.PixelFormat_Mono8 if chosen == 8 else \
                 PySpin.PixelFormat_Mono16
             self.cam.PixelFormat.SetValue(fmt)
+            set_ok = True
         except PySpin.SpinnakerException:
             pass
-        # Mono16 transport left-justifies the ADC value; record the
-        # shift so _get_image_hw returns data spanning [0, 2^bitdepth)
-        # and Camera.bitresolution-based overexposure/autoexposure logic
-        # stays correct.
-        self._transport_shift = 0 if chosen == 8 else max(0, 16 - int(chosen))
+        # Trust the read-back format, not the request: if the Mono16
+        # switch was rejected the camera still transports Mono8 and the
+        # deeper ADC reading is unreachable.
+        try:
+            mono16 = (
+                self.cam.PixelFormat.GetIntValue()
+                == PySpin.PixelFormat_Mono16
+            )
+        except PySpin.SpinnakerException:
+            mono16 = set_ok and chosen != 8
+        if mono16:
+            self._transport_shift = max(0, 16 - int(chosen))
+        else:
+            chosen = 8
         return int(chosen)
 
     def _configure_frame_rate(self):

@@ -246,6 +246,17 @@ class SimulatedCamera(Camera):
         self._sampler_cache = (key, sample)
         return sample
 
+    def _get_dtype(self, get_image_function=None):
+        """The virtual camera's dtype follows directly from bitdepth:
+        at construction time the affine/hologram are not built yet
+        (``set_affine`` runs after the ABC constructor), so the ABC's
+        trial capture would burn its whole retry budget and emit a
+        spurious capture-failure warning on every construction."""
+        if get_image_function is None and not hasattr(self, "_hologram"):
+            def get_image_function():
+                raise RuntimeError("Simulated camera is not propagating yet.")
+        return super()._get_dtype(get_image_function)
+
     def _get_image_hw(self, timeout_s=None):
         """
         Form an image: propagate the SLM's quantized display (+ simulated

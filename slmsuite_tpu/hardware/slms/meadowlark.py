@@ -64,7 +64,9 @@ SDK_VARIANTS = {
         depth=("Get_image_depth", True),
         serial=("Read_Serial_Number", True),
         temperature=("Read_SLM_temperature", True),
-        coverglass=("Read_coverglass_voltage", True),
+        # All modern PCIe generations (incl. the 3-argument one) read the
+        # coverglass through Get_cover_voltage (ref meadowlark.py:515-527).
+        coverglass=("Get_cover_voltage", True),
         write="pcie_3",
     ),
     "pcie_modern_6": dict(
@@ -96,8 +98,10 @@ SDK_VARIANTS = {
         height=("Get_image_height", True),
         depth=("Get_image_depth", True),
         serial=("Read_Serial_Number", True),
-        temperature=("Read_SLM_temperature", True),
-        coverglass=("Read_coverglass_voltage", True),
+        # The legacy HSP SDK exposes no temperature/coverglass telemetry
+        # (ref meadowlark.py:496-499,527-530 raises NotImplementedError).
+        temperature=(None, False),
+        coverglass=(None, False),
         write="pcie_8",  # Legacy HSP boards share the 8-argument write.
     ),
 }
@@ -554,7 +558,9 @@ class Meadowlark(SLM):
                 ctypes.c_uint(self.slm_number), ctypes.c_bool(on)
             )
         if on_refresh is not None:
-            if style == "pcie_8":
+            # Only the modern 8-argument SDK supports refresh-rate pulses;
+            # legacy HSP boards share the write style but lack the flag.
+            if self.sdk_variant == "pcie_modern_8":
                 self._output_pulse_refresh = bool(on_refresh)
             else:
                 warnings.warn(
@@ -588,22 +594,29 @@ class Meadowlark(SLM):
             )
         return int(serial)
 
-    def get_temperature(self):
-        """Return the SLM temperature in deg C."""
-        name, takes_board = SDK_VARIANTS[self.sdk_variant]["temperature"]
+    def _query_double(self, what, label):
+        """Run a :data:`SDK_VARIANTS` double-valued telemetry getter,
+        raising :class:`NotImplementedError` when the generation lacks
+        the call (ref meadowlark.py:496-499,527-530)."""
+        name, takes_board = SDK_VARIANTS[self.sdk_variant][what]
+        if name is None:
+            raise NotImplementedError(
+                f"{label} not supported for this model."
+            )
         fn = getattr(self.slm_lib, name)
         fn.restype = ctypes.c_double
         return float(
             fn(ctypes.c_int(self.slm_number)) if takes_board else fn()
         )
 
+    def get_temperature(self):
+        """Return the SLM temperature in deg C."""
+        return self._query_double("temperature", "Temperature reading")
+
     def get_coverglass_voltage(self):
         """Return the coverglass voltage in V."""
-        name, takes_board = SDK_VARIANTS[self.sdk_variant]["coverglass"]
-        fn = getattr(self.slm_lib, name)
-        fn.restype = ctypes.c_double
-        return float(
-            fn(ctypes.c_int(self.slm_number)) if takes_board else fn()
+        return self._query_double(
+            "coverglass", "Coverglass voltage reading"
         )
 
     # ------------------------------------------------------------- close

@@ -332,6 +332,62 @@ class TestMeadowlarkLogic:
                 assert trace not in seen, f"{trace} in both {seen.get(trace)} and {name}"
                 seen[trace] = name
 
+    def _bare(self, variant, lib):
+        from slmsuite_tpu.hardware.slms.meadowlark import Meadowlark
+
+        slm = Meadowlark.__new__(Meadowlark)
+        slm.sdk_variant = variant
+        slm.sdk_interface = "hdmi" if variant == "hdmi" else "pcie"
+        slm.slm_number = 1
+        slm.slm_lib = lib
+        return slm
+
+    def test_legacy_telemetry_not_implemented(self):
+        """The legacy HSP SDK has no temperature/coverglass exports; the
+        driver raises NotImplementedError like the reference
+        (meadowlark.py:496-499,527-530) instead of a ctypes
+        AttributeError."""
+        slm = self._bare("pcie_legacy", object())
+        with pytest.raises(NotImplementedError):
+            slm.get_temperature()
+        with pytest.raises(NotImplementedError):
+            slm.get_coverglass_voltage()
+
+    def test_modern3_coverglass_uses_get_cover_voltage(self):
+        """All modern PCIe generations (incl. 3-argument) read the
+        coverglass via Get_cover_voltage (ref meadowlark.py:515-527) —
+        Read_coverglass_voltage does not exist in those DLLs."""
+        import ctypes
+
+        calls = []
+
+        # ctypes functions take restype assignment; emulate with a
+        # plain callable carrying a writable restype attribute.
+        def fn(board):
+            calls.append(int(board.value))
+            return 3.5
+
+        fn.restype = None
+        lib = type("L", (), {"Get_cover_voltage": staticmethod(fn)})
+        slm = self._bare("pcie_modern_3", lib)
+        assert slm.get_coverglass_voltage() == 3.5
+        assert calls == [1]
+        assert fn.restype is ctypes.c_double
+
+    def test_output_trigger_on_refresh_gating(self):
+        """on_refresh is only honored on the modern 8-argument SDK;
+        pcie_legacy shares the write arity but warns and ignores."""
+        slm8 = self._bare("pcie_modern_8", object())
+        slm8._output_pulse_refresh = False
+        slm8.set_output_trigger(on=True, on_refresh=True)
+        assert slm8._output_pulse_refresh is True
+
+        legacy = self._bare("pcie_legacy", object())
+        legacy._output_pulse_refresh = False
+        with pytest.warns(UserWarning, match="on_refresh"):
+            legacy.set_output_trigger(on=True, on_refresh=True)
+        assert legacy._output_pulse_refresh is False
+
 
 class TestHamamatsuLogic:
     def _fake_lib(self, start_mode=1):
