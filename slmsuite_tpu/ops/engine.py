@@ -93,6 +93,13 @@ class GSConfig:
     sim_cam_sat: float = 0.0         # camera saturation level (counts)
     sim_truncates: bool = False      # camera dtype is integer (floor counts)
     sim_shape_padded: tuple = ()     # camera FFT canvas shape
+    #: Pallas-FFT contraction precision for THIS compiled run
+    #: ("HIGHEST" | "BF16X3" | "DEFAULT"); None inherits the module
+    #: global (:func:`slmsuite_tpu.ops.pallas_fft.set_kernel_precision`).
+    #: Distinct values compile distinct programs (the field is part of
+    #: the lru_cache key), which is what makes the coarse-then-refine
+    #: precision schedule of :func:`run_gs_scheduled` possible.
+    kernel_precision: str = None
 
     @property
     def is_wgs(self):
@@ -904,9 +911,32 @@ def _compiled_run(config: GSConfig, n_iterations: int):
             error.throw()
             return out
 
-        return run_checked
+        return _with_kernel_precision(run_checked, config)
 
-    return jax.jit(run, donate_argnums=(0,))
+    return _with_kernel_precision(
+        jax.jit(run, donate_argnums=(0,)), config
+    )
+
+
+def _with_kernel_precision(jitted, config: GSConfig):
+    """Pin ``config.kernel_precision`` around every invocation of a
+    compiled run: jax reads the pallas-FFT precision global at TRACE
+    time (the first call), so the pin guarantees the cached executable
+    carries the config's precision whatever the global is then. The
+    set/restore on warm calls is nanoseconds."""
+    if config.kernel_precision is None:
+        return jitted
+    from slmsuite_tpu.ops import pallas_fft as PF
+
+    def run_pinned(state, consts):
+        prior = PF._DOT_PRECISION
+        PF.set_kernel_precision(config.kernel_precision)
+        try:
+            return jitted(state, consts)
+        finally:
+            PF._DOT_PRECISION = prior
+
+    return run_pinned
 
 
 #: Scrambled (transpose-free) loop mode: "auto" promotes on TPU, where
@@ -1025,6 +1055,66 @@ def run_gs(config: GSConfig, state: GSState, consts: dict, n_iterations: int):
         state = _permute_state(state, config.shape, unscramble=True)
         return _finalize_fused(sconfig, state), stats
     return _compiled_run(config, int(n_iterations))(state, consts)
+
+
+def run_gs_scheduled(config: GSConfig, state: GSState, consts: dict,
+                     n_iterations: int, n_refine: int = 16,
+                     coarse: str = "DEFAULT"):
+    """
+    Run ``n_iterations`` of GS/WGS with a PRECISION SCHEDULE: the first
+    ``n_iterations - n_refine`` iterations use the ``coarse`` Pallas-FFT
+    contraction precision (``"DEFAULT"`` = one bf16 MXU pass per stage
+    dot, ~6x less MXU time than ``"HIGHEST"``), and the final
+    ``n_refine`` iterations run at ``"HIGHEST"`` to polish the converged
+    phase/weights to full f32 quality.
+
+    Why this is sound: WGS is a fixed-point iteration — each step
+    replaces the nearfield amplitude and rebuilds the weights from the
+    CURRENT farfield, so transform error in early iterations perturbs
+    the trajectory but not the fixed point; the HIGHEST refine
+    iterations re-converge the phase at full accuracy. The quality gate
+    lives in :func:`bench.attest_schedule_quality` (on-chip) and
+    ``tests/test_tpu_kernels.py`` (trajectory plumbing): final
+    efficiency/uniformity must match the all-HIGHEST run within golden
+    tolerance. Analog of the reference's own accuracy/speed guidance at
+    ``/root/reference/slmsuite/holography/algorithms/_hologram.py:378-384``
+    (shape/precision trades), rebuilt as a TPU MXU-pass schedule.
+
+    On CPU (or any backend where the Pallas kernels are inactive) the
+    schedule degenerates to two plain scans — numerically identical to
+    :func:`run_gs`, so the API is portable.
+
+    Returns ``(state, stats)`` with stats shape
+    ``(n_iterations, len(stat_groups) + 1, 4)`` like :func:`run_gs`.
+    """
+    n_iterations = int(n_iterations)
+    n_refine = max(0, min(int(n_refine), n_iterations))
+    n_coarse = n_iterations - n_refine
+    if n_coarse == 0 or coarse == "HIGHEST":
+        return run_gs(config, state, consts, n_iterations)
+
+    promoted = _can_scramble(config)
+    if promoted:
+        run_config = dataclasses.replace(config, scrambled=True)
+        state = _permute_state(state, config.shape)
+        consts = scramble_consts(consts, config.shape)
+        state = _provision_fused(run_config, state)
+    else:
+        run_config = config
+
+    c_coarse = dataclasses.replace(run_config, kernel_precision=coarse)
+    state, stats_coarse = _compiled_run(c_coarse, n_coarse)(state, consts)
+    parts = [stats_coarse]
+    if n_refine:
+        state, stats_fine = _compiled_run(run_config, n_refine)(
+            state, consts
+        )
+        parts.append(stats_fine)
+
+    if promoted:
+        state = _permute_state(state, config.shape, unscramble=True)
+        state = _finalize_fused(run_config, state)
+    return state, jnp.concatenate(parts, axis=0)
 
 
 def _provision_fused(config: GSConfig, state: GSState):

@@ -1152,6 +1152,109 @@ class TestScrambledEngine:
         assert E._can_scramble(config)
 
 
+class TestScheduledEngine:
+    """The precision-scheduled engine (run_gs_scheduled): coarse-precision
+    iterations followed by a HIGHEST refine, used by the bench headline.
+
+    The schedule's soundness argument (WGS is a fixed-point iteration;
+    early transform error perturbs the trajectory, not the fixed point)
+    is attested on-chip by ``bench.attest_schedule_quality``; these tests
+    pin the state-carry plumbing everywhere the suite runs.
+    """
+
+    def _model(self, N=128):
+        from slmsuite_tpu.models import spot_array_wgs
+
+        return spot_array_wgs(N=N, n_side=4, spacing_div=12)
+
+    def test_split_is_exact_at_same_precision(self):
+        """With coarse pinned to the refine precision, the two-scan split
+        must be EXACTLY the single-scan trajectory — any deviation is a
+        state-carry bug (iteration counter, Kim streak, w_norm), not
+        precision."""
+        import dataclasses
+
+        from slmsuite_tpu.ops.engine import run_gs, run_gs_scheduled
+
+        m = self._model()
+        _, st_plain = run_gs(m.config, m.init_state(), m.consts, 20)
+        config = dataclasses.replace(
+            m.config, kernel_precision="HIGHEST"
+        )
+        _, st_sched = run_gs_scheduled(
+            config, m.init_state(), m.consts, 20, n_refine=8,
+            coarse="HIGHEST",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_plain), np.asarray(st_sched)
+        )
+
+    def test_split_exact_midscan_boundary(self):
+        """Same exactness with the boundary inside the Kim fixed-phase
+        transition region (the carried unfixed_streak/fixed_phase flags
+        must survive the scan boundary)."""
+        from slmsuite_tpu.ops.engine import run_gs, run_gs_scheduled
+
+        m = self._model()
+        _, st_plain = run_gs(m.config, m.init_state(), m.consts, 14)
+        _, st_sched = run_gs_scheduled(
+            m.config, m.init_state(), m.consts, 14, n_refine=13,
+            coarse="HIGHEST",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_plain), np.asarray(st_sched)
+        )
+
+    def test_coarse_default_converges_to_same_quality(self):
+        """coarse=DEFAULT perturbs the trajectory but the refine phase
+        recovers the fixed point: final efficiency/uniformity within
+        tolerance of the all-HIGHEST run."""
+        from slmsuite_tpu.ops.engine import run_gs, run_gs_scheduled
+
+        m = self._model()
+        _, st_plain = run_gs(m.config, m.init_state(), m.consts, 24)
+        _, st_sched = run_gs_scheduled(
+            m.config, m.init_state(), m.consts, 24, n_refine=8,
+            coarse="DEFAULT",
+        )
+        st_plain, st_sched = np.asarray(st_plain), np.asarray(st_sched)
+        assert st_sched.shape == st_plain.shape
+        eff_p, unif_p = st_plain[-1, 0, 0], st_plain[-1, 0, 1]
+        eff_s, unif_s = st_sched[-1, 0, 0], st_sched[-1, 0, 1]
+        assert abs(eff_s - eff_p) < 5e-3
+        assert unif_s > unif_p - 2e-2
+
+    def test_edge_schedules_degenerate_to_plain(self):
+        """n_refine >= n (all-HIGHEST) and coarse='HIGHEST' both route
+        through the plain engine — identical trajectories."""
+        from slmsuite_tpu.ops.engine import run_gs, run_gs_scheduled
+
+        m = self._model(N=96)
+        _, st_plain = run_gs(m.config, m.init_state(), m.consts, 6)
+        for kwargs in ({"n_refine": 6}, {"n_refine": 99},
+                       {"n_refine": 2, "coarse": "HIGHEST"}):
+            _, st = run_gs_scheduled(
+                m.config, m.init_state(), m.consts, 6, **kwargs
+            )
+            np.testing.assert_array_equal(
+                np.asarray(st_plain), np.asarray(st)
+            )
+
+    def test_precision_pin_restores_global(self):
+        """The per-config precision pin must restore the module global
+        even when the compiled run raises."""
+        import dataclasses
+
+        from slmsuite_tpu.ops import pallas_fft as PF
+        from slmsuite_tpu.ops.engine import run_gs
+
+        m = self._model(N=96)
+        prior = PF._DOT_PRECISION
+        config = dataclasses.replace(m.config, kernel_precision="DEFAULT")
+        run_gs(config, m.init_state(), m.consts, 2)
+        assert PF._DOT_PRECISION == prior
+
+
 class TestStepwiseConsistency:
     """The host-in-the-loop stepwise path (taken for callbacks and
     experimental feedback) matches the scanned engine trajectory —
