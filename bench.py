@@ -414,25 +414,43 @@ def attest_compressed_parity(iters=3, n_spots=64, res=512):
         kx.ravel(), ky.ravel(), rng.uniform(-2e-6, 2e-6, kx.size)
     ])
     phase0 = rng.uniform(-np.pi, np.pi, (res, res)).astype(np.float32)
+    # Three engine variants share one trajectory: the Pallas-streamed
+    # cached kernel (the production path), the jnp cached scan, and the
+    # recompute path (cache disabled) that re-synthesizes the sincos
+    # every iteration through the fused Pallas kernel.
+    variants = (
+        ("pallas_cached", True, "4096"),
+        ("jnp_cached", False, "4096"),
+        ("recompute", True, "0"),
+    )
+    prev_cache = os.environ.get("SLMSUITE_TPU_COMPRESSED_CACHE_MB")
     out = {}
-    for flag in (True, False):
-        holo = CompressedSpotHologram(
-            spots, basis="kxy", cameraslm=slm, cuda=flag
-        )
-        holo.reset_phase(phase0)
-        holo.optimize("WGS-Kim", maxiter=iters, verbose=False)
-        amp_ff = np.asarray(holo.amp_ff)
-        out[flag] = (amp_ff / max(amp_ff.max(), 1e-12),
-                     np.asarray(holo.weights))
-    a_err = float(np.abs(out[True][0] - out[False][0]).max())
-    w_err = float(np.abs(
-        out[True][1] / max(out[True][1].max(), 1e-12)
-        - out[False][1] / max(out[False][1].max(), 1e-12)
-    ).max())
-    if not (a_err < 2e-3 and w_err < 2e-3):
-        raise AssertionError(
-            f"compressed kernel parity FAILED: amp={a_err:.2e} w={w_err:.2e}"
-        )
+    try:
+        for name, cuda, cache_mb in variants:
+            os.environ["SLMSUITE_TPU_COMPRESSED_CACHE_MB"] = cache_mb
+            holo = CompressedSpotHologram(
+                spots, basis="kxy", cameraslm=slm, cuda=cuda
+            )
+            holo.reset_phase(phase0)
+            holo.optimize("WGS-Kim", maxiter=iters, verbose=False)
+            amp_ff = np.asarray(holo.amp_ff)
+            weights = np.asarray(holo.weights)
+            out[name] = (amp_ff / max(amp_ff.max(), 1e-12),
+                         weights / max(weights.max(), 1e-12))
+    finally:
+        if prev_cache is None:
+            os.environ.pop("SLMSUITE_TPU_COMPRESSED_CACHE_MB", None)
+        else:
+            os.environ["SLMSUITE_TPU_COMPRESSED_CACHE_MB"] = prev_cache
+    ref = out["pallas_cached"]
+    for name in ("jnp_cached", "recompute"):
+        a_err = float(np.abs(out[name][0] - ref[0]).max())
+        w_err = float(np.abs(out[name][1] - ref[1]).max())
+        if not (a_err < 2e-3 and w_err < 2e-3):
+            raise AssertionError(
+                f"compressed kernel parity FAILED vs {name}: "
+                f"amp={a_err:.2e} w={w_err:.2e}"
+            )
     return True
 
 

@@ -1038,7 +1038,31 @@ class CompressedSpotHologram(_AbstractSpotHologram):
     # Engine integration.
     # ------------------------------------------------------------------
 
-    def _compressed_config(self):
+    def _kernel_cache_enabled(self):
+        """Whether the scanned engine streams precomputed cos/sin kernel
+        tiles instead of recomputing the sincos each iteration (the TPU
+        analog of the reference's cached kernel batches,
+        ``_spots.py:595-636``). On by default whenever the cache fits
+        the HBM budget (``SLMSUITE_TPU_COMPRESSED_CACHE_MB``, default
+        4096; ``0`` disables); off under a mesh (the pixel-sharded
+        engine recomputes per shard)."""
+        import os as _os
+
+        from slmsuite_tpu.ops.compressed import kernel_cache_bytes
+
+        if self._mesh is not None:
+            return False
+        try:
+            budget_mb = float(
+                _os.environ.get("SLMSUITE_TPU_COMPRESSED_CACHE_MB", 4096)
+            )
+        except ValueError:
+            budget_mb = 4096.0
+        return kernel_cache_bytes(
+            len(self), int(np.prod(self.slm_shape))
+        ) <= budget_mb * 1e6
+
+    def _compressed_config(self, kernel_cache=False):
         from slmsuite_tpu.ops.compressed import CompressedGSConfig
 
         return CompressedGSConfig(
@@ -1054,6 +1078,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             ),
             use_pallas=self.cuda,
             mraf=self._mraf_enabled(),
+            kernel_cache=kernel_cache,
         )
 
     def _dev_const(self, key, host, make):
@@ -1073,7 +1098,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         self._dev_cache[key] = (host, fp, dev)
         return dev
 
-    def _compressed_consts(self):
+    def _compressed_consts(self, kernel_cache=False):
         amp = self.amp
         if np.isscalar(amp):
             amp_flat = jnp.float32(amp)
@@ -1125,7 +1150,28 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             consts["mraf_k"] = jnp.float32(
                 1.0 if mraf_factor is None else mraf_factor
             )
+        if kernel_cache:
+            consts["kc_tiles"], consts["ks_tiles"] = self._kernel_cache_tiles(
+                consts["coeffs"], consts["basis"]
+            )
         return consts
+
+    def _kernel_cache_tiles(self, coeffs_dev, basis_dev):
+        """Device-resident cos/sin kernel tiles, rebuilt only when the
+        spot coefficients or basis change (same invalidation contract
+        as :meth:`_dev_const`, fingerprinting BOTH inputs)."""
+        from slmsuite_tpu.ops.compressed import build_kernel_cache
+
+        fp = (
+            self._host_fingerprint(self.spot_zernike),
+            self._host_fingerprint(self._basis),
+        )
+        cached = getattr(self, "_kcache", None)
+        if cached is not None and cached[0] == fp:
+            return cached[1]
+        tiles = build_kernel_cache(coeffs_dev, basis_dev)
+        self._kcache = (fp, tiles)
+        return tiles
 
     def optimize_gs(self, maxiter, callback, verbose=True, name=None):
         """Compressed GS: scanned engine, or host loop for camera feedback."""
@@ -1164,8 +1210,10 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                 "single device."
             )
 
-        config = self._compressed_config()
-        consts = self._compressed_consts()
+        config = self._compressed_config(
+            kernel_cache=(not host_loop) and self._kernel_cache_enabled()
+        )
+        consts = self._compressed_consts(kernel_cache=config.kernel_cache)
         start_iter = self.iter
 
         state = _comp.CompressedGSState(

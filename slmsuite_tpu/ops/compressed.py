@@ -154,6 +154,142 @@ def nearfield_to_farfield_raw(nf_re, nf_im, coeffs, basis, n_spots):
     return ff_re * scale, ff_im * scale
 
 
+@jax.jit
+def build_kernel_cache(coeffs, basis):
+    """
+    Materialize the constant transform kernel as pixel-tiled cos/sin
+    stacks ``(n_tiles, N, PIXEL_TILE)`` — the TPU analog of the
+    reference's cached cupy kernel batches (``_spots.py:595-636``,
+    ``N_BATCH_MAX`` cache). The kernel phases ``B^T c`` are loop
+    INVARIANT: caching trades the per-iteration sincos recompute
+    (~2 x N x P transcendentals on the VPU, the measured bottleneck of
+    the grid-free loop) for an HBM-bandwidth-bound stream of the tiles.
+    Built with the identical einsum/sincos the recompute path runs, so
+    cached results match recompute bit-for-bit.
+    """
+    D, P = basis.shape
+    n_tiles = -(-P // PIXEL_TILE)
+    P_pad = n_tiles * PIXEL_TILE
+    basis_tiles = jnp.moveaxis(
+        _pad_to(basis, P_pad, 1).reshape(D, n_tiles, PIXEL_TILE), 1, 0
+    )
+
+    def tile_fn(_, basis_tile):
+        phases = jnp.einsum(
+            "dn,dt->nt", coeffs, basis_tile,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return None, (jnp.cos(phases), jnp.sin(phases))
+
+    _, (kc, ks) = jax.lax.scan(tile_fn, None, basis_tiles)
+    return kc, ks
+
+
+def kernel_cache_bytes(n_spots, n_pixels):
+    """HBM footprint of :func:`build_kernel_cache` for a shape."""
+    n_tiles = -(-n_pixels // PIXEL_TILE)
+    return 2 * 4 * n_spots * n_tiles * PIXEL_TILE
+
+
+def farfield_to_nearfield_cached(ff_re, ff_im, kc, ks, n_pixels):
+    """Cached-kernel twin of :func:`farfield_to_nearfield`."""
+    scale = 1.0 / np.sqrt(n_pixels)
+
+    def tile_fn(_, tile):
+        cos, sin = tile
+        re = ff_re @ cos - ff_im @ sin
+        im = ff_re @ sin + ff_im @ cos
+        return None, (re * scale, im * scale)
+
+    _, (nf_re, nf_im) = jax.lax.scan(tile_fn, None, (kc, ks))
+    return nf_re.reshape(-1)[:n_pixels], nf_im.reshape(-1)[:n_pixels]
+
+
+def nearfield_to_farfield_cached(nf_re, nf_im, kc, ks, n_pixels):
+    """Cached-kernel twin of :func:`nearfield_to_farfield` (normalized)."""
+    n_tiles, N, T = kc.shape
+    P_pad = n_tiles * T
+    nf_re_t = _pad_to(nf_re, P_pad, 0).reshape(n_tiles, T)
+    nf_im_t = _pad_to(nf_im, P_pad, 0).reshape(n_tiles, T)
+    scale = 1.0 / np.sqrt(n_pixels)
+
+    def tile_fn(carry, tile):
+        acc_re, acc_im = carry
+        cos, sin, re_t, im_t = tile
+        acc_re = acc_re + cos @ re_t + sin @ im_t
+        acc_im = acc_im + cos @ im_t - sin @ re_t
+        return (acc_re, acc_im), None
+
+    init = (jnp.zeros(N, jnp.float32), jnp.zeros(N, jnp.float32))
+    (ff_re, ff_im), _ = jax.lax.scan(
+        tile_fn, init, (kc, ks, nf_re_t, nf_im_t)
+    )
+    ff_re = ff_re * scale
+    ff_im = ff_im * scale
+    norm = jnp.sqrt(jnp.sum(jnp.square(ff_re) + jnp.square(ff_im)))
+    return ff_re / norm, ff_im / norm
+
+
+def _fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots, n_pixels):
+    """Cached-kernel twin of :func:`_fused_iteration_jnp`: identical
+    round-trip body, with the per-tile cos/sin read from the cache
+    instead of recomputed. One pass over the cache per iteration."""
+    n_tiles, N, T = kc.shape
+    P_pad = n_tiles * T
+
+    scalar_amp = jnp.ndim(amp) == 0
+    if scalar_amp:
+        amp_tiles = jnp.zeros((n_tiles, 1), jnp.float32)  # unused
+    else:
+        amp_tiles = _pad_to(amp, P_pad, 0).reshape(n_tiles, T)
+    valid_tiles = (
+        jnp.arange(P_pad).reshape(n_tiles, T) < n_pixels
+    ).astype(jnp.float32)
+
+    def tile_fn(carry, tile):
+        acc_re, acc_im = carry
+        cos, sin, amp_tile, valid = tile
+        re = ff_re @ cos - ff_im @ sin
+        im = ff_re @ sin + ff_im @ cos
+        mag2 = jnp.square(re) + jnp.square(im)
+        safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
+        if scalar_amp:
+            inv = valid * safe
+            ur = jnp.where(mag2 > 0, re * inv, valid)
+            ui = jnp.where(mag2 > 0, im * inv, 0.0)
+        else:
+            inv = valid * amp_tile * safe
+            ur = jnp.where(mag2 > 0, re * inv, valid * amp_tile)
+            ui = jnp.where(mag2 > 0, im * inv, 0.0)
+        acc_re = acc_re + cos @ ur + sin @ ui
+        acc_im = acc_im + cos @ ui - sin @ ur
+        return (acc_re, acc_im), None
+
+    init = (jnp.zeros(N, jnp.float32), jnp.zeros(N, jnp.float32))
+    (fr, fi), _ = jax.lax.scan(
+        tile_fn, init, (kc, ks, amp_tiles, valid_tiles)
+    )
+    return fr[:n_spots], fi[:n_spots]
+
+
+def fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots, n_pixels,
+                           use_pallas):
+    """Dispatch the cached-kernel fused round trip: the Pallas streaming
+    kernel on TPU when the spot axis is 8-aligned and the blocks fit
+    VMEM (it avoids the per-slice copy the ``lax.scan`` fallback pays);
+    the jnp scan twin otherwise."""
+    if use_pallas and kc.shape[1] % 8 == 0:
+        from slmsuite_tpu.ops import pallas_compressed as _pc
+
+        if _pc.fused_iter_cached_ok(kc.shape[1], kc.shape[2]):
+            return _pc.fused_iteration_cached(
+                ff_re, ff_im, kc, ks, amp, n_spots, n_pixels
+            )
+    return _fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots,
+                                   n_pixels)
+
+
 def _fused_iteration_jnp(ff_re, ff_im, coeffs, basis, amp, n_spots):
     """jnp twin of :meth:`pallas_compressed.fused_iteration`: one
     transform round trip with amplitude replacement, sharing a single
@@ -280,6 +416,12 @@ class CompressedGSConfig:
     #: constraint keeps the raw farfield at noise spots, optionally
     #: scaled by ``consts["mraf_k"]``, and zeroes null spots).
     mraf: bool = False
+    #: Stream the precomputed cos/sin kernel tiles from HBM
+    #: (``consts["kc_tiles"]/["ks_tiles"]``, :func:`build_kernel_cache`)
+    #: instead of recomputing the sincos every iteration. Enabled by the
+    #: hologram when the cache fits the HBM budget; numerically
+    #: identical to the recompute path.
+    kernel_cache: bool = False
 
     @property
     def is_wgs(self):
@@ -500,10 +642,17 @@ def make_compressed_carry_step(config: CompressedGSConfig):
                 ffp_re, ffp_im, ff_re, ff_im, consts
             )
 
-        next_re, next_im = fused_iteration(
-            ffp_re, ffp_im, consts["coeffs"], consts["basis"],
-            consts["amp"], config.n_spots, config.use_pallas,
-        )
+        if config.kernel_cache:
+            next_re, next_im = fused_iteration_cached(
+                ffp_re, ffp_im, consts["kc_tiles"], consts["ks_tiles"],
+                consts["amp"], config.n_spots, config.n_pixels,
+                config.use_pallas,
+            )
+        else:
+            next_re, next_im = fused_iteration(
+                ffp_re, ffp_im, consts["coeffs"], consts["basis"],
+                consts["amp"], config.n_spots, config.use_pallas,
+            )
 
         new_state = CompressedGSState(
             psi=(next_re, next_im, ffp_re, ffp_im),
@@ -540,9 +689,16 @@ def _compiled_run(config, n_iterations):
         amp = consts["amp"]
         nf_re = amp * jnp.cos(state.psi)
         nf_im = amp * jnp.sin(state.psi)
-        ff0_re, ff0_im = n2f(
-            nf_re, nf_im, consts["coeffs"], consts["basis"], config.n_spots
-        )
+        if config.kernel_cache:
+            ff0_re, ff0_im = nearfield_to_farfield_cached(
+                nf_re, nf_im, consts["kc_tiles"], consts["ks_tiles"],
+                config.n_pixels,
+            )
+        else:
+            ff0_re, ff0_im = n2f(
+                nf_re, nf_im, consts["coeffs"], consts["basis"],
+                config.n_spots,
+            )
         state = state._replace(psi=(ff0_re, ff0_im, ff0_re, ff0_im))
 
         def body(carry, _):
@@ -552,9 +708,16 @@ def _compiled_run(config, n_iterations):
 
         # Exit: the last constrained farfield -> nearfield phase.
         _, _, ffp_re, ffp_im = final.psi
-        nfp_re, nfp_im = f2n(
-            ffp_re, ffp_im, consts["coeffs"], consts["basis"], config.n_spots
-        )
+        if config.kernel_cache:
+            nfp_re, nfp_im = farfield_to_nearfield_cached(
+                ffp_re, ffp_im, consts["kc_tiles"], consts["ks_tiles"],
+                config.n_pixels,
+            )
+        else:
+            nfp_re, nfp_im = f2n(
+                ffp_re, ffp_im, consts["coeffs"], consts["basis"],
+                config.n_spots,
+            )
         final = final._replace(psi=jnp.arctan2(nfp_im, nfp_re))
         return final, stats
 

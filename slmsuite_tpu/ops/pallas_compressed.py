@@ -223,6 +223,115 @@ def _fused_iter_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, amp_ref,
         outi_ref[:, :] += fi
 
 
+def _fused_iter_cached_kernel(kc_ref, ks_ref, ffr_ref, ffi_ref, amp_ref,
+                              outr_ref, outi_ref, *, scalar_amp, n_pixels,
+                              tile):
+    """Cached-kernel twin of :func:`_fused_iter_kernel`: the (S, T)
+    cos/sin pair is STREAMED from the HBM-resident cache
+    (:func:`ops.compressed.build_kernel_cache`) instead of recomputed —
+    Mosaic double-buffers the grid blocks, so each iteration costs one
+    read of the cache at full HBM bandwidth (the ``lax.scan`` fallback
+    pays an extra per-slice copy)."""
+    cos = kc_ref[0, :, :]  # (S, T)
+    sin = ks_ref[0, :, :]
+
+    ffr = ffr_ref[:, :]  # (S, 1)
+    ffi = ffi_ref[:, :]
+
+    re = jnp.sum(ffr * cos - ffi * sin, axis=0)
+    im = jnp.sum(ffr * sin + ffi * cos, axis=0)
+
+    p = pl.program_id(0)
+    idx = p * tile + jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
+    valid = (idx < n_pixels).astype(jnp.float32)
+    mag2 = re * re + im * im
+    safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
+    if scalar_amp:
+        inv = valid * safe
+        ur = jnp.where(mag2 > 0, re * inv, valid)
+        ui = jnp.where(mag2 > 0, im * inv, 0.0)
+    else:
+        amp = amp_ref[0, :]
+        inv = valid * amp * safe
+        ur = jnp.where(mag2 > 0, re * inv, valid * amp)
+        ui = jnp.where(mag2 > 0, im * inv, 0.0)
+
+    fr = jnp.sum(cos * ur[None, :] + sin * ui[None, :], axis=1)[:, None]
+    fi = jnp.sum(cos * ui[None, :] - sin * ur[None, :], axis=1)[:, None]
+
+    @pl.when(p == 0)
+    def _():
+        outr_ref[:, :] = fr
+        outi_ref[:, :] = fi
+
+    @pl.when(p != 0)
+    def _():
+        outr_ref[:, :] += fr
+        outi_ref[:, :] += fi
+
+
+def fused_iter_cached_ok(n_spots, cache_tile):
+    """Whether the cached fused-iteration kernel fits VMEM: the cos/sin
+    blocks (double-buffered) plus the work tile must stay within the
+    raised scoped-vmem limit."""
+    n_pad = _ceil_to(max(n_spots, 1), 8)
+    block = 2 * n_pad * cache_tile * 4  # kc + ks, one grid step
+    return 2 * block + 4 * n_pad * cache_tile * 4 <= 80 * 1024 * 1024
+
+
+def fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots, n_pixels):
+    """
+    Cached-kernel fused round trip: ``kc``/``ks`` are the
+    ``(n_tiles, N, T)`` cos/sin stacks from
+    :func:`ops.compressed.build_kernel_cache`. Returns the UNNORMALIZED
+    next-farfield pair. The spot axis of the cache must already be
+    8-aligned (guaranteed when N is a multiple of 8; callers fall back
+    to the jnp scan otherwise).
+    """
+    n_tiles, N_c, tile = kc.shape
+    P_pad = n_tiles * tile
+
+    scalar_amp = jnp.ndim(amp) == 0
+    ffr = _pad_axis(ff_re, N_c, 0).reshape(N_c, 1)
+    ffi = _pad_axis(ff_im, N_c, 0).reshape(N_c, 1)
+    if scalar_amp:
+        amp_p = jnp.zeros((1, tile), jnp.float32)
+    else:
+        amp_p = _pad_axis(amp, P_pad, 0).reshape(1, P_pad)
+
+    outr, outi = pl.pallas_call(
+        functools.partial(
+            _fused_iter_cached_kernel,
+            scalar_amp=scalar_amp, n_pixels=n_pixels, tile=tile,
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, N_c, tile), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_c, tile), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_c, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_c, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile),
+                (lambda p: (0, 0)) if scalar_amp else (lambda p: (0, p)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_c, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_c, 1), lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N_c, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_INTERPRET,
+    )(kc, ks, ffr, ffi, amp_p)
+    return outr.reshape(-1)[:n_spots], outi.reshape(-1)[:n_spots]
+
+
 def fused_iter_tile(n_spots_padded):
     """Pixel-tile length for the fused iteration: the whole (S, T)
     cos/sin pair must stay in VMEM (~8 MB budget), so T shrinks as the

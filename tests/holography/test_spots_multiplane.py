@@ -363,6 +363,113 @@ class TestCompressedSpotHologram:
             np.testing.assert_allclose(got[0], ref[0], atol=2e-5)
             np.testing.assert_allclose(got[1], ref[1], atol=2e-5)
 
+    def test_kernel_cache_matches_recompute(self, rng):
+        """The cached-kernel transform twins (cos/sin tiles streamed
+        from HBM) match the recompute path — the cache is built with
+        the identical einsum/sincos, so tolerances are tight."""
+        import jax.numpy as jnp
+
+        from slmsuite_tpu.ops import compressed as C
+
+        D, P, N = 4, 3000, 17  # deliberately unaligned sizes
+        basis = jnp.asarray(rng.normal(size=(D, P)).astype(np.float32) * 2)
+        coeffs = jnp.asarray(rng.normal(size=(D, N)).astype(np.float32) * 5)
+        ffr = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+        ffi = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+        nfr = jnp.asarray(rng.normal(size=(P,)).astype(np.float32))
+        nfi = jnp.asarray(rng.normal(size=(P,)).astype(np.float32))
+        amp_plane = jnp.asarray(
+            (0.5 + rng.uniform(0, 1, P)).astype(np.float32)
+        )
+
+        kc, ks = C.build_kernel_cache(coeffs, basis)
+        n_tiles = -(-P // C.PIXEL_TILE)
+        assert kc.shape == (n_tiles, N, C.PIXEL_TILE)
+
+        want = C.farfield_to_nearfield(ffr, ffi, coeffs, basis, N)
+        got = C.farfield_to_nearfield_cached(ffr, ffi, kc, ks, P)
+        np.testing.assert_allclose(got[0], want[0], atol=1e-6)
+        np.testing.assert_allclose(got[1], want[1], atol=1e-6)
+
+        want = C.nearfield_to_farfield(nfr, nfi, coeffs, basis, N)
+        got = C.nearfield_to_farfield_cached(nfr, nfi, kc, ks, P)
+        np.testing.assert_allclose(got[0], want[0], atol=1e-5)
+        np.testing.assert_allclose(got[1], want[1], atol=1e-5)
+
+        for amp in (jnp.float32(1.0), amp_plane):
+            want = C._fused_iteration_jnp(ffr, ffi, coeffs, basis, amp, N)
+            got = C._fused_iteration_cached(ffr, ffi, kc, ks, amp, N, P)
+            np.testing.assert_allclose(got[0], want[0], atol=1e-4)
+            np.testing.assert_allclose(got[1], want[1], atol=1e-4)
+
+        # Pallas streaming twin (interpret mode; needs 8-aligned spots).
+        from slmsuite_tpu.ops import pallas_compressed as PC
+
+        N8 = 16
+        coeffs8 = jnp.asarray(rng.normal(size=(D, N8)).astype(np.float32) * 5)
+        ffr8 = jnp.asarray(rng.normal(size=(N8,)).astype(np.float32))
+        ffi8 = jnp.asarray(rng.normal(size=(N8,)).astype(np.float32))
+        kc8, ks8 = C.build_kernel_cache(coeffs8, basis)
+        assert PC.fused_iter_cached_ok(N8, C.PIXEL_TILE)
+        for amp in (jnp.float32(1.0), amp_plane):
+            want = C._fused_iteration_cached(ffr8, ffi8, kc8, ks8, amp, N8, P)
+            PC._INTERPRET = True
+            try:
+                got = PC.fused_iteration_cached(
+                    ffr8, ffi8, kc8, ks8, amp, N8, P
+                )
+            finally:
+                PC._INTERPRET = False
+            np.testing.assert_allclose(got[0], want[0], rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-4)
+
+    def test_kernel_cache_engine_parity(
+        self, fourierslm_calibrated, rng, monkeypatch
+    ):
+        """optimize() with the kernel cache enabled produces the same
+        trajectory as the recompute engine (WGS-Kim, 3D spots)."""
+
+        def run(cache_mb):
+            monkeypatch.setenv("SLMSUITE_TPU_COMPRESSED_CACHE_MB", cache_mb)
+            spots = np.vstack([
+                np.random.default_rng(7).uniform(-0.01, 0.01, (2, 9)),
+                np.random.default_rng(8).uniform(-2e-6, 2e-6, (1, 9)),
+            ])
+            holo = CompressedSpotHologram(
+                spots, basis="kxy", cameraslm=fourierslm_calibrated
+            )
+            holo.reset_phase(np.zeros(holo.slm_shape, np.float32))
+            holo.optimize("WGS-Kim", maxiter=10, verbose=False)
+            assert holo._kernel_cache_enabled() == (cache_mb != "0")
+            return (
+                np.asarray(holo.phase),
+                np.asarray(holo.amp_ff),
+                np.asarray(holo.weights),
+            )
+
+        p0, a0, w0 = run("0")
+        p1, a1, w1 = run("4096")
+        np.testing.assert_allclose(a1, a0, atol=1e-5)
+        np.testing.assert_allclose(w1, w0, atol=1e-5)
+        np.testing.assert_allclose(p1, p0, atol=5e-3)
+
+    def test_kernel_cache_invalidates_on_spot_mutation(
+        self, fourierslm_calibrated, rng
+    ):
+        """Mutating spot coefficients rebuilds the cached kernel tiles;
+        unchanged inputs reuse the same device arrays."""
+        spots = np.vstack([rng.uniform(-0.01, 0.01, 4)] * 2)
+        holo = CompressedSpotHologram(
+            spots, basis="kxy", cameraslm=fourierslm_calibrated
+        )
+        c = holo._compressed_consts(kernel_cache=True)
+        kc0 = c["kc_tiles"]
+        assert holo._compressed_consts(kernel_cache=True)["kc_tiles"] is kc0
+        holo.spot_zernike[0, :] += 0.25
+        kc1 = holo._compressed_consts(kernel_cache=True)["kc_tiles"]
+        assert kc1 is not kc0
+        assert not np.allclose(np.asarray(kc1), np.asarray(kc0))
+
     def test_dev_cache_invalidates_on_inplace_mutation(
         self, fourierslm_calibrated, rng
     ):
