@@ -277,10 +277,72 @@ class Hologram(_HologramStats):
     _amp_ff_dev = None
     _pff_host = None
     _pff_dev = None
+    _weights_host = None
+    _weights_dev = None
 
     @staticmethod
     def _is_device(value):
         return isinstance(value, jax.Array)
+
+    @property
+    def weights(self):
+        """Optimization weights (host view; see dual-store note)."""
+        if self._weights_host is None and self._weights_dev is not None:
+            self._weights_host = np.asarray(self._weights_dev)
+        return self._weights_host
+
+    @weights.setter
+    def weights(self, value):
+        if value is None:
+            self._weights_host = self._weights_dev = None
+        elif self._is_device(value):
+            self._weights_host = None
+            self._weights_dev = value
+        else:
+            self._weights_host = np.asarray(value)
+            self._weights_dev = None
+
+    def _weights_device(self):
+        """Weights as a device float32 array (no upload when resident;
+        the host path nan-guards like the reference's ``cp.nan_to_num``
+        on reset — nan target entries seed nan weights)."""
+        if self._weights_dev is not None and self._weights_host is None:
+            return self._weights_dev
+        return jnp.asarray(
+            np.nan_to_num(np.asarray(self.weights, dtype=np.float32))
+        )
+
+    @staticmethod
+    def _host_fingerprint(host):
+        """Cheap content fingerprint of a host array: shape + the exact
+        bytes of <= 1024 strided samples. Catches in-place mutation
+        (``holo.target[...] = new`` — a standard feedback-loop workflow
+        in the reference) that an identity check alone would miss; a
+        mutation confined to non-sampled positions of a > 1024-element
+        array can still slip through, so prefer reassigning attributes
+        over partial in-place writes."""
+        if not isinstance(host, np.ndarray):
+            return None  # device arrays are immutable; identity suffices
+        flat = host.reshape(-1)
+        step = max(1, flat.size // 1024)
+        return (host.shape, flat[::step].tobytes())
+
+    def _dev_const(self, key, host, make):
+        """Device copy of a (possibly large) host constant, reused
+        across calls while the host array is unchanged (identity +
+        strided content fingerprint) — re-uploading the target/masks/
+        amplitude planes dominates the per-call cost of ``optimize()``
+        over a remote-attached device otherwise."""
+        if not hasattr(self, "_dev_cache"):
+            self._dev_cache = {}
+        fp = self._host_fingerprint(host)
+        cached = self._dev_cache.get(key)
+        if cached is not None and cached[0] is host and cached[1] == fp:
+            return cached[2]
+        dev = make(host)
+        # Hold the host reference so the identity check stays valid.
+        self._dev_cache[key] = (host, fp, dev)
+        return dev
 
     @property
     def _psi(self):
@@ -930,15 +992,30 @@ class Hologram(_HologramStats):
         return config
 
     def _build_consts(self, config):
-        target = np.asarray(self.target, dtype=np.float32)
+        # Full-plane constants ride the device cache (:meth:`_dev_const`):
+        # re-uploading target/masks/amplitude every optimize() call is
+        # pure per-call latency on a remote-attached TPU.
+        target_dev, stat_mask = self._dev_const(
+            "target", self.target,
+            lambda t: (
+                jnp.asarray(np.asarray(t, dtype=np.float32)),
+                jnp.asarray(
+                    (np.asarray(t, dtype=np.float32) != 0)
+                    & ~np.isnan(np.asarray(t, dtype=np.float32))
+                ),
+            ),
+        )
         consts = {
             "amp": (
                 jnp.float32(self.amp)
                 if np.isscalar(self.amp)
-                else jnp.asarray(self.amp, dtype=jnp.float32)
+                else self._dev_const(
+                    "amp", self.amp,
+                    lambda a: jnp.asarray(a, dtype=jnp.float32),
+                )
             ),
-            "target": jnp.asarray(target),
-            "stat_mask": jnp.asarray((target != 0) & ~np.isnan(target)),
+            "target": target_dev,
+            "stat_mask": stat_mask,
             "feedback_exponent": jnp.float32(self.flags.get("feedback_exponent", 0.8)),
             "feedback_factor": jnp.float32(self.flags.get("feedback_factor", 0.1)),
             "fix_phase_iteration": jnp.int32(self.flags.get("fix_phase_iteration", 10)),
@@ -947,13 +1024,26 @@ class Hologram(_HologramStats):
             ),
         }
         if config.has_kernel:
-            consts["kernel"] = jnp.asarray(self.propagation_kernel, dtype=jnp.float32)
+            consts["kernel"] = self._dev_const(
+                "kernel", self.propagation_kernel,
+                lambda k: jnp.asarray(k, dtype=jnp.float32),
+            )
         if config.mraf:
-            noise = np.isnan(target)
-            zero = (~noise) & (target == 0)
-            consts["signal_mask"] = jnp.asarray(~(noise | zero))
-            consts["noise_mask"] = jnp.asarray(noise)
-            consts["zero_mask"] = jnp.asarray(zero)
+
+            def make_masks(t):
+                t32 = np.asarray(t, dtype=np.float32)
+                noise = np.isnan(t32)
+                zero = (~noise) & (t32 == 0)
+                return (
+                    jnp.asarray(~(noise | zero)),
+                    jnp.asarray(noise),
+                    jnp.asarray(zero),
+                )
+
+            (
+                consts["signal_mask"], consts["noise_mask"],
+                consts["zero_mask"],
+            ) = self._dev_const("mraf_masks", self.target, make_masks)
             consts["mraf_factor"] = jnp.float32(self.flags.get("mraf_factor") or 1.0)
             consts["zero_factor"] = jnp.float32(self.flags.get("zero_factor", 0.0))
         self._extend_consts(consts, config)
@@ -965,9 +1055,7 @@ class Hologram(_HologramStats):
     def _build_state(self, config):
         return _engine.GSState(
             psi=self._psi_device(),
-            weights=jnp.asarray(
-                np.nan_to_num(np.asarray(self.weights, dtype=np.float32))
-            ),
+            weights=self._weights_device(),
             phase_ff=(
                 self._phase_ff_folded_device()
                 if (self._pff_dev is not None or self._pff_host is not None)
@@ -989,14 +1077,22 @@ class Hologram(_HologramStats):
 
     def _sync_from_state(self, state):
         """Write device scan state back into the host-facing attributes
-        (planes stay on device; host views materialize lazily)."""
+        (planes stay on device; host views materialize lazily). ONE
+        device fetch for the scalars — per-plane fetches are pure
+        latency on a remote TPU and dominate short ``optimize()``
+        calls, the same epilogue economy as the compressed engine's
+        ``_finalize_scan_fused``."""
         self._psi = state.psi
-        self.weights = np.array(state.weights)
+        self.weights = state.weights
         self._phase_ff_folded = state.phase_ff
         if state.zero_weights.size:
             self.zero_weights = np.asarray(state.zero_weights)
-        self._final_fixed_phase = bool(state.fixed_phase)
-        self.iter = int(state.iteration)
+        scalars = np.asarray(jnp.stack([
+            state.fixed_phase.astype(jnp.float32),
+            state.iteration.astype(jnp.float32),
+        ]))
+        self._final_fixed_phase = bool(scalars[0])
+        self.iter = int(scalars[1])
 
     def optimize_gs(self, maxiter, callback, verbose=True, name=None):
         """
@@ -1093,9 +1189,11 @@ class Hologram(_HologramStats):
                     tqdm(total=maxiter, desc=name)
                     if verbose and maxiter > 1 else None
                 )
+                coarse, n_refine = self._parse_precision_schedule(maxiter)
                 state, all_stats = _engine.run_gs_chunked(
                     config, state, consts, maxiter, chunk=chunk,
                     on_chunk=(progress.update if progress is not None else None),
+                    n_refine=n_refine, coarse=coarse,
                 )
                 if progress is not None:
                     progress.close()
@@ -1113,6 +1211,45 @@ class Hologram(_HologramStats):
                     break
 
         self._populate_results()
+
+    def _parse_precision_schedule(self, maxiter):
+        """
+        Parse the ``fft_precision_schedule`` optimize flag into
+        ``(coarse, n_refine)`` for :func:`ops.engine.run_gs_chunked`.
+
+        Accepted values: ``None``/``0`` (off — every iteration at the
+        engine's full precision); an int ``n`` (the final ``n``
+        iterations run at full precision, the rest at ``"DEFAULT"`` —
+        one bf16 MXU pass per stage dot, ~1.6x faster on v5e); or a
+        ``(coarse, n_refine)`` pair naming the coarse Pallas-FFT
+        precision explicitly. WGS is a fixed-point iteration, so coarse
+        early transforms perturb the trajectory but not the fixed point
+        the refine iterations re-converge to (quality gate:
+        ``bench.attest_schedule_quality``); on CPU the schedule is a
+        no-op. See ``docs/source/tpu.rst`` ("Precision trade-offs").
+        """
+        schedule = self.flags.get("fft_precision_schedule")
+        if not schedule:
+            return "DEFAULT", None
+        if isinstance(schedule, (int, np.integer)):
+            coarse, n_refine = "DEFAULT", int(schedule)
+        else:
+            try:
+                coarse, n_refine = schedule
+                n_refine = int(n_refine)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "fft_precision_schedule must be an int (refine "
+                    "iterations) or a (coarse, n_refine) pair; got "
+                    f"{schedule!r}"
+                ) from None
+        if n_refine < 0 or n_refine > int(maxiter):
+            warnings.warn(
+                f"fft_precision_schedule refine count {n_refine} clipped "
+                f"to [0, {maxiter}]."
+            )
+            n_refine = min(max(n_refine, 0), int(maxiter))
+        return coarse, n_refine
 
     _break_requested = False
 

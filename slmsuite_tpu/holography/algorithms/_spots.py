@@ -82,20 +82,7 @@ class _AbstractSpotHologram(FeedbackHologram):
     #: cleared by :meth:`_midloop_cleaning`).
     _sim_powers_value = None
 
-    @staticmethod
-    def _host_fingerprint(host):
-        """Cheap content fingerprint of a host array: shape + the exact
-        bytes of <= 1024 strided samples. Catches in-place mutation
-        (``holo.target[...] = new``, tweaked ``spot_zernike`` — standard
-        feedback-loop workflows in the reference) that an identity check
-        alone would miss; a mutation confined to non-sampled positions
-        of a > 1024-element array can still slip through, so prefer
-        reassigning attributes over partial in-place writes."""
-        if not isinstance(host, np.ndarray):
-            return None  # device arrays are immutable; identity suffices
-        flat = host.reshape(-1)
-        step = max(1, flat.size // 1024)
-        return (host.shape, flat[::step].tobytes())
+    # _host_fingerprint/_dev_const live on the Hologram base class.
 
     def _sim_engine_inputs(self):
         """
@@ -785,9 +772,13 @@ class SpotHologram(_AbstractSpotHologram):
 
         rows = self.spot_knm_rounded[1, :]
         cols = self.spot_knm_rounded[0, :]
-        self.weights[rows, cols] = np.asarray(
+        # Writable copy then reassign: after a scanned run the weights
+        # host view is a read-only materialization of the device copy
+        # (dual-store), so in-place scatter would raise.
+        weights = np.array(self.weights)
+        weights[rows, cols] = np.asarray(
             update_weights_generic(
-                jnp.asarray(self.weights[rows, cols], dtype=jnp.float32),
+                jnp.asarray(weights[rows, cols], dtype=jnp.float32),
                 jnp.asarray(np.asarray(amp_feedback, dtype=np.float32)),
                 jnp.asarray(self.spot_amp, dtype=jnp.float32),
                 self.flags["method"],
@@ -795,6 +786,7 @@ class SpotHologram(_AbstractSpotHologram):
                 self.flags.get("feedback_factor", 0.1),
             )
         )
+        self.weights = weights
 
     def _populate_stats(self, stats, stat_groups):
         super()._populate_stats(stats, stat_groups)
@@ -1080,23 +1072,6 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             mraf=self._mraf_enabled(),
             kernel_cache=kernel_cache,
         )
-
-    def _dev_const(self, key, host, make):
-        """Device copy of a (possibly large) host constant, reused
-        across calls while the host array is unchanged (identity +
-        strided content fingerprint) — uploads of the Zernike basis and
-        source amplitude dominate the per-call cost of ``optimize()``
-        over a tunneled device otherwise."""
-        if not hasattr(self, "_dev_cache"):
-            self._dev_cache = {}
-        fp = self._host_fingerprint(host)
-        cached = self._dev_cache.get(key)
-        if cached is not None and cached[0] is host and cached[1] == fp:
-            return cached[2]
-        dev = make(host)
-        # Hold the host reference so the identity check stays valid.
-        self._dev_cache[key] = (host, fp, dev)
-        return dev
 
     def _compressed_consts(self, kernel_cache=False):
         amp = self.amp

@@ -1228,16 +1228,24 @@ def run_gs_batch(config, states, consts, n_iterations, mesh=None,
     return run(states, consts)
 
 
-def run_gs_chunked(config, state, consts, n_iterations, chunk=None, on_chunk=None):
+def run_gs_chunked(config, state, consts, n_iterations, chunk=None,
+                   on_chunk=None, n_refine=None, coarse="DEFAULT"):
     """
     Like :meth:`run_gs` but split into ``chunk``-sized scans with
     ``on_chunk(n)`` called between them (progress reporting). The
     scrambled promotion happens ONCE across all chunks — per-chunk
     permutes would otherwise cost ~100 MB of HBM traffic each.
 
+    ``n_refine``/``coarse`` apply the :func:`run_gs_scheduled` precision
+    schedule across the chunked run: every iteration before the final
+    ``n_refine`` uses the ``coarse`` Pallas-FFT contraction precision,
+    and the last ``n_refine`` polish at the config's own precision
+    (chunks are split at the boundary). ``n_refine=None`` disables.
+
     Returns ``(state, [stats_chunk, ...])``.
     """
-    chunk = int(n_iterations) if chunk is None else max(1, int(chunk))
+    n_iterations = int(n_iterations)
+    chunk = n_iterations if chunk is None else max(1, int(chunk))
     promoted = _can_scramble(config)
     if promoted:
         run_config = dataclasses.replace(config, scrambled=True)
@@ -1247,13 +1255,26 @@ def run_gs_chunked(config, state, consts, n_iterations, chunk=None, on_chunk=Non
     else:
         run_config = config
 
+    n_coarse = 0
+    coarse_config = run_config
+    if n_refine is not None and coarse != "HIGHEST":
+        n_coarse = n_iterations - max(0, min(int(n_refine), n_iterations))
+        coarse_config = dataclasses.replace(
+            run_config, kernel_precision=coarse
+        )
+
     all_stats = []
-    remaining = int(n_iterations)
-    while remaining > 0:
-        n = min(chunk, remaining)
-        state, stats = _compiled_run(run_config, n)(state, consts)
+    done = 0
+    while done < n_iterations:
+        n = min(chunk, n_iterations - done)
+        if done < n_coarse:
+            n = min(n, n_coarse - done)  # Split at the schedule boundary.
+            cfg = coarse_config
+        else:
+            cfg = run_config
+        state, stats = _compiled_run(cfg, n)(state, consts)
         all_stats.append(stats)
-        remaining -= n
+        done += n
         if on_chunk is not None:
             on_chunk(n)
 

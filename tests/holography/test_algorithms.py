@@ -1561,6 +1561,136 @@ class TestDualStoreState:
         assert not holo._has_phase_ff()
         assert holo.phase is not None  # reset_phase re-randomizes
 
+    def test_weights_device_resident_after_optimize(self, spot_target):
+        """A scanned run leaves the weights on device (no per-call host
+        fetch); the host view materializes lazily and matches."""
+        holo = self._small_holo(spot_target)
+        holo.optimize("WGS-Kim", maxiter=3, verbose=False)
+        assert holo._weights_dev is not None
+        assert holo._weights_host is None  # nothing fetched yet
+        w = holo.weights  # lazy materialization
+        assert isinstance(w, np.ndarray)
+        np.testing.assert_array_equal(w, np.asarray(holo._weights_dev))
+
+    def test_weights_view_readonly_assignment_invalidates(self, spot_target):
+        holo = self._small_holo(spot_target)
+        holo.optimize("WGS-Kim", maxiter=3, verbose=False)
+        with pytest.raises(ValueError, match="read-only"):
+            holo.weights[:, :] = 1.0
+        holo.weights = np.ones(holo.shape, np.float32)
+        assert holo._weights_dev is None  # assignment invalidates device copy
+        holo.optimize("WGS-Kim", maxiter=1, verbose=False)
+        assert np.isfinite(np.asarray(holo.weights)).all()
+
+
+class TestDeviceConstCache:
+    """
+    :meth:`Hologram._dev_const`: the full-plane constants (target +
+    stat mask, MRAF masks, amplitude, kernel) upload once and are
+    reused across ``optimize()`` calls while the host array is
+    unchanged; reassignment (identity) and in-place mutation (strided
+    content fingerprint) both invalidate.
+    """
+
+    def test_target_upload_reused_and_invalidated(self, spot_target):
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        holo.flags["method"] = "GS"
+        config = holo._build_config()
+        c1 = holo._build_consts(config)
+        c2 = holo._build_consts(config)
+        assert c1["target"] is c2["target"]  # cache hit: same device buffer
+
+        # In-place mutation is caught by the content fingerprint (the
+        # flat index must land on the <=1024-sample stride; [0, 0] does).
+        holo.target[0, 0] = 0.5
+        c3 = holo._build_consts(config)
+        assert c3["target"] is not c2["target"]
+        assert np.isclose(float(np.asarray(c3["target"])[0, 0]), 0.5)
+        assert bool(np.asarray(c3["stat_mask"])[0, 0])
+
+        # Reassignment is caught by identity even with equal contents.
+        holo.target = np.array(holo.target)
+        c4 = holo._build_consts(config)
+        assert c4["target"] is not c3["target"]
+
+    def test_optimize_twice_reuses_upload(self, spot_target):
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        holo.optimize("WGS-Kim", maxiter=2, verbose=False)
+        dev = holo._dev_cache["target"][2]
+        holo.optimize("WGS-Kim", maxiter=2, verbose=False)
+        assert holo._dev_cache["target"][2] is dev
+
+    def test_mraf_masks_cached(self, spot_target):
+        target, slm_shape = spot_target
+        target = np.array(target)
+        target[:4, :4] = np.nan  # noise region -> MRAF config
+        holo = Hologram(target, slm_shape=slm_shape)
+        holo.flags["method"] = "WGS-Kim"
+        holo.flags["mraf_factor"] = 0.5
+        config = holo._build_config()
+        assert config.mraf
+        c1 = holo._build_consts(config)
+        c2 = holo._build_consts(config)
+        assert c1["noise_mask"] is c2["noise_mask"]
+        assert bool(np.asarray(c1["noise_mask"])[0, 0])
+        assert not bool(np.asarray(c1["signal_mask"])[0, 0])
+
+
+class TestPrecisionScheduleFlag:
+    """
+    The public ``fft_precision_schedule`` optimize flag — parsed by
+    :meth:`Hologram._parse_precision_schedule`, applied by
+    :func:`ops.engine.run_gs_chunked`. On CPU every contraction
+    precision lowers identically, so the flag must be numerically
+    transparent here (the on-chip speed/quality trade is attested by
+    ``bench.attest_schedule_quality``).
+    """
+
+    def test_flag_matches_unscheduled_on_cpu(self, spot_target):
+        target, slm_shape = spot_target
+        np.random.seed(0)
+        h1 = Hologram(target, slm_shape=slm_shape)
+        np.random.seed(0)
+        h2 = Hologram(target, slm_shape=slm_shape)
+        h1.optimize("WGS-Kim", maxiter=10, verbose=False)
+        h2.optimize(
+            "WGS-Kim", maxiter=10, verbose=False, fft_precision_schedule=4
+        )
+        np.testing.assert_allclose(h1.phase, h2.phase, atol=1e-6)
+        assert h2.iter == h1.iter
+
+    def test_pair_form_runs(self, spot_target):
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        holo.optimize(
+            "WGS-Kim", maxiter=6, verbose=False,
+            fft_precision_schedule=("DEFAULT", 2),
+        )
+        assert holo.iter == 6
+        assert np.isfinite(holo.phase).all()
+
+    def test_bad_value_raises(self, spot_target):
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        with pytest.raises(ValueError, match="fft_precision_schedule"):
+            holo.optimize(
+                "WGS-Kim", maxiter=4, verbose=False,
+                fft_precision_schedule="fast",
+            )
+
+    def test_refine_count_clipped_with_warning(self, spot_target):
+        target, slm_shape = spot_target
+        holo = Hologram(target, slm_shape=slm_shape)
+        with pytest.warns(UserWarning, match="clipped"):
+            holo.optimize(
+                "WGS-Kim", maxiter=4, verbose=False,
+                fft_precision_schedule=99,
+            )
+        assert holo.iter == 4
+        assert np.isfinite(holo.phase).all()
+
 
 class TestWexpKernel:
     def test_wexp_inverse_kernel_interpret(self):

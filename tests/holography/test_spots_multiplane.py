@@ -42,6 +42,27 @@ class TestSpotHologramFeedback:
         ]
         assert weights[4] == np.max(weights)
 
+    def test_spot_feedback_after_scanned_run(self):
+        """Regression: a scanned (computational) run leaves the weights
+        device-resident, so the host view is a read-only materialization;
+        the subsequent spot-feedback scatter in ``_update_weights`` must
+        copy-then-reassign instead of writing in place."""
+        shape = (64, 64)
+        holo = SpotHologram.make_rectangular_array(shape, (3, 3), (12, 12), basis="knm")
+        holo.optimize("WGS-Leonardo", maxiter=3, verbose=False)
+        assert holo._weights_dev is not None
+        assert holo._weights_host is None
+        external = np.full(9, 1.0)
+        external[4] = 0.2
+        holo.external_spot_amp = external
+        holo.optimize(
+            "WGS-Leonardo", maxiter=2, verbose=False, feedback="external_spot"
+        )
+        weights = holo.weights[
+            holo.spot_knm_rounded[1, :], holo.spot_knm_rounded[0, :]
+        ]
+        assert weights[4] == np.max(weights)
+
     def test_sim_fast_path_matches_host_measure(self, fourierslm_calibrated, rng):
         """The device-resident simulated-measure composite produces the
         same spot powers and total as the host set_phase/get_image/take
