@@ -102,7 +102,7 @@ def bench_engine(model, iters, runner=None, n_repeats=3):
     run = run_gs if runner is None else runner
     config, consts = model.config, model.consts
 
-    def once(n):
+    def once(n, k=1):
         state = model.init_state()
         # Force the initial-state H2D uploads BEFORE the timed window:
         # over a tunneled device they jitter by far more than the loop
@@ -110,7 +110,14 @@ def bench_engine(model, iters, runner=None, n_repeats=3):
         for leaf in (state.psi, state.weights, state.phase_ff):
             np.asarray(leaf[0, :2])
         t0 = time.time()
-        out_state, stats = run(config, state, consts, n)
+        # Chain k calls with device-resident state hand-off: total
+        # signal is k*n iterations from ONE compiled program, with
+        # per-call dispatch appearing k times on BOTH sides of the
+        # marginal difference (so it still cancels). The single fetch
+        # at the end synchronizes the whole chain.
+        stats = None
+        for _ in range(k):
+            state, stats = run(config, state, consts, n)
         stats = np.asarray(stats)
         return time.time() - t0, stats
 
@@ -124,13 +131,23 @@ def bench_engine(model, iters, runner=None, n_repeats=3):
     small = max(1, iters // 5)
     once(small)  # Warmup: compile both lengths + run.
     once(iters)
+    # Science stats ALWAYS come from the standard single window (fresh
+    # init, the reference's iteration count) — the timing chains below
+    # keep optimizing past it and their stats are discarded.
+    t_warm, stats = once(iters)
+    # Size the chain so the long side holds ~0.7 s of on-device signal:
+    # a fixed window at small shapes (e.g. 50 GS iterations at 1024^2 =
+    # ~30 ms) sits below the tunnel's dispatch noise — exactly how
+    # round 4's artifact recorded c1 swinging 552<->1563 iter/s between
+    # sessions on a bit-identical program.
+    k = int(np.clip(round(0.7 / max(t_warm, 1e-4)), 1, 64))
     rates = []
     for _ in range(n_repeats):
-        t_small = once(small)[0]
-        t_large, stats = once(iters)
-        wall = iters / t_large
+        t_small = once(small, k)[0]
+        t_large, _chained = once(iters, k)
+        wall = k * iters / t_large
         if t_large > t_small:
-            marginal = (iters - small) / (t_large - t_small)
+            marginal = k * (iters - small) / (t_large - t_small)
         else:
             marginal = wall  # Jitter swamped the difference; be honest.
         # A marginal estimate far above the wall rate is jitter.
@@ -139,6 +156,7 @@ def bench_engine(model, iters, runner=None, n_repeats=3):
     median = rates[len(rates) // 2]
     provenance = {
         "n_repeats": n_repeats,
+        "timing_window_iters": k * iters,
         "iter_s_median": round(median, 2),
         "iter_s_spread": round(
             (rates[-1] - rates[0]) / max(median, 1e-9), 3
