@@ -479,6 +479,12 @@ def _marginal_rate(once, small, iters, repeats=3):
     per-call overhead (state build/sync over the tunnel) but can read up
     to double the end-to-end rate, so the wall rate must ride along in
     the JSON for honest comparison against the baseline targets."""
+    def pair_rate(t_s, t_l):
+        wall = iters / t_l
+        if t_l > t_s:
+            return min((iters - small) / (t_l - t_s), 2.0 * wall)
+        return wall
+
     t_smalls, t_larges = [], []
     for _ in range(repeats):
         t_smalls.append(once(small))
@@ -486,11 +492,11 @@ def _marginal_rate(once, small, iters, repeats=3):
     t_small = sorted(t_smalls)[len(t_smalls) // 2]
     t_large = sorted(t_larges)[len(t_larges) // 2]
     wall_rate = iters / t_large
-    if t_large > t_small:
-        rate = min((iters - small) / (t_large - t_small), 2.0 * wall_rate)
-    else:
-        rate = wall_rate
-    return rate, wall_rate
+    rate = pair_rate(t_small, t_large)
+    # Per-repeat single-pair rates, for spread fields that describe the
+    # SAME samples as the median (no extra timed windows).
+    singles = sorted(pair_rate(s, l) for s, l in zip(t_smalls, t_larges))
+    return rate, wall_rate, singles
 
 
 def iters_to_nonuniformity(stats, threshold=0.01):
@@ -568,14 +574,10 @@ def bench_batch_scaling(sizes=(1, 2, 4, 8), N=1024, base_iters=2048):
 
         once(small)
         once(iters)
-        # Repeats with per-side medians + a 3-single spread field: a
-        # single marginal estimate on the shared dev slice is only
-        # trustworthy with repeat evidence attached.
-        rate, _wall = _marginal_rate(once, small, iters, repeats=3)
-        singles = sorted(
-            _marginal_rate(once, small, iters, repeats=1)[0]
-            for _ in range(3)
-        )
+        # Repeats with per-side medians + a spread field derived from
+        # the same per-repeat samples: a single marginal estimate on the
+        # shared dev slice is only trustworthy with repeat evidence.
+        rate, _wall, singles = _marginal_rate(once, small, iters, repeats=3)
         out[f"b{b}"] = round(rate, 1)
         out[f"b{b}_window"] = iters
         out[f"b{b}_spread"] = round(
@@ -852,7 +854,7 @@ def config_4(argv):
         )
         return time.time() - t0
 
-    rate, wall_rate = _marginal_rate(once, small, iters)
+    rate, wall_rate, _ = _marginal_rate(once, small, iters)
     unif = holo.stats["stats"]["experimental_spot"]["uniformity"][-1]
     # Baseline 10 iter/s: the closed-loop target set by the round-2
     # review ("config-4 >= 10 iter/s"), originally scoped for a
@@ -908,7 +910,7 @@ def config_5(argv):
 
     once(small)
     once(iters)
-    rate, wall_rate = _marginal_rate(once, small, iters)
+    rate, wall_rate, _ = _marginal_rate(once, small, iters)
     cv = float(np.std(holo.amp_ff) / np.mean(holo.amp_ff))
     # Baseline 100 iter/s: the compressed-transform target set by the
     # round-2 review ("config-5 >= 100 iter/s") — the VPU-bound

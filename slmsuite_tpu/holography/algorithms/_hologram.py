@@ -303,11 +303,16 @@ class Hologram(_HologramStats):
             self._weights_dev = None
 
     def _weights_device(self):
-        """Weights as a device float32 array (no upload when resident;
-        the host path nan-guards like the reference's ``cp.nan_to_num``
-        on reset — nan target entries seed nan weights)."""
+        """Weights as a device float32 array (no upload when resident),
+        nan-guarded on BOTH paths like the reference's ``cp.nan_to_num``
+        on reset — nan target entries seed nan weights, and a device-side
+        nan fed into the multiplicative WGS update poisons every weight.
+        The device-path guard also returns a FRESH buffer, so donating
+        callers never consume the stored ``_weights_dev``."""
         if self._weights_dev is not None and self._weights_host is None:
-            return self._weights_dev
+            return jnp.nan_to_num(
+                jnp.asarray(self._weights_dev, dtype=jnp.float32)
+            )
         return jnp.asarray(
             np.nan_to_num(np.asarray(self.weights, dtype=np.float32))
         )
@@ -362,10 +367,16 @@ class Hologram(_HologramStats):
             self._psi_host = np.asarray(value, dtype=self.dtype)
             self._psi_dev = None
 
-    def _psi_device(self):
-        """Folded psi as a device float32 array (no copy when resident)."""
+    def _psi_device(self, for_donation=False):
+        """Folded psi as a device float32 array (no copy when resident).
+
+        ``for_donation=True``: the caller hands the result to a
+        ``donate_argnums`` call — return a private on-device copy of a
+        resident buffer (an HBM-to-HBM copy, microseconds) so a run
+        that raises mid-way (interrupt, checkify error, OOM) cannot
+        leave ``self._psi_dev`` pointing at a deleted buffer."""
         if self._psi_dev is not None and self._psi_host is None:
-            return self._psi_dev
+            return self._psi_dev.copy() if for_donation else self._psi_dev
         return jnp.asarray(self._psi, dtype=jnp.float32)
 
     @property
@@ -409,9 +420,10 @@ class Hologram(_HologramStats):
             self._pff_host = np.asarray(value)
             self._pff_dev = None
 
-    def _phase_ff_folded_device(self):
+    def _phase_ff_folded_device(self, for_donation=False):
+        """``for_donation``: see :meth:`_psi_device`."""
         if self._pff_dev is not None and self._pff_host is None:
-            return self._pff_dev
+            return self._pff_dev.copy() if for_donation else self._pff_dev
         return jnp.asarray(self._phase_ff_folded, dtype=jnp.float32)
 
     def _has_phase_ff(self):
@@ -1053,11 +1065,13 @@ class Hologram(_HologramStats):
         """Hook for subclasses (spot gather maps etc.)."""
 
     def _build_state(self, config):
+        # The engine donates the state pytree; resident buffers are
+        # handed over as private copies (see _psi_device docstring).
         return _engine.GSState(
-            psi=self._psi_device(),
+            psi=self._psi_device(for_donation=True),
             weights=self._weights_device(),
             phase_ff=(
-                self._phase_ff_folded_device()
+                self._phase_ff_folded_device(for_donation=True)
                 if (self._pff_dev is not None or self._pff_host is not None)
                 else jnp.zeros(config.shape, dtype=jnp.float32)
             ),

@@ -1137,15 +1137,23 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         as :meth:`_dev_const`, fingerprinting BOTH inputs)."""
         from slmsuite_tpu.ops.compressed import build_kernel_cache
 
-        fp = (
-            self._host_fingerprint(self.spot_zernike),
-            self._host_fingerprint(self._basis),
-        )
+        # Identity AND content fingerprint, like _dev_const: for device
+        # arrays _host_fingerprint returns None (immutable — identity
+        # suffices), so without the `is` checks a replaced device-array
+        # spot_zernike/_basis would degenerate to (None,)*2 == (None,)*2
+        # and silently reuse stale kernel tiles.
+        spots, basis = self.spot_zernike, self._basis
+        fp = (self._host_fingerprint(spots), self._host_fingerprint(basis))
         cached = getattr(self, "_kcache", None)
-        if cached is not None and cached[0] == fp:
-            return cached[1]
+        if (
+            cached is not None
+            and cached[0] is spots
+            and cached[1] is basis
+            and cached[2] == fp
+        ):
+            return cached[3]
         tiles = build_kernel_cache(coeffs_dev, basis_dev)
-        self._kcache = (fp, tiles)
+        self._kcache = (spots, basis, fp, tiles)
         return tiles
 
     def optimize_gs(self, maxiter, callback, verbose=True, name=None):
@@ -1192,10 +1200,10 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         start_iter = self.iter
 
         state = _comp.CompressedGSState(
-            psi=self._psi_device_flat(),
+            psi=self._psi_device_flat(for_donation=True),
             weights=jnp.asarray(np.nan_to_num(np.asarray(self.weights, np.float32))),
             phase_ff=(
-                self._phase_ff_folded_device()
+                self._phase_ff_folded_device(for_donation=True)
                 if self._has_phase_ff()
                 else jnp.zeros(len(self), jnp.float32)
             ),
@@ -1247,7 +1255,10 @@ class CompressedSpotHologram(_AbstractSpotHologram):
             if iterator is not None:
                 iterator.close()
 
-            self._finalize_scan_fused(state, all_stats, config, consts, start_iter)
+            self._finalize_scan_fused(
+                state, all_stats, config, consts, start_iter,
+                sharded=mesh is not None,
+            )
         else:
             step = _comp.make_compressed_gs_step(
                 dataclasses_replace_stats(config)
@@ -1351,7 +1362,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         self.iter = int(state.iteration)
 
     def _finalize_scan_fused(self, state, all_stats, config, consts,
-                             start_iter):
+                             start_iter, sharded=False):
         """Adopt the final scan state, farfield, and stats with ONE
         device fetch.
 
@@ -1367,9 +1378,20 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         from slmsuite_tpu.ops import compressed as _comp
 
         n_spots = len(self)
-        use_pallas = self.cuda
+        # On the pixel-sharded mesh path the consts arrive REWRITTEN by
+        # shard_compressed_consts (basis/amp sharded over pixels) and
+        # state.psi is sharded too; a Mosaic pallas_call has no SPMD
+        # partitioning rule, so use the jnp twin — XLA's GSPMD
+        # partitions its einsum and inserts the psum over pixel shards.
+        use_pallas = self.cuda and not sharded
 
-        fn = getattr(self, "_finalize_fn", None)
+        # n_spots/use_pallas are frozen into the jitted closure, so the
+        # cache is keyed on them: rebuilding the spot set to a different
+        # count on the same hologram must not slice the packed vector
+        # with a stale length.
+        fn_key = (n_spots, use_pallas)
+        cached_fn = getattr(self, "_finalize_fn", None)
+        fn = cached_fn[1] if cached_fn and cached_fn[0] == fn_key else None
         if fn is None:
 
             @jax.jit
@@ -1393,7 +1415,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                     stats.ravel().astype(jnp.float32),
                 ])
 
-            self._finalize_fn = fn
+            self._finalize_fn = (fn_key, fn)
 
         stats_shape = None
         if all_stats:
@@ -1452,12 +1474,15 @@ class CompressedSpotHologram(_AbstractSpotHologram):
     def _psi(self, value):
         self.phase = value
 
-    def _psi_device_flat(self):
+    def _psi_device_flat(self, for_donation=False):
         """Flat float32 psi on device, reusing the engine's copy when
         the host copy was never materialized (and so cannot have been
-        mutated behind our back)."""
+        mutated behind our back). ``for_donation``: return a private
+        on-device copy of the resident buffer so donating runs cannot
+        leave ``_psi_dev`` deleted if they raise (see the base class's
+        ``_psi_device``)."""
         if self._psi_dev is not None and self._raw_phase is None:
-            return self._psi_dev
+            return self._psi_dev.copy() if for_donation else self._psi_dev
         return jnp.asarray(np.asarray(self.phase, np.float32).ravel())
 
     def _set_psi_device(self, psi):
@@ -1482,10 +1507,12 @@ class CompressedSpotHologram(_AbstractSpotHologram):
         consts = self._compressed_consts()
         psi = self._psi_device_flat()
 
-        fn = getattr(self, "_populate_fn", None)
+        n_spots = len(self)
+        use_pallas = self.cuda
+        fn_key = (n_spots, use_pallas)
+        cached_fn = getattr(self, "_populate_fn", None)
+        fn = cached_fn[1] if cached_fn and cached_fn[0] == fn_key else None
         if fn is None:
-            n_spots = len(self)
-            use_pallas = self.cuda
             import functools
 
             @functools.partial(jax.jit)
@@ -1504,7 +1531,7 @@ class CompressedSpotHologram(_AbstractSpotHologram):
                     jnp.arctan2(ff_im, ff_re),
                 )
 
-            self._populate_fn = fn
+            self._populate_fn = (fn_key, fn)
 
         amp_ff, phase_ff = fn(
             psi, consts["amp"], consts["coeffs"], consts["basis"]

@@ -1106,7 +1106,18 @@ def run_gs_scheduled(config: GSConfig, state: GSState, consts: dict,
     state, stats_coarse = _compiled_run(c_coarse, n_coarse)(state, consts)
     parts = [stats_coarse]
     if n_refine:
-        state, stats_fine = _compiled_run(run_config, n_refine)(
+        # Pin the refine phase to HIGHEST explicitly (unless the caller
+        # set a precision on the config): with kernel_precision=None it
+        # would inherit the pallas_fft module GLOBAL, so a user-level
+        # set_kernel_precision("DEFAULT") would silently degrade the
+        # "HIGHEST refine" this function documents and the bench
+        # artifact reports.
+        c_fine = (
+            run_config
+            if run_config.kernel_precision is not None
+            else dataclasses.replace(run_config, kernel_precision="HIGHEST")
+        )
+        state, stats_fine = _compiled_run(c_fine, n_refine)(
             state, consts
         )
         parts.append(stats_fine)

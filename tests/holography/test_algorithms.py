@@ -1254,6 +1254,121 @@ class TestScheduledEngine:
         run_gs(config, m.init_state(), m.consts, 2)
         assert PF._DOT_PRECISION == prior
 
+    def test_refine_pinned_to_highest(self, monkeypatch):
+        """The refine phase must run at HIGHEST explicitly, not inherit
+        whatever the pallas_fft module global happens to be: a
+        user-level set_kernel_precision('DEFAULT') would otherwise
+        silently degrade the 'HIGHEST refine' this engine documents
+        (and attest_schedule_quality could not catch it, because its
+        all-HIGHEST baseline inherits the same global)."""
+        from slmsuite_tpu.ops import engine as E
+
+        m = self._model(N=96)
+        assert m.config.kernel_precision is None
+        seen = []
+        orig = E._compiled_run
+
+        def spy(config, n):
+            seen.append((config.kernel_precision, int(n)))
+            return orig(config, n)
+
+        monkeypatch.setattr(E, "_compiled_run", spy)
+        E.run_gs_scheduled(m.config, m.init_state(), m.consts, 8, n_refine=3)
+        assert seen[0] == ("DEFAULT", 5)
+        assert seen[-1] == ("HIGHEST", 3)
+
+    def test_refine_honors_explicit_config_precision(self, monkeypatch):
+        """An explicit kernel_precision on the config wins over the
+        HIGHEST default for the refine phase."""
+        import dataclasses
+
+        from slmsuite_tpu.ops import engine as E
+
+        m = self._model(N=96)
+        config = dataclasses.replace(m.config, kernel_precision="DEFAULT")
+        seen = []
+        orig = E._compiled_run
+
+        def spy(cfg, n):
+            seen.append((cfg.kernel_precision, int(n)))
+            return orig(cfg, n)
+
+        monkeypatch.setattr(E, "_compiled_run", spy)
+        E.run_gs_scheduled(config, m.init_state(), m.consts, 8, n_refine=3)
+        assert seen[-1] == ("DEFAULT", 3)
+
+
+class TestDualStoreSafety:
+    """Device-resident dual-store attributes: sanitization and
+    donation safety (the engine donates its state pytree — stored
+    buffers must never be the donated ones, or a run that raises
+    mid-way leaves the hologram pointing at deleted buffers)."""
+
+    def _holo(self, spot_target):
+        from slmsuite_tpu.holography.algorithms import Hologram
+
+        target, slm_shape = spot_target
+        return Hologram(target, slm_shape=slm_shape)
+
+    def test_device_weights_nan_guarded_and_fresh(self, spot_target):
+        import jax.numpy as jnp
+
+        holo = self._holo(spot_target)
+        w = np.ones((64, 64), np.float32)
+        w[3, 5] = np.nan
+        holo.weights = jnp.asarray(w)  # device-resident store
+        assert holo._weights_dev is not None and holo._weights_host is None
+        dev = holo._weights_device()
+        assert dev is not holo._weights_dev  # fresh buffer: donation-safe
+        assert not np.isnan(np.asarray(dev)).any()
+
+    def test_resident_planes_copied_for_donation(self, spot_target):
+        import jax.numpy as jnp
+
+        holo = self._holo(spot_target)
+        holo.optimize(method="GS", maxiter=2, verbose=0)
+        # The engine leaves psi device-resident.
+        assert holo._psi_dev is not None and holo._psi_host is None
+        p_view = holo._psi_device()
+        p_don = holo._psi_device(for_donation=True)
+        assert p_view is holo._psi_dev
+        assert p_don is not holo._psi_dev
+        np.testing.assert_array_equal(np.asarray(p_don), np.asarray(p_view))
+
+        holo._phase_ff_folded = jnp.zeros(holo.shape, jnp.float32)
+        f_don = holo._phase_ff_folded_device(for_donation=True)
+        assert f_don is not holo._pff_dev
+
+    def test_weights_survive_donating_run_that_raises(
+        self, spot_target, monkeypatch
+    ):
+        """Chunk 1 donates the state, chunk 2 raises: the hologram's
+        stored device buffers must still be alive afterwards."""
+        import jax
+        import jax.numpy as jnp
+
+        holo = self._holo(spot_target)
+        holo.optimize(method="GS", maxiter=2, verbose=0)
+        assert holo._psi_dev is not None
+
+        from slmsuite_tpu.ops import engine as E
+
+        def exploding_run(config, n):
+            def run(state, consts):
+                # Consume the state like the real donating executable...
+                jax.jit(lambda s: s.psi + 0, donate_argnums=(0,))(state)
+                # ...then die like an interrupted chunk.
+                raise RuntimeError("boom")
+
+            return run
+
+        monkeypatch.setattr(E, "_compiled_run", exploding_run)
+        with pytest.raises(RuntimeError, match="boom"):
+            holo.optimize(method="GS", maxiter=2, verbose=0)
+        # Stored state is intact despite the donated/raised run.
+        assert np.isfinite(np.asarray(holo.weights)).all()
+        assert np.isfinite(np.asarray(holo.phase)).all()
+
 
 class TestStepwiseConsistency:
     """The host-in-the-loop stepwise path (taken for callbacks and

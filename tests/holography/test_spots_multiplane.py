@@ -491,6 +491,49 @@ class TestCompressedSpotHologram:
         assert kc1 is not kc0
         assert not np.allclose(np.asarray(kc1), np.asarray(kc0))
 
+    def test_kernel_cache_invalidates_on_device_array_replacement(
+        self, fourierslm_calibrated, rng
+    ):
+        """Replacing spot coefficients with a DEVICE array must rebuild
+        the cached kernel tiles: for device arrays the host fingerprint
+        is None, so without the identity check the cache would compare
+        (None, None) == (None, None) and silently reuse stale cos/sin
+        tiles aimed at the old spot positions."""
+        import jax.numpy as jnp
+
+        spots = np.vstack([rng.uniform(-0.01, 0.01, 4)] * 2)
+        holo = CompressedSpotHologram(
+            spots, basis="kxy", cameraslm=fourierslm_calibrated
+        )
+        holo.spot_zernike = jnp.asarray(holo.spot_zernike, jnp.float32)
+        kc0 = holo._compressed_consts(kernel_cache=True)["kc_tiles"]
+        # Same device object: cache hit.
+        assert holo._compressed_consts(kernel_cache=True)["kc_tiles"] is kc0
+        holo.spot_zernike = holo.spot_zernike + 0.25
+        kc1 = holo._compressed_consts(kernel_cache=True)["kc_tiles"]
+        assert kc1 is not kc0
+        assert not np.allclose(np.asarray(kc1), np.asarray(kc0))
+
+    def test_populate_and_finalize_fns_rekey_on_spot_count(
+        self, fourierslm_calibrated, rng
+    ):
+        """The jitted populate/finalize epilogues freeze n_spots into
+        their closures; their instance caches must be KEYED on it so a
+        rebuilt spot set of a different count never slices the packed
+        result vector with a stale length."""
+        spots = np.vstack([rng.uniform(-0.01, 0.01, 4)] * 2)
+        holo = CompressedSpotHologram(
+            spots, basis="kxy", cameraslm=fourierslm_calibrated
+        )
+        holo._populate_results()
+        key, fn = holo._populate_fn
+        assert key == (len(holo), holo.cuda)
+        # A stale-key cache entry is ignored and replaced.
+        holo._populate_fn = ((len(holo) + 3, holo.cuda), fn)
+        holo._populate_results()
+        assert holo._populate_fn[0] == (len(holo), holo.cuda)
+        assert holo.amp_ff.shape == (len(holo),)
+
     def test_dev_cache_invalidates_on_inplace_mutation(
         self, fourierslm_calibrated, rng
     ):
