@@ -164,10 +164,24 @@ def build_kernel_cache(coeffs, basis):
     INVARIANT: caching trades the per-iteration sincos recompute
     (~2 x N x P transcendentals on the VPU, the measured bottleneck of
     the grid-free loop) for an HBM-bandwidth-bound stream of the tiles.
-    Built with the identical einsum/sincos the recompute path runs, so
-    cached results match recompute bit-for-bit.
+    Built with the identical einsum/sincos the JNP recompute path runs
+    (bit-for-bit match there); the PALLAS recompute kernel synthesizes
+    its sincos with the bounded-domain minimax polynomials (~1e-7
+    error), so toggling the cache on the Pallas engine moves results at
+    f32-ulp level — within every quality gate, but not bit-identical.
+
+    The spot axis is padded to a multiple of 8 (TPU sublane alignment)
+    with zero-coefficient columns so the Pallas streaming kernel is
+    available for EVERY spot count: a zero-coeff column synthesizes
+    phase 0 (cos=1, sin=0), contributes nothing when the farfield
+    vector is zero-padded to match, and the consumers slice spot-axis
+    results back to ``n_spots``.
     """
     D, P = basis.shape
+    N = coeffs.shape[1]
+    N_pad = -(-N // 8) * 8
+    if N_pad != N:
+        coeffs = _pad_to(coeffs, N_pad, 1)
     n_tiles = -(-P // PIXEL_TILE)
     P_pad = n_tiles * PIXEL_TILE
     basis_tiles = jnp.moveaxis(
@@ -187,14 +201,19 @@ def build_kernel_cache(coeffs, basis):
 
 
 def kernel_cache_bytes(n_spots, n_pixels):
-    """HBM footprint of :func:`build_kernel_cache` for a shape."""
+    """HBM footprint of :func:`build_kernel_cache` for a shape
+    (spot axis 8-padded like the builder)."""
     n_tiles = -(-n_pixels // PIXEL_TILE)
-    return 2 * 4 * n_spots * n_tiles * PIXEL_TILE
+    return 2 * 4 * (-(-n_spots // 8) * 8) * n_tiles * PIXEL_TILE
 
 
 def farfield_to_nearfield_cached(ff_re, ff_im, kc, ks, n_pixels):
-    """Cached-kernel twin of :func:`farfield_to_nearfield`."""
+    """Cached-kernel twin of :func:`farfield_to_nearfield`. The cache's
+    spot axis may be 8-padded past the farfield length; the zero-padded
+    farfield makes the pad rows contribute nothing."""
     scale = 1.0 / np.sqrt(n_pixels)
+    ff_re = _pad_to(ff_re, kc.shape[1], 0)
+    ff_im = _pad_to(ff_im, kc.shape[1], 0)
 
     def tile_fn(_, tile):
         cos, sin = tile
@@ -206,8 +225,12 @@ def farfield_to_nearfield_cached(ff_re, ff_im, kc, ks, n_pixels):
     return nf_re.reshape(-1)[:n_pixels], nf_im.reshape(-1)[:n_pixels]
 
 
-def nearfield_to_farfield_cached(nf_re, nf_im, kc, ks, n_pixels):
-    """Cached-kernel twin of :func:`nearfield_to_farfield` (normalized)."""
+def nearfield_to_farfield_cached(nf_re, nf_im, kc, ks, n_pixels,
+                                 n_spots=None):
+    """Cached-kernel twin of :func:`nearfield_to_farfield` (normalized).
+    ``n_spots`` slices the (possibly 8-padded) spot axis BEFORE the
+    normalization — the pad rows synthesize phase 0 and would otherwise
+    pollute the norm."""
     n_tiles, N, T = kc.shape
     P_pad = n_tiles * T
     nf_re_t = _pad_to(nf_re, P_pad, 0).reshape(n_tiles, T)
@@ -225,6 +248,8 @@ def nearfield_to_farfield_cached(nf_re, nf_im, kc, ks, n_pixels):
     (ff_re, ff_im), _ = jax.lax.scan(
         tile_fn, init, (kc, ks, nf_re_t, nf_im_t)
     )
+    if n_spots is not None:
+        ff_re, ff_im = ff_re[:n_spots], ff_im[:n_spots]
     ff_re = ff_re * scale
     ff_im = ff_im * scale
     norm = jnp.sqrt(jnp.sum(jnp.square(ff_re) + jnp.square(ff_im)))
@@ -237,6 +262,11 @@ def _fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots, n_pixels):
     instead of recomputed. One pass over the cache per iteration."""
     n_tiles, N, T = kc.shape
     P_pad = n_tiles * T
+    # The cache's spot axis may be 8-padded; zero-pad the farfield to
+    # match (pad rows then contribute nothing) — outputs are sliced
+    # back to n_spots below.
+    ff_re = _pad_to(ff_re, N, 0)
+    ff_im = _pad_to(ff_im, N, 0)
 
     scalar_amp = jnp.ndim(amp) == 0
     if scalar_amp:
@@ -247,21 +277,16 @@ def _fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots, n_pixels):
         jnp.arange(P_pad).reshape(n_tiles, T) < n_pixels
     ).astype(jnp.float32)
 
+    from slmsuite_tpu.ops.pallas_compressed import _amp_replace
+
     def tile_fn(carry, tile):
         acc_re, acc_im = carry
         cos, sin, amp_tile, valid = tile
         re = ff_re @ cos - ff_im @ sin
         im = ff_re @ sin + ff_im @ cos
-        mag2 = jnp.square(re) + jnp.square(im)
-        safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
-        if scalar_amp:
-            inv = valid * safe
-            ur = jnp.where(mag2 > 0, re * inv, valid)
-            ui = jnp.where(mag2 > 0, im * inv, 0.0)
-        else:
-            inv = valid * amp_tile * safe
-            ur = jnp.where(mag2 > 0, re * inv, valid * amp_tile)
-            ui = jnp.where(mag2 > 0, im * inv, 0.0)
+        ur, ui = _amp_replace(
+            re, im, None if scalar_amp else amp_tile, valid, scalar_amp
+        )
         acc_re = acc_re + cos @ ur + sin @ ui
         acc_im = acc_im + cos @ ui - sin @ ur
         return (acc_re, acc_im), None
@@ -276,9 +301,10 @@ def _fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots, n_pixels):
 def fused_iteration_cached(ff_re, ff_im, kc, ks, amp, n_spots, n_pixels,
                            use_pallas):
     """Dispatch the cached-kernel fused round trip: the Pallas streaming
-    kernel on TPU when the spot axis is 8-aligned and the blocks fit
-    VMEM (it avoids the per-slice copy the ``lax.scan`` fallback pays);
-    the jnp scan twin otherwise."""
+    kernel on TPU when the blocks fit VMEM (it avoids the per-slice copy
+    the ``lax.scan`` fallback pays); the jnp scan twin otherwise. The
+    cache's spot axis is always 8-aligned (build_kernel_cache pads), so
+    every spot count rides the streaming kernel."""
     if use_pallas and kc.shape[1] % 8 == 0:
         from slmsuite_tpu.ops import pallas_compressed as _pc
 
@@ -315,6 +341,8 @@ def _fused_iteration_jnp(ff_re, ff_im, coeffs, basis, amp, n_spots):
         jnp.arange(P_pad).reshape(n_tiles, PIXEL_TILE) < P
     ).astype(jnp.float32)
 
+    from slmsuite_tpu.ops.pallas_compressed import _amp_replace
+
     def tile_fn(carry, tile):
         acc_re, acc_im = carry
         basis_tile, amp_tile, valid = tile
@@ -327,18 +355,9 @@ def _fused_iteration_jnp(ff_re, ff_im, coeffs, basis, amp, n_spots):
         sin = jnp.sin(phases)
         re = ff_re @ cos - ff_im @ sin
         im = ff_re @ sin + ff_im @ cos
-        mag2 = jnp.square(re) + jnp.square(im)
-        # Pre-guarded rsqrt (checkify-safe: rsqrt(0) = inf would place
-        # 0 * inf = nan in the untaken where-branch).
-        safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
-        if scalar_amp:
-            inv = valid * safe
-            ur = jnp.where(mag2 > 0, re * inv, valid)
-            ui = jnp.where(mag2 > 0, im * inv, 0.0)
-        else:
-            inv = valid * amp_tile * safe
-            ur = jnp.where(mag2 > 0, re * inv, valid * amp_tile)
-            ui = jnp.where(mag2 > 0, im * inv, 0.0)
+        ur, ui = _amp_replace(
+            re, im, None if scalar_amp else amp_tile, valid, scalar_amp
+        )
         acc_re = acc_re + cos @ ur + sin @ ui
         acc_im = acc_im + cos @ ui - sin @ ur
         return (acc_re, acc_im), None
@@ -419,8 +438,10 @@ class CompressedGSConfig:
     #: Stream the precomputed cos/sin kernel tiles from HBM
     #: (``consts["kc_tiles"]/["ks_tiles"]``, :func:`build_kernel_cache`)
     #: instead of recomputing the sincos every iteration. Enabled by the
-    #: hologram when the cache fits the HBM budget; numerically
-    #: identical to the recompute path.
+    #: hologram when the cache fits the HBM budget; bit-identical to the
+    #: jnp recompute path, f32-ulp-level vs the Pallas recompute kernel
+    #: (whose minimax sincos differs from the cache's jnp build — see
+    #: :func:`build_kernel_cache`).
     kernel_cache: bool = False
 
     @property
@@ -692,7 +713,7 @@ def _compiled_run(config, n_iterations):
         if config.kernel_cache:
             ff0_re, ff0_im = nearfield_to_farfield_cached(
                 nf_re, nf_im, consts["kc_tiles"], consts["ks_tiles"],
-                config.n_pixels,
+                config.n_pixels, n_spots=config.n_spots,
             )
         else:
             ff0_re, ff0_im = n2f(

@@ -1217,7 +1217,12 @@ def run_gs_batch(config, states, consts, n_iterations, mesh=None,
     import jax.tree_util as jtu
 
     scramble = _can_scramble(config)
-    run = _compiled_batch_run(config, int(n_iterations), scramble)
+    # Pin the config's precision like the single-instance runs: the
+    # batch jit traces the same pallas entry points and would otherwise
+    # silently ignore config.kernel_precision.
+    run = _with_kernel_precision(
+        _compiled_batch_run(config, int(n_iterations), scramble), config
+    )
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -1273,6 +1278,13 @@ def run_gs_chunked(config, state, consts, n_iterations, chunk=None,
         coarse_config = dataclasses.replace(
             run_config, kernel_precision=coarse
         )
+        if run_config.kernel_precision is None:
+            # Pin the refine chunks like run_gs_scheduled: inheriting
+            # the module global would let a user-level DEFAULT override
+            # silently degrade the documented full-precision refine.
+            run_config = dataclasses.replace(
+                run_config, kernel_precision="HIGHEST"
+            )
 
     all_stats = []
     done = 0

@@ -166,6 +166,36 @@ def _f2n_call(coeffs_p, ffr, ffi, basis_p, scale, D, sg, pg, P_pad):
     )(coeffs_p, ffr, ffi, basis_p, scale)
 
 
+def _amp_replace(re, im, amp, valid, scalar_amp):
+    """Amplitude replacement (``amp * nf/|nf|``) shared by ALL fused
+    round-trip twins — the two Pallas kernels here and the jnp scan
+    twins in :mod:`ops.compressed` — so the numeric conventions live in
+    exactly one place:
+
+    - zero field -> unit real (the ``atan2(0, 0) = 0`` convention);
+    - ``valid`` masks padded pixels to zero (their synthesized field is
+      a nonzero spot sum the replacement would rescale into garbage);
+    - pre-guarded ``rsqrt`` (checkify-safe: ``rsqrt(0) = inf`` would
+      place a transient ``0 * inf`` NaN in the untaken where-branch and
+      trip the interpret+checkify sanitizer job).
+
+    Returns the ``(ur, ui)`` replaced nearfield pair.
+    """
+    mag2 = re * re + im * im
+    safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
+    if scalar_amp:
+        inv = valid * safe
+        return (
+            jnp.where(mag2 > 0, re * inv, valid),
+            jnp.where(mag2 > 0, im * inv, 0.0),
+        )
+    inv = valid * amp * safe
+    return (
+        jnp.where(mag2 > 0, re * inv, valid * amp),
+        jnp.where(mag2 > 0, im * inv, 0.0),
+    )
+
+
 def _fused_iter_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, amp_ref,
                        outr_ref, outi_ref, *, scalar_amp, n_pixels, tile):
     """One pixel-tile step of the FUSED compressed iteration:
@@ -186,27 +216,12 @@ def _fused_iter_kernel(coeffs_ref, ffr_ref, ffi_ref, basis_ref, amp_ref,
     re = jnp.sum(ffr * cos - ffi * sin, axis=0)
     im = jnp.sum(ffr * sin + ffi * cos, axis=0)
 
-    # Amplitude replacement (zero field -> unit real, the atan2(0,0)=0
-    # convention). Padded pixels (index >= n_pixels) must contribute
-    # NOTHING: their synthesized field is a nonzero spot sum that the
-    # replacement would otherwise rescale into garbage.
     p = pl.program_id(0)
     idx = p * tile + jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
     valid = (idx < n_pixels).astype(jnp.float32)
-    mag2 = re * re + im * im
-    # Pre-guarded rsqrt (checkify-safe, matching _fused_iteration_jnp):
-    # rsqrt(0) = inf would place a transient 0*inf NaN in the untaken
-    # where-branch and trip the interpret+checkify sanitizer job.
-    safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
-    if scalar_amp:
-        inv = valid * safe
-        ur = jnp.where(mag2 > 0, re * inv, valid)
-        ui = jnp.where(mag2 > 0, im * inv, 0.0)
-    else:
-        amp = amp_ref[0, :]
-        inv = valid * amp * safe
-        ur = jnp.where(mag2 > 0, re * inv, valid * amp)
-        ui = jnp.where(mag2 > 0, im * inv, 0.0)
+    ur, ui = _amp_replace(
+        re, im, None if scalar_amp else amp_ref[0, :], valid, scalar_amp
+    )
 
     # Conjugate reduction with the SAME cos/sin (lane reduction).
     fr = jnp.sum(cos * ur[None, :] + sin * ui[None, :], axis=1)[:, None]
@@ -244,17 +259,9 @@ def _fused_iter_cached_kernel(kc_ref, ks_ref, ffr_ref, ffi_ref, amp_ref,
     p = pl.program_id(0)
     idx = p * tile + jax.lax.broadcasted_iota(jnp.int32, re.shape, 0)
     valid = (idx < n_pixels).astype(jnp.float32)
-    mag2 = re * re + im * im
-    safe = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
-    if scalar_amp:
-        inv = valid * safe
-        ur = jnp.where(mag2 > 0, re * inv, valid)
-        ui = jnp.where(mag2 > 0, im * inv, 0.0)
-    else:
-        amp = amp_ref[0, :]
-        inv = valid * amp * safe
-        ur = jnp.where(mag2 > 0, re * inv, valid * amp)
-        ui = jnp.where(mag2 > 0, im * inv, 0.0)
+    ur, ui = _amp_replace(
+        re, im, None if scalar_amp else amp_ref[0, :], valid, scalar_amp
+    )
 
     fr = jnp.sum(cos * ur[None, :] + sin * ui[None, :], axis=1)[:, None]
     fi = jnp.sum(cos * ui[None, :] - sin * ur[None, :], axis=1)[:, None]

@@ -86,14 +86,53 @@ def set_kernel_precision(precision):
     """Set the Pallas-FFT contraction precision
     ("HIGHEST" | "BF16X3" | "DEFAULT").
 
-    Note: kernels jit-compiled before the change keep their old
-    precision (jax caches by trace, and the precision is read at trace
-    time) — set this before first use, or use the environment variable.
+    Takes effect on the next call: the jitted entry points key their
+    trace caches on the live precision (:func:`_precision_keyed_jit`),
+    so switching re-traces rather than silently reusing kernels baked
+    at the old precision.
     """
     global _DOT_PRECISION
     if precision not in ("HIGHEST", "BF16X3", "DEFAULT"):
         raise ValueError(f"Unknown precision '{precision}'.")
     _DOT_PRECISION = precision
+
+
+def _precision_keyed_jit(**jit_kwargs):
+    """``jax.jit`` whose trace cache is KEYED on the live
+    ``_DOT_PRECISION``.
+
+    The kernel bodies read the module global at trace time; a plain
+    nested ``@jax.jit`` caches its jaxpr by argument avals ONLY, so the
+    first-seen precision would be baked in and silently reused by every
+    later outer trace — making the per-run precision pin
+    (:func:`slmsuite_tpu.ops.engine._with_kernel_precision`)
+    trace-order-dependent on the non-fused engine paths. One jit object
+    (hence one trace cache) per precision fixes that; the invariant that
+    the global equals the key at first trace holds because the wrapper
+    always passes the LIVE global.
+    """
+    def wrap(fn):
+        @functools.lru_cache(maxsize=8)
+        def _for_precision(precision):
+            # jax's jit cache is keyed on the FUNCTION OBJECT (jitting
+            # the same fn twice shares one trace cache), so each
+            # precision needs its own closure. functools.wraps lets
+            # jax's signature inspection resolve static_argnames
+            # through __wrapped__.
+            @functools.wraps(fn)
+            def keyed(*args, **kwargs):
+                return fn(*args, **kwargs)
+
+            keyed.__name__ = f"{fn.__name__}[{precision}]"
+            return jax.jit(keyed, **jit_kwargs)
+
+        @functools.wraps(fn)
+        def call(*args, **kwargs):
+            return _for_precision(_DOT_PRECISION)(*args, **kwargs)
+
+        return call
+
+    return wrap
 
 
 # Validate the env override HERE so a typo fails at import with the
@@ -330,7 +369,7 @@ def _call(kernel, grid, data_spec, mats, xr, xi, n1, n2, inverse, **kw):
     return out[0], out[1]
 
 
-@functools.partial(jax.jit, static_argnames=("inverse",))
+@_precision_keyed_jit(static_argnames=("inverse",))
 def _fft_rows(xr, xi, inverse):
     H, W = xr.shape
     n1, n2, *mats = _plan_f32(W, inverse)
@@ -342,7 +381,7 @@ def _fft_rows(xr, xi, inverse):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("inverse",))
+@_precision_keyed_jit(static_argnames=("inverse",))
 def _fft_cols(xr, xi, inverse):
     H, W = xr.shape
     n1, n2, *mats = _plan_f32(H, inverse)
@@ -363,7 +402,7 @@ def fft2_scrambled_pallas(xr, xi):
     return xr * scale, xi * scale
 
 
-@jax.jit
+@_precision_keyed_jit()
 def fft2_scrambled_polar_pallas(xr, xi):
     """
     Forward ortho 2D FFT returning ``(amplitude, phase)`` in the
@@ -472,7 +511,7 @@ def _cols_phase_kernel(xr_ref, xi_ref, w1b_ref, twr_ref, twi_ref, w2b_ref, out_r
     out_ref[...] = _atan2(bi, br)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@_precision_keyed_jit()
 def fft2_scrambled_polar_from_phase(psi, amp):
     """
     Forward ortho 2D FFT of ``amp * exp(i psi)`` returning scrambled
@@ -1859,7 +1898,7 @@ def _cols_wexp_inv_kernel(w_ref, pff_ref, v1b_ref, vtr_ref, vti_ref,
     hi_ref[...] = ci
 
 
-@jax.jit
+@_precision_keyed_jit()
 def wexp_ifft2_scrambled_phase(weights, phase):
     """
     psi = arg(ifft2_scrambled(weights * e^{i phase})) in two kernels:
@@ -1900,7 +1939,7 @@ def wexp_ifft2_scrambled_phase(weights, phase):
     )(hr, hi, *[jnp.asarray(m) for m in rmats])
 
 
-@jax.jit
+@_precision_keyed_jit()
 def wexp_ifft2_scrambled(weights, phase):
     """
     Complex ``ifft2_scrambled(weights * e^{i phase})`` (ortho),
@@ -1930,7 +1969,7 @@ def wexp_ifft2_scrambled(weights, phase):
     return gr * scale, gi * scale
 
 
-@jax.jit
+@_precision_keyed_jit()
 def ifft2_scrambled_phase(xr, xi):
     """
     Inverse ortho 2D FFT consuming the scrambled layout and returning

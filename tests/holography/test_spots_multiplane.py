@@ -405,7 +405,9 @@ class TestCompressedSpotHologram:
 
         kc, ks = C.build_kernel_cache(coeffs, basis)
         n_tiles = -(-P // C.PIXEL_TILE)
-        assert kc.shape == (n_tiles, N, C.PIXEL_TILE)
+        # Spot axis is 8-padded so the Pallas streaming kernel is
+        # available for every spot count.
+        assert kc.shape == (n_tiles, 24, C.PIXEL_TILE)
 
         want = C.farfield_to_nearfield(ffr, ffi, coeffs, basis, N)
         got = C.farfield_to_nearfield_cached(ffr, ffi, kc, ks, P)
@@ -413,7 +415,7 @@ class TestCompressedSpotHologram:
         np.testing.assert_allclose(got[1], want[1], atol=1e-6)
 
         want = C.nearfield_to_farfield(nfr, nfi, coeffs, basis, N)
-        got = C.nearfield_to_farfield_cached(nfr, nfi, kc, ks, P)
+        got = C.nearfield_to_farfield_cached(nfr, nfi, kc, ks, P, n_spots=N)
         np.testing.assert_allclose(got[0], want[0], atol=1e-5)
         np.testing.assert_allclose(got[1], want[1], atol=1e-5)
 
@@ -423,8 +425,21 @@ class TestCompressedSpotHologram:
             np.testing.assert_allclose(got[0], want[0], atol=1e-4)
             np.testing.assert_allclose(got[1], want[1], atol=1e-4)
 
-        # Pallas streaming twin (interpret mode; needs 8-aligned spots).
+        # Pallas streaming twin (interpret mode) at the UNALIGNED spot
+        # count: the 8-padded cache makes it available for N=17 too.
         from slmsuite_tpu.ops import pallas_compressed as PC
+
+        assert PC.fused_iter_cached_ok(kc.shape[1], C.PIXEL_TILE)
+        for amp in (jnp.float32(1.0), amp_plane):
+            want = C._fused_iteration_cached(ffr, ffi, kc, ks, amp, N, P)
+            PC._INTERPRET = True
+            try:
+                got = PC.fused_iteration_cached(ffr, ffi, kc, ks, amp, N, P)
+            finally:
+                PC._INTERPRET = False
+            assert got[0].shape == (N,)
+            np.testing.assert_allclose(got[0], want[0], rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-4)
 
         N8 = 16
         coeffs8 = jnp.asarray(rng.normal(size=(D, N8)).astype(np.float32) * 5)
