@@ -764,7 +764,7 @@ def config_1(argv):
     iters = int(argv[1]) if len(argv) > 1 else 50
     from slmsuite_tpu.models import spot_array_wgs
 
-    rate, stats, _prov = bench_engine(
+    rate, stats, prov = bench_engine(
         spot_array_wgs(N=N, n_side=10, spacing_div=24, method="GS"), iters
     )
     return _emit(
@@ -773,6 +773,7 @@ def config_1(argv):
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
         final_uniformity=round(float(stats[-1, 0, 1]), 4),
         iters_to_1pct_nonuniformity=iters_to_nonuniformity(stats),
+        **prov,
     )
 
 
@@ -793,12 +794,13 @@ def config_3(argv):
         # like the headline's gate — on the SAME model instance the
         # bench then times.
         extra["kernel_parity"] = attest_kernel_parity(N, model=model)
-    rate, stats, _prov = bench_engine(model, iters)
+    rate, stats, prov = bench_engine(model, iters)
     return _emit(
         f"MRAF WGS-Leonardo iterations/sec at {N}x{N} (ring target)",
         rate, "iter/s", 1000.0,
         final_efficiency=round(float(stats[-1, 0, 0]), 4),
         **extra,
+        **prov,
     )
 
 
@@ -854,7 +856,7 @@ def config_4(argv):
         )
         return time.time() - t0
 
-    rate, wall_rate, _ = _marginal_rate(once, small, iters)
+    rate, wall_rate, singles = _marginal_rate(once, small, iters)
     unif = holo.stats["stats"]["experimental_spot"]["uniformity"][-1]
     # Baseline 10 iter/s: the closed-loop target set by the round-2
     # review ("config-4 >= 10 iter/s"), originally scoped for a
@@ -867,6 +869,7 @@ def config_4(argv):
         rate, "iter/s", 10.0,
         estimator="marginal (long-minus-short), clamped <= 2x wall",
         wall_iter_s=round(wall_rate, 2),
+        iter_s_spread=round((singles[-1] - singles[0]) / max(rate, 1e-9), 3),
         measured_uniformity=round(float(unif), 4),
     )
 
@@ -910,7 +913,7 @@ def config_5(argv):
 
     once(small)
     once(iters)
-    rate, wall_rate, _ = _marginal_rate(once, small, iters)
+    rate, wall_rate, singles = _marginal_rate(once, small, iters)
     cv = float(np.std(holo.amp_ff) / np.mean(holo.amp_ff))
     # Baseline 100 iter/s: the compressed-transform target set by the
     # round-2 review ("config-5 >= 100 iter/s") — the VPU-bound
@@ -922,6 +925,7 @@ def config_5(argv):
         rate, "iter/s", 100.0,
         estimator="marginal (long-minus-short), clamped <= 2x wall",
         wall_iter_s=round(wall_rate, 2),
+        iter_s_spread=round((singles[-1] - singles[0]) / max(rate, 1e-9), 3),
         amp_cv=float(f"{cv:.3g}"),
         **extra,
     )
@@ -955,6 +959,11 @@ _COMPACT_KEYS = (
     "unit", "vs_baseline", "kernel_parity", "estimator", "wall_iter_s",
     "final_efficiency", "final_uniformity", "measured_uniformity",
     "amp_cv", "iters_to_1pct_nonuniformity",
+    # Repeat evidence: without the spread, a per-config rate from the
+    # shared dev slice is a single sample (r5 measured c1 at 1744 and
+    # 5523 in two sessions of the same code — only the spread says
+    # which to trust).
+    "iter_s_spread", "timing_window_iters",
 )
 
 
