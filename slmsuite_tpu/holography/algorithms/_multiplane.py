@@ -277,6 +277,12 @@ class MultiplaneHologram(Hologram):
             shape=shape,
             slm_shape=slm_shape,
             n_planes=len(children),
+            # Kernel-free batches skip the per-plane kernel add and the
+            # backward complex multiply entirely (the zero-kernel stack
+            # stays in consts only to keep the sharding specs uniform).
+            has_kernel=any(
+                h.propagation_kernel is not None for h in children
+            ),
             stats=bool(self.flags.get("stat_groups", [])),
             kim_efficiency_trigger=(
                 "Kim" in self.flags["method"]
@@ -301,10 +307,25 @@ class MultiplaneHologram(Hologram):
             mesh = self._mesh
         axis = mesh.axis_names[0]
 
+        # Resume state, mirroring the single-plane engine's seeding:
+        # global iterations continue at self.iter, the Kim fixed flags
+        # come from the children's flags, and the phase store from
+        # their _phase_ff_folded (zeros on a fresh run) — so back-to-back
+        # optimize() calls match one longer run.
+        phase_ff0 = (
+            jnp.stack([h._phase_ff_folded_device() for h in children])
+            if all(h._has_phase_ff() for h in children)
+            else None
+        )
+        fixed0 = np.array(
+            [bool(h.flags.get("fixed_phase", False)) for h in children]
+        )
+
         progress = tqdm(total=maxiter, desc=name) if verbose and maxiter > 1 else None
-        psi, weights, stats = run_batched_gs(
+        psi, weights, stats, phase_ff, fixed = run_batched_gs(
             config, psi, weights0, consts, maxiter,
             mesh=mesh, axis_name=axis,
+            start_iteration=start_iter, phase_ff=phase_ff0, fixed=fixed0,
         )
         if progress is not None:
             progress.update(maxiter)
@@ -314,9 +335,13 @@ class MultiplaneHologram(Hologram):
         self._psi = np.asarray(psi)  # host: children share the same view
         stats = np.asarray(stats)  # (n, B, 5): 4 metrics + Kim flag history.
         weights = np.asarray(weights)
+        phase_ff = np.asarray(phase_ff)
+        fixed = np.asarray(fixed)
         for b, h in enumerate(children):
             h._psi = self._psi
             h.weights = weights[b]
+            h._phase_ff_folded = phase_ff[b]
+            h.flags["fixed_phase"] = bool(fixed[b])
             h.iter = start_iter + maxiter
             if config.stats and h.flags.get("stat_groups"):
                 # History column records the pre-iteration flag, so this

@@ -39,12 +39,11 @@ def _transpose_global(x_local, axis_name):
     Per-device block (H/D, W) -> (W/D, H): exchange column chunks over the
     mesh axis, then transpose locally.
     """
-    num = jax.lax.axis_size(axis_name)
-    # (H/D, W) -> split W into num chunks, concat along rows -> (H, W/num).
+    # (H/D, W) -> tiled all_to_all splits W over the axis and concats
+    # the received chunks along rows -> (H, W/D).
     exchanged = jax.lax.all_to_all(
         x_local, axis_name, split_axis=1, concat_axis=0, tiled=True
     )
-    del num
     return jnp.swapaxes(exchanged, 0, 1)  # (W/D, H)
 
 
@@ -70,14 +69,28 @@ def _distributed_fft2(x, mesh, axis_name, inverse):
     return fn(jax.device_put(x, sharding))
 
 
+def _check_divisible(x, mesh, axis_name):
+    n_dev = mesh.shape[axis_name]
+    H, W = x.shape[-2:]
+    if H % n_dev or W % n_dev:
+        raise ValueError(
+            f"distributed_fft2 requires both dimensions of {(H, W)} "
+            f"divisible by the mesh axis '{axis_name}' ({n_dev} devices) "
+            f"- the pencil transpose exchanges equal column chunks."
+        )
+
+
 def distributed_fft2(x, mesh, axis_name="space"):
     """
     Orthonormal 2D FFT of ``x`` (rows sharded over ``axis_name``).
-    Requires both dimensions divisible by the mesh axis size.
+    Requires both dimensions divisible by the mesh axis size (validated
+    here - violations otherwise surface as cryptic shard_map errors).
     """
+    _check_divisible(x, mesh, axis_name)
     return _distributed_fft2(x, mesh, axis_name, False)
 
 
 def distributed_ifft2(x, mesh, axis_name="space"):
     """Inverse of :meth:`distributed_fft2`."""
+    _check_divisible(x, mesh, axis_name)
     return _distributed_fft2(x, mesh, axis_name, True)

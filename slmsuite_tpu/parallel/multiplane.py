@@ -238,16 +238,22 @@ def make_batched_gs_step(config: BatchedGSConfig, axis_name=None):
 
 
 def _batched_can_scramble(config):
+    """Gate for the batched scrambled promotion: the ENGINE's gate
+    (shared, so a forced ``set_scrambled_mode(True)`` behaves the same
+    here as on single-plane runs — including on CPU) plus the
+    batched-path size floor (sub-128 planes underfill the stage dots
+    and the permute overhead dominates)."""
     from slmsuite_tpu.ops import engine as _engine
-    from slmsuite_tpu.ops import fft as _fft
 
     H, W = config.shape
     return (
-        not config.scrambled
-        and _engine._SCRAMBLED_MODE in ("auto", True)
-        and jax.default_backend() not in ("cpu",)
-        and _fft.get_fft_backend() == "matmul"
-        and _fft._split_ok(H) and _fft._split_ok(W)
+        _engine._can_scramble(
+            _engine.GSConfig(
+                method=config.method, shape=tuple(config.shape),
+                slm_shape=tuple(config.slm_shape),
+                scrambled=config.scrambled,
+            )
+        )
         and H >= 128 and W >= 128
     )
 
@@ -268,22 +274,23 @@ def _permute_planes(arrays, shape, unscramble=False):
     ]
 
 
-def _scan_planes(step, n_iterations, psi, weights, consts):
-    """Scan the step with the Kim state initialized fresh (local
-    plane count inferred from the weights shard)."""
-    carry = (
-        psi,
-        weights,
-        jnp.zeros_like(weights),                         # phase_ff
-        jnp.zeros(weights.shape[0], dtype=bool),         # fixed
-        jnp.zeros(weights.shape[0], dtype=jnp.int32),    # streak
-    )
+def _scan_planes(step, n_iterations, psi, weights, phase_ff, fixed,
+                 streak, start, consts):
+    """Scan the step from the RESUMABLE Kim state: global iteration
+    numbers ``start + [0, n)`` and the carried fixed/phase store, so a
+    second ``optimize()`` call continues the trajectory exactly like the
+    single-plane engine (which seeds ``state.iteration = holo.iter`` and
+    ``fixed_phase`` from the flags) instead of silently restarting the
+    WGS warm-up and un-fixing the Kim phase."""
+    carry = (psi, weights, phase_ff, fixed, streak)
 
     def body(carry, i):
         return step(carry, dict(consts, iteration=i))
 
-    carry, stats = jax.lax.scan(body, carry, jnp.arange(n_iterations))
-    return carry[0], carry[1], stats
+    carry, stats = jax.lax.scan(
+        body, carry, start + jnp.arange(n_iterations)
+    )
+    return carry[0], carry[1], carry[2], carry[3], stats
 
 
 def _scalar_keys(config):
@@ -317,13 +324,23 @@ def _compiled_batched_sharded(config, n_iterations, mesh, axis_name):
     in_specs = (
         replicated,                      # psi
         P(axis_name, None, None),        # weights
+        P(axis_name, None, None),        # phase_ff
+        P(axis_name),                    # fixed
+        P(axis_name),                    # streak
+        replicated,                      # start iteration
         {
             **{key: P(axis_name, None, None) for key in plane_keys},
             "plane_weights": P(axis_name),
             **{key: replicated for key in scalar_keys},
         },
     )
-    out_specs = (replicated, P(axis_name, None, None), P(None, axis_name, None))
+    out_specs = (
+        replicated,                      # psi
+        P(axis_name, None, None),        # weights
+        P(axis_name, None, None),        # phase_ff
+        P(axis_name),                    # fixed
+        P(None, axis_name, None),        # stats
+    )
 
     return jax.jit(
         shard_map(
@@ -333,7 +350,9 @@ def _compiled_batched_sharded(config, n_iterations, mesh, axis_name):
     )
 
 
-def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_name="data"):
+def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None,
+                   axis_name="data", start_iteration=0, phase_ff=None,
+                   fixed=None):
     """
     Run ``n_iterations`` of the batched multiplane loop.
 
@@ -342,9 +361,18 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
     the per-plane FFTs auto-promote to the scrambled Pallas path
     (targets/weights permuted here, transparently to the caller).
 
-    Returns ``(psi, weights, stats (n, B, 5))`` — per plane
-    ``[efficiency, uniformity, pkpk_err, std_err, fixed_phase]`` (the
-    last column is the Kim flag history; zeros for non-Kim methods).
+    ``start_iteration``/``phase_ff``/``fixed`` RESUME a previous run —
+    the same semantics as the single-plane engine's state seeding
+    (``state.iteration = holo.iter``, ``fixed_phase`` from the flags,
+    phase store from ``_phase_ff_folded``): global iteration numbers
+    continue, so the WGS warm-up is not silently re-run and a fixed Kim
+    phase stays fixed. Defaults start a fresh run.
+
+    Returns ``(psi, weights, stats (n, B, 5), phase_ff, fixed)`` — per
+    plane ``[efficiency, uniformity, pkpk_err, std_err, fixed_phase]``
+    (the last column is the Kim flag history; zeros for non-Kim
+    methods), plus the final per-plane farfield phase store and Kim
+    fixed flags to feed back on resume.
     """
     if _batched_can_scramble(config):
         config = dataclasses.replace(config, scrambled=True)
@@ -355,15 +383,36 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
         if config.mraf:
             (mcodes,) = _permute_planes([consts["mcodes"]], config.shape)
             consts["mcodes"] = mcodes
-        psi, weights, stats = run_batched_gs(
-            config, psi, weights, consts, n_iterations, mesh, axis_name
+        if phase_ff is not None:
+            (phase_ff,) = _permute_planes([phase_ff], config.shape)
+        psi, weights, stats, phase_ff, fixed = run_batched_gs(
+            config, psi, weights, consts, n_iterations, mesh, axis_name,
+            start_iteration=start_iteration, phase_ff=phase_ff,
+            fixed=fixed,
         )
-        (weights,) = _permute_planes([weights], config.shape, unscramble=True)
-        return psi, weights, stats
+        weights, phase_ff = _permute_planes(
+            [weights, phase_ff], config.shape, unscramble=True
+        )
+        return psi, weights, stats, phase_ff, fixed
+
+    B = weights.shape[0]
+    if phase_ff is None:
+        phase_ff = jnp.zeros_like(weights)
+    else:
+        phase_ff = jnp.asarray(phase_ff, jnp.float32)
+    fixed = (
+        jnp.zeros(B, dtype=bool) if fixed is None
+        else jnp.asarray(fixed, dtype=bool)
+    )
+    streak = jnp.zeros(B, dtype=jnp.int32)
+    start = jnp.int32(start_iteration)
 
     if mesh is None:
         run = _compiled_batched_single(config, int(n_iterations))
-        return run(psi, weights, consts)
+        psi, weights, phase_ff, fixed, stats = run(
+            psi, weights, phase_ff, fixed, streak, start, consts
+        )
+        return psi, weights, stats, phase_ff, fixed
 
     fn = _compiled_batched_sharded(config, int(n_iterations), mesh, axis_name)
     scalar_keys = _scalar_keys(config)
@@ -371,20 +420,26 @@ def run_batched_gs(config, psi, weights, consts, n_iterations, mesh=None, axis_n
 
     # Place inputs on the mesh.
     psi = jax.device_put(psi, NamedSharding(mesh, P()))
-    weights = jax.device_put(weights, NamedSharding(mesh, P(axis_name, None, None)))
+    plane_sharded = NamedSharding(mesh, P(axis_name, None, None))
+    vec_sharded = NamedSharding(mesh, P(axis_name))
+    weights = jax.device_put(weights, plane_sharded)
+    phase_ff = jax.device_put(phase_ff, plane_sharded)
+    fixed = jax.device_put(fixed, vec_sharded)
+    streak = jax.device_put(streak, vec_sharded)
     consts = {
         **{
-            key: jax.device_put(
-                consts[key], NamedSharding(mesh, P(axis_name, None, None))
-            )
+            key: jax.device_put(consts[key], plane_sharded)
             for key in plane_keys
         },
         "plane_weights": jax.device_put(
-            consts["plane_weights"], NamedSharding(mesh, P(axis_name))
+            consts["plane_weights"], vec_sharded
         ),
         **{key: consts[key] for key in scalar_keys},
     }
-    return fn(psi, weights, consts)
+    psi, weights, phase_ff, fixed, stats = fn(
+        psi, weights, phase_ff, fixed, streak, start, consts
+    )
+    return psi, weights, stats, phase_ff, fixed
 
 
 def make_multiplane_consts(targets, kernels, plane_weights, amp,

@@ -82,6 +82,11 @@ def make_sharded_plane_step(config: GSConfig, axis_name):
         theta = jnp.arctan2(farfield.imag, farfield.real)
 
         # --- (B.2) Stats (psum-reduced; every shard gets the vector). ---
+        # plane_shardable restricts stat_groups to "computational", so
+        # one row per group of the same reduction; the guard keeps a
+        # future gate relaxation from silently recording the wrong
+        # metric instead of failing loudly.
+        assert all(g == "computational" for g in config.stat_groups)
         stats_rows = [
             calculate_stats(
                 amp_ff,
@@ -90,7 +95,7 @@ def make_sharded_plane_step(config: GSConfig, axis_name):
                 efficiency_compensation=False,
                 axis_name=axis_name,
             )
-            for group in config.stat_groups
+            for _group in config.stat_groups
         ]
 
         # --- (B.3) Weights + Kim decision. ---
@@ -112,8 +117,22 @@ def make_sharded_plane_step(config: GSConfig, axis_name):
         if config.is_kim:
             fixed = state.fixed_phase
             if config.kim_efficiency_trigger:
+                # The trigger needs the current efficiency even when no
+                # stat group is tracked (fix_phase_efficiency set alone
+                # IndexError'd here at trace time — same guard as
+                # ops.compressed's carry step).
+                if stats_rows:
+                    eff = stats_rows[-1][0]
+                else:
+                    eff = calculate_stats(
+                        amp_ff,
+                        consts["target"],
+                        mask=consts["stat_mask"],
+                        efficiency_compensation=False,
+                        axis_name=axis_name,
+                    )[0]
                 fixed = jnp.logical_or(
-                    fixed, stats_rows[-1][0] > consts["fix_phase_efficiency"]
+                    fixed, eff > consts["fix_phase_efficiency"]
                 )
             streak = jnp.where(
                 was_not_fixed, state.unfixed_streak + 1, state.unfixed_streak

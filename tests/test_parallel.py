@@ -73,8 +73,8 @@ class TestBatchedMultiplane:
         mesh = make_mesh(axis_names=("data",))
         config, psi0, w0, consts = self._problem(rng, B)
 
-        psi_s, _, stats_s = run_batched_gs(config, psi0, w0, consts, 10, mesh=mesh)
-        psi_1, _, stats_1 = run_batched_gs(config, psi0, w0, consts, 10, mesh=None)
+        psi_s, _, stats_s, *_ = run_batched_gs(config, psi0, w0, consts, 10, mesh=mesh)
+        psi_1, _, stats_1, *_ = run_batched_gs(config, psi0, w0, consts, 10, mesh=None)
 
         assert np.abs(np.asarray(psi_s) - np.asarray(psi_1)).max() < 1e-5
         # Stats are f32 diagnostics; the fused single-pass moments admit
@@ -85,10 +85,47 @@ class TestBatchedMultiplane:
         B = len(jax.devices())
         mesh = make_mesh(axis_names=("data",))
         config, psi0, w0, consts = self._problem(rng, B)
-        _, _, stats = run_batched_gs(config, psi0, w0, consts, 20, mesh=mesh)
+        _, _, stats, *_ = run_batched_gs(config, psi0, w0, consts, 20, mesh=mesh)
         stats = np.asarray(stats)
         # Each plane's efficiency improves over the run.
         assert np.all(stats[-1, :, 0] > stats[0, :, 0])
+
+    @pytest.mark.parametrize("mesh_on", [False, True])
+    def test_resume_matches_single_run(self, rng, mesh_on):
+        """Two 5-iteration calls with the resume state (global
+        iteration, Kim phase store, fixed flags) reproduce one
+        10-iteration run EXACTLY — the batched engine previously
+        restarted the iteration counter and Kim state every call,
+        silently diverging from the host meta loop on resumed
+        optimization. fix_phase_iteration=3 so the Kim fixing completes
+        inside the first segment (the streak counter re-zeroes per
+        call, matching the single-plane engine's seeding)."""
+        import dataclasses
+
+        B = len(jax.devices()) if mesh_on else 3
+        mesh = make_mesh(axis_names=("data",)) if mesh_on else None
+        config, psi0, w0, consts = self._problem(rng, B)
+        config = dataclasses.replace(config, method="WGS-Kim")
+        consts = dict(consts, fix_phase_iteration=jnp.int32(3))
+
+        p_f, w_f, s_f, pf_f, fx_f = run_batched_gs(
+            config, psi0, w0, consts, 10, mesh=mesh
+        )
+        p_a, w_a, s_a, pf_a, fx_a = run_batched_gs(
+            config, psi0, w0, consts, 5, mesh=mesh
+        )
+        assert np.asarray(fx_a).all()  # fixing completed in segment A
+        p_b, w_b, s_b, pf_b, fx_b = run_batched_gs(
+            config, p_a, w_a, consts, 5, mesh=mesh,
+            start_iteration=5, phase_ff=pf_a, fixed=fx_a,
+        )
+        np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_f))
+        np.testing.assert_array_equal(np.asarray(w_b), np.asarray(w_f))
+        np.testing.assert_array_equal(np.asarray(pf_b), np.asarray(pf_f))
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(s_a), np.asarray(s_b)]),
+            np.asarray(s_f),
+        )
 
     @pytest.mark.slow
     def test_sharded_convergence_parity_realistic_shape(self, rng):
@@ -128,10 +165,10 @@ class TestBatchedMultiplane:
 
         mesh = make_mesh(axis_names=("data",))
         n = 20
-        psi_s, _, stats_s = run_batched_gs(
+        psi_s, _, stats_s, *_ = run_batched_gs(
             config, psi0, w0, consts, n, mesh=mesh
         )
-        psi_1, _, stats_1 = run_batched_gs(
+        psi_1, _, stats_1, *_ = run_batched_gs(
             config, psi0, w0, consts, n, mesh=None
         )
         stats_s, stats_1 = np.asarray(stats_s), np.asarray(stats_1)
@@ -308,13 +345,13 @@ class TestBatchedScrambled:
         )
         w0 = jnp.asarray(targets.copy())
 
-        p_nat, w_nat, s_nat = run_batched_gs(config, psi0, w0, consts, 10)
+        p_nat, w_nat, s_nat, *_ = run_batched_gs(config, psi0, w0, consts, 10)
 
         # Manually promote (CPU never auto-promotes): permute in, run the
         # scrambled einsum path, unpermute out.
         sconfig = dataclasses.replace(config, scrambled=True)
         w_in, t_in = _permute_planes([w0, consts["targets"]], config.shape)
-        p_s, w_s, s_s = run_batched_gs(
+        p_s, w_s, s_s, *_ = run_batched_gs(
             sconfig, psi0, w_in, dict(consts, targets=t_in), 10
         )
         (w_s,) = _permute_planes([w_s], config.shape, unscramble=True)
@@ -385,6 +422,50 @@ class TestBatchedScrambled:
         assert np.percentile(wrapped[a_t > 1e-3 * a_t.max()], 99) < 1e-3
 
 
+class TestShardedPlaneEdgeCases:
+    def test_kim_trigger_without_stat_groups(self):
+        """fix_phase_efficiency set with NO stat groups must not
+        IndexError at trace time (the guard ops.compressed carries; the
+        plane path previously lacked it)."""
+        from slmsuite_tpu.parallel import run_sharded_plane_gs
+        from slmsuite_tpu.ops.engine import GSConfig, init_gs_state
+
+        N = 32
+        config = GSConfig(
+            method="WGS-Kim", shape=(N, N), slm_shape=(N, N),
+            stat_groups=(), kim_efficiency_trigger=True,
+        )
+        rng = np.random.default_rng(0)
+        target = np.zeros((N, N), np.float32)
+        target[10, 12] = 1.0
+        consts = {
+            "amp": jnp.float32(1.0 / N),
+            "target": jnp.asarray(target),
+            "stat_mask": jnp.asarray(target != 0),
+            "feedback_exponent": jnp.float32(0.8),
+            "feedback_factor": jnp.float32(0.1),
+            "fix_phase_iteration": jnp.int32(5),
+            "fix_phase_efficiency": jnp.float32(0.5),
+        }
+        state = init_gs_state(
+            config,
+            rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32),
+            target,
+        )
+        mesh = make_mesh(axis_names=("space",))
+        _, stats = run_sharded_plane_gs(config, state, consts, mesh, 3, "space")
+        assert np.asarray(stats).shape[0] == 3
+
+    def test_distributed_fft_indivisible_raises(self):
+        mesh = make_mesh(axis_names=("space",))
+        n_dev = mesh.shape["space"]
+        if n_dev == 1:
+            pytest.skip("needs >1 device")
+        x = jnp.zeros((n_dev * 8 + 1, n_dev * 8), jnp.complex64)
+        with pytest.raises(ValueError, match="divisible"):
+            distributed_fft2(x, mesh)
+
+
 class TestPublicMeshAPI:
     """Mesh-sharded optimization through the *public* hologram classes —
     a user never imports slmsuite_tpu.parallel to use N chips."""
@@ -436,6 +517,80 @@ class TestPublicMeshAPI:
             stats_mesh["efficiency"], stats_single["efficiency"],
             atol=1e-4, rtol=0,
         )
+
+    def test_multiplane_mesh_kernel_free_matches_meta_loop(self):
+        """Children WITHOUT propagation kernels ride the has_kernel=False
+        batched engine (skipping the per-plane kernel add and backward
+        complex multiply) and still reproduce the meta loop."""
+        from slmsuite_tpu.holography.algorithms import (
+            Hologram, MultiplaneHologram,
+        )
+        from slmsuite_tpu.parallel import make_mesh
+
+        def run(mesh, B=8, N=64):
+            rng = np.random.default_rng(5)
+            children = []
+            for b in range(B):
+                target = np.zeros((N, N), np.float32)
+                target[16 + (2 * b) % 32, 20 + (3 * b) % 24] = 1.0
+                children.append(Hologram(target))  # no kernel
+            phi0 = rng.uniform(-np.pi, np.pi, (N, N)).astype(np.float32)
+            holo = MultiplaneHologram(children)
+            holo.reset_phase(custom_phase=phi0)
+            holo.optimize(
+                "WGS-Leonardo", maxiter=8, verbose=False, mesh=mesh,
+                stat_groups=["computational"],
+            )
+            return (
+                holo.phase.copy(),
+                np.asarray(
+                    holo.holograms[1]
+                    .stats["stats"]["computational"]["efficiency"]
+                ),
+            )
+
+        psi_mesh, eff_mesh = run(make_mesh(axis_names=("data",)))
+        psi_meta, eff_meta = run(None)
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_meta))))
+        assert wrapped.max() < 5e-4
+        np.testing.assert_allclose(eff_mesh, eff_meta, atol=1e-4, rtol=0)
+
+    def test_multiplane_mesh_resume_matches_meta_loop(self):
+        """A RESUMED run (two 5-iteration optimize calls) through the
+        mesh path reproduces the host meta loop's resumed run — the
+        batched engine previously restarted the global iteration counter
+        every call, silently re-running the WGS warm-up. (Exact
+        split-vs-full equality is NOT expected: upstream's
+        ``h.flags.update(self.flags)`` resets the children's Kim fixed
+        flag at each optimize() call, a clobber both paths — and the
+        reference, ``_multiplane.py:180`` — share.)"""
+        from slmsuite_tpu.holography.algorithms import MultiplaneHologram
+        from slmsuite_tpu.parallel import make_mesh
+
+        def run(mesh):
+            children, phi0 = self._children()
+            holo = MultiplaneHologram(children)
+            holo.reset_phase(custom_phase=phi0)
+            for _ in range(2):
+                holo.optimize(
+                    "WGS-Kim", maxiter=5, verbose=False, mesh=mesh,
+                    fix_phase_iteration=3, stat_groups=["computational"],
+                )
+            child = holo.holograms[2]
+            return (
+                holo.phase.copy(),
+                np.asarray(child.stats["stats"]["computational"]["efficiency"]),
+                holo.iter,
+            )
+
+        psi_mesh, eff_mesh, iter_mesh = run(make_mesh(axis_names=("data",)))
+        psi_meta, eff_meta, iter_meta = run(None)
+
+        assert iter_mesh == iter_meta == 10
+        assert eff_mesh.shape == (10,)
+        wrapped = np.abs(np.angle(np.exp(1j * (psi_mesh - psi_meta))))
+        assert wrapped.max() < 5e-4
+        np.testing.assert_allclose(eff_mesh, eff_meta, atol=1e-4, rtol=0)
 
     def test_multiplane_mesh_kim_matches_meta_loop(self):
         """WGS-Kim (phase fixing) through the mesh path reproduces the
