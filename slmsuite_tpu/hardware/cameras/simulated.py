@@ -95,12 +95,16 @@ class SimulatedCamera(Camera):
             dkxy_min = dkxy.ravel()[1:].min()
             self.shape_padded = Hologram.get_padded_shape(self._slm, precision=dkxy_min)
 
-            # kxy -> knm pixel coordinates of the padded canvas (row, col).
+            # kxy -> knm pixel coordinates of the padded canvas (row, col):
+            # kn = H * pitch_y * ky + H/2, km = W * pitch_x * kx + W/2
+            # (convert_vector's knm convention) — the column coordinate
+            # takes the X pitch, which differs from pitch[1] on
+            # anisotropic-pixel SLMs.
             self.knm_cam = np.array(
                 [
                     self.shape_padded[0] * self._slm.pitch[1] * self.grid[1]
                     + self.shape_padded[0] / 2,
-                    self.shape_padded[1] * self._slm.pitch[1] * self.grid[0]
+                    self.shape_padded[1] * self._slm.pitch[0] * self.grid[0]
                     + self.shape_padded[1] / 2,
                 ]
             )

@@ -50,6 +50,73 @@ def _plot_labeled_rects(ax, points, labels, colors, width, height):
         )
 
 
+def _build_superpixel_schedule(slm_supershape, exclude_superpixels,
+                               reference_superpixels, phase_steps):
+    """Conflict-free superpixel measurement schedule (ref :2470-2528):
+    ``(num_points, num_measurements)`` global superpixel indices, ``-1``
+    for idle slots. Each row cycles through every ACTIVE superpixel
+    except that row's reference.
+
+    The base rotation offsets by the reference's position IN THE ACTIVE
+    LIST — the reference's global index (which upstream uses,
+    ``:2479-2483``) only coincides with it when nothing is excluded;
+    with exclusion margins it would skip an arbitrary interior
+    superpixel (never measured, silently invented by the BFS patch in
+    processing) while scheduling the reference itself for conflict
+    eviction. Identical to upstream for ``exclude_superpixels=(0, 0)``.
+    """
+    num_superpixels = int(np.prod(slm_supershape))
+    num_points = len(reference_superpixels)
+    index_image = np.reshape(np.arange(num_superpixels, dtype=int), slm_supershape)
+    active_superpixels = index_image[~exclude_superpixels].ravel()
+    num_active_superpixels = len(active_superpixels)
+    num_measurements = num_active_superpixels + (
+        (2 * num_points - 2) if phase_steps is not None else 0
+    )
+
+    ref_active = np.searchsorted(active_superpixels, reference_superpixels)
+    scheduling = np.zeros((num_points, num_measurements), dtype=int)
+    scheduling[:, : num_active_superpixels - 1] = np.mod(
+        np.repeat(
+            np.arange(num_active_superpixels - 1, dtype=int)[np.newaxis, :] + 1,
+            num_points,
+            axis=0,
+        )
+        + np.repeat(
+            ref_active[:, np.newaxis], num_active_superpixels - 1, axis=1
+        ),
+        num_active_superpixels,
+    )
+    scheduling = active_superpixels[scheduling]
+    scheduling[:, num_active_superpixels - 1:] = -1
+
+    if phase_steps is not None:
+        # Evict slots that would overwrite another point's reference;
+        # reseat the displaced targets in the padding columns.
+        for i in range(num_points):
+            reference_index = reference_superpixels[i]
+            conflicts = scheduling == reference_index
+            conflict_indices = np.array(np.where(conflicts))
+            for j in range(int(np.sum(conflicts))):
+                c_index = conflict_indices[:, j]
+                displaced = scheduling[i, c_index[1]]
+                scheduling[i, c_index[1]] = -1
+                if displaced != -1:
+                    for k in range(num_active_superpixels - 1, num_measurements + 1):
+                        if k == num_measurements:
+                            raise RuntimeError("Calibration scheduling failed.")
+                        if (
+                            scheduling[i, k] == -1
+                            and not np.any(scheduling[:, k] == reference_index)
+                            and not np.any(scheduling[:, k] == displaced)
+                        ):
+                            scheduling[i, k] = displaced
+                            break
+
+    empty = np.all(scheduling == -1, axis=0)
+    return scheduling[:, ~empty]
+
+
 def _patch_from_neighbors(matrix, yx):
     """Replace ``matrix[yx]`` in place with the mean of its finite
     8-neighbors (0 when none) — used to fill the reference superpixel,
@@ -253,11 +320,21 @@ class FourierSLM(CameraSLM):
             wav_design_um=self.slm.wav_design_um,
             pitch_um=self.slm.pitch_um,
         )
+        # The camera's affine convention is ij = M kxy + b, while the
+        # calibration stores ij = M (kxy - a) + b; fold the array-center
+        # offset in (b' = b - M a) so the simulated physics agrees with
+        # the copied calibration when fourier_calibrate ran with a
+        # non-zero array_center.
+        M_cal = np.array(self.calibrations["fourier"]["M"], float)
+        a_cal = np.array(
+            self.calibrations["fourier"].get("a", [[0.0], [0.0]]), float
+        ).reshape(2, 1)
+        b_cal = np.array(self.calibrations["fourier"]["b"], float).reshape(2, 1)
         cam_sim = SimulatedCamera(
             slm_sim,
             resolution=self.cam.shape[::-1],
-            M=copy.copy(self.calibrations["fourier"]["M"]),
-            b=copy.copy(self.calibrations["fourier"]["b"]),
+            M=M_cal.copy(),
+            b=b_cal - M_cal @ a_cal,
             bitdepth=self.cam.bitdepth,
             averaging=self.cam.averaging,
             hdr=self.cam.hdr,
@@ -286,9 +363,21 @@ class FourierSLM(CameraSLM):
                     f"Cannot interpret file {file_path} without metadata field '{field}'."
                 )
 
+        # Beyond the reference (`cameraslms.py:292-338`, which rebuilds
+        # only shape/pitch): restore the SLM's wavelength/bitdepth (a
+        # 1064 nm rig reloaded at the wav_um=1 default would carry ~1000x
+        # wrong k-space scaling) and the saved calibrations, so
+        # save() -> load() round-trips into a USABLE rig
+        # (kxyslm_to_ijcam works without re-calibrating). Listed in
+        # docs deviations.
+        slm_kwargs = {}
+        for key in ("wav_um", "wav_design_um", "bitdepth", "name"):
+            if key in meta["slm"]:
+                slm_kwargs[key] = meta["slm"][key]
         slm = SimulatedSLM(
             resolution=np.flip(meta["slm"]["shape"]),
             pitch_um=meta["slm"]["pitch_um"],
+            **slm_kwargs,
         )
         cam = SimulatedCamera(
             slm=slm,
@@ -299,6 +388,18 @@ class FourierSLM(CameraSLM):
         )
         fs = FourierSLM(cam, slm, mag=meta["mag"])
         fs.name = meta["name"]
+        if "calibrations" in meta and isinstance(meta["calibrations"], dict):
+            fs.calibrations = meta["calibrations"]
+            fourier = fs.calibrations.get("fourier")
+            if fourier is not None and "M" in fourier:
+                # Wire the simulated camera's affine to the restored
+                # calibration (same correction simulate() applies:
+                # set_affine's ij = M kxy + b vs the calibration's
+                # ij = M (kxy - a) + b).
+                a = np.array(fourier.get("a", [[0.0], [0.0]]), float).reshape(2, 1)
+                M = np.array(fourier["M"], float)
+                b = np.array(fourier["b"], float).reshape(2, 1)
+                cam.set_affine(M=M, b=b - M @ a)
         return fs
 
     # ------------------------------------------------------------------
@@ -513,8 +614,14 @@ class FourierSLM(CameraSLM):
         dfield = field_ij - center
         order_ij = [center + orders * dorder[:, [i]] for i in range(2 * P)]
 
+        # Absolute offsets: with a flipped/rotated Fourier affine (e.g.
+        # M mapping +kx to -i) the signed max collapses to ~0 and the
+        # integration regions degenerate.
         integration_size = int(
-            np.ceil(np.min([np.min(np.max(dorder, axis=1)), np.min(np.max(dfield, axis=1))]))
+            np.ceil(np.min([
+                np.min(np.max(np.abs(dorder), axis=1)),
+                np.min(np.max(np.abs(dfield), axis=1)),
+            ]))
         )
 
         progress = tqdm(range(2 * P * N * N))
@@ -657,7 +764,9 @@ class FourierSLM(CameraSLM):
             fig, axs = plt.subplots(
                 2, len(cal["periods"]), figsize=(4 * len(cal["periods"]), 8)
             )
-            axs = np.atleast_2d(axs)
+            # With one period subplots returns shape (2,), which
+            # atleast_2d would turn into (1, 2) and break axs[1, 0].
+            axs = np.array(axs).reshape(2, -1)
             for i in (0, 1):
                 for j in range(len(cal["periods"])):
                     axs[i, j].imshow(data[i, j, :, :, order_index])
@@ -1187,8 +1296,10 @@ class FourierSLM(CameraSLM):
             hologram.optimize("GS", maxiter=3, verbose=0)
             return hologram.get_phase()
 
-        if perturbation is None:
-            perturbation = 1
+        # NOTE: the reference coerces None -> 1 here (``:1906``), which
+        # makes its own documented "None projects and returns" contract
+        # (``:1600``) unreachable; we honor the documented contract —
+        # the no_perturbation branch below handles None.
 
         hologram.optimize("GS", maxiter=3, verbose=0, stat_groups=["computational_spot"])
 
@@ -1249,7 +1360,12 @@ class FourierSLM(CameraSLM):
             perturbation = np.ravel(perturbation)
 
         if optimize_position:
-            self.slm.set_phase(tick())
+            # Same write style as every other measurement in this
+            # calibration (settled, NO stored phase correction): the
+            # refined spot targets must describe the same optical state
+            # the sweeps below measure, or a pre-applied wavefront
+            # correction shifts the spots off their integration windows.
+            self.slm.set_phase(tick(), settle=True, phase_correct=False)
             hologram.refine_offset(
                 img=None, basis="kxy", force_affine=global_correction, plot=plot > 1
             )
@@ -1363,6 +1479,15 @@ class FourierSLM(CameraSLM):
                     neighbors.update(simplex)
             neighbors.discard(i)
             count = max(len(neighbors), 1)
+            if not neighbors:
+                # An isolated point (every incident edge pruned as too
+                # long) has nothing to average toward — keep its full
+                # coefficients rather than shrinking them by
+                # (1 - smoothing) with no neighbor mass added back.
+                final[x_smooth, i] = vectors[x_smooth, i]
+                final[y_smooth, i] = vectors[y_smooth, i]
+                final[to_smooth, i] = vectors[to_smooth, i]
+                continue
 
             if plot:
                 # Render the neighbor graph the averaging walks.
@@ -1625,50 +1750,10 @@ class FourierSLM(CameraSLM):
             raise ValueError("reference_superpixels out of range of calibration.")
 
         # Build the conflict-free measurement schedule (ref :2470-2528).
-        num_measurements = num_active_superpixels + (
-            (2 * num_points - 2) if phase_steps is not None else 0
+        scheduling = _build_superpixel_schedule(
+            slm_supershape, exclude_superpixels, reference_superpixels,
+            phase_steps,
         )
-        index_image = np.reshape(np.arange(num_superpixels, dtype=int), slm_supershape)
-        active_superpixels = index_image[~exclude_superpixels].ravel()
-
-        scheduling = np.zeros((num_points, num_measurements), dtype=int)
-        scheduling[:, : num_active_superpixels - 1] = np.mod(
-            np.repeat(
-                np.arange(num_active_superpixels - 1, dtype=int)[np.newaxis, :] + 1,
-                num_points,
-                axis=0,
-            )
-            + np.repeat(
-                reference_superpixels[:, np.newaxis], num_active_superpixels - 1, axis=1
-            ),
-            num_active_superpixels,
-        )
-        scheduling = active_superpixels[scheduling]
-        scheduling[:, num_active_superpixels - 1:] = -1
-
-        if phase_steps is not None:
-            for i in range(num_points):
-                reference_index = reference_superpixels[i]
-                conflicts = scheduling == reference_index
-                conflict_indices = np.array(np.where(conflicts))
-                for j in range(int(np.sum(conflicts))):
-                    c_index = conflict_indices[:, j]
-                    displaced = scheduling[i, c_index[1]]
-                    scheduling[i, c_index[1]] = -1
-                    if displaced != -1:
-                        for k in range(num_active_superpixels - 1, num_measurements + 1):
-                            if k == num_measurements:
-                                raise RuntimeError("Calibration scheduling failed.")
-                            if (
-                                scheduling[i, k] == -1
-                                and not np.any(scheduling[:, k] == reference_index)
-                                and not np.any(scheduling[:, k] == displaced)
-                            ):
-                                scheduling[i, k] = displaced
-                                break
-
-        empty = np.all(scheduling == -1, axis=0)
-        scheduling = scheduling[:, ~empty]
         num_measurements = scheduling.shape[1]
 
         # Geometry guards.
@@ -2298,7 +2383,11 @@ class FourierSLM(CameraSLM):
         # --- Amplitude. The reference superpixel's own power reading is
         # contaminated (it was always on); patch it from its neighbors.
         power = np.asarray(data["power"], dtype=float).copy()
-        power[np.isinf(power)] = np.nanmax(power)
+        # Clamp to the largest FINITE reading: nanmax ignores NaN but
+        # returns inf when any +inf is present, which would make this a
+        # no-op and zero the brightest superpixel downstream.
+        finite = power[np.isfinite(power)]
+        power[np.isinf(power)] = finite.max() if finite.size else 0.0
         normalization = np.asarray(data["normalization"], dtype=float).copy()
         background = np.nan_to_num(np.asarray(data["background"], dtype=float))
         for matrix in (power, normalization, background):

@@ -477,3 +477,130 @@ class TestSuperpixelR001Migration:
         assert np.isfinite(out["phase"]).all()
         assert np.isfinite(out["amplitude"]).all()
         assert "phase" in fs.slm.source
+
+
+class TestSuperpixelSchedule:
+    """The conflict-free measurement schedule (unit level: the helper
+    the calibration uses)."""
+
+    def _schedule(self, supershape, margin, n_refs=2, phase_steps=4):
+        from slmsuite_tpu.hardware.cameraslms import _build_superpixel_schedule
+
+        exclude = np.zeros(supershape, dtype=bool)
+        if margin:
+            exclude[:, :margin] = exclude[:, -margin:] = True
+            exclude[:margin, :] = exclude[-margin:, :] = True
+        index_image = np.arange(np.prod(supershape)).reshape(supershape)
+        active = index_image[~exclude].ravel()
+        # Central references (mirrors the calibration's default choice).
+        center = np.array(supershape) // 2
+        refs = np.array([
+            index_image[center[0], center[1]],
+            index_image[center[0], center[1] + 1],
+        ][:n_refs])
+        sched = _build_superpixel_schedule(supershape, exclude, refs, phase_steps)
+        return sched, active, refs
+
+    @pytest.mark.parametrize("margin", [0, 2])
+    def test_covers_every_active_superpixel(self, margin):
+        """Every active superpixel except a row's own reference is
+        scheduled exactly once per row — with exclusion margins the
+        upstream global-index rotation skipped one interior superpixel
+        per point (never measured, silently BFS-invented downstream)."""
+        sched, active, refs = self._schedule((8, 8), margin)
+        for i in range(sched.shape[0]):
+            row = sched[i][sched[i] >= 0]
+            assert len(np.unique(row)) == len(row)  # no repeats
+            expected = set(active.tolist()) - {int(refs[i])}
+            assert set(row.tolist()) == expected
+
+    @pytest.mark.parametrize("margin", [0, 2])
+    def test_conflicts_evicted(self, margin):
+        """Whenever point i's reference superpixel is measured as a
+        target (by another row), row i itself is idle in that column —
+        its interference reference would be overwritten."""
+        sched, _active, refs = self._schedule((8, 8), margin)
+        for i, r in enumerate(refs):
+            cols = np.where(np.any(sched == r, axis=0))[0]
+            assert np.all(sched[i, cols] == -1)
+            # A row never targets its own reference.
+            assert not np.any(sched[i] == r)
+
+    def test_no_exclusion_matches_upstream_rotation(self):
+        """With nothing excluded the schedule is bit-identical to the
+        reference's global-index rotation (the differential pins rely
+        on this)."""
+        sched, active, refs = self._schedule((6, 6), 0, phase_steps=None)
+        n = len(active)
+        base = np.mod(
+            np.arange(n - 1)[None, :] + 1 + refs[:, None], n
+        )
+        np.testing.assert_array_equal(sched[:, : n - 1], active[base])
+
+
+class TestCalibrationAffineConsistency:
+    def test_simulate_matches_calibration_with_array_center(
+        self, fourierslm_calibrated
+    ):
+        """simulate() folds the calibration's array-center offset 'a'
+        into the simulated camera's affine (ij = M kxy + b convention),
+        so the cloned physics agrees with the cloned calibration."""
+        fs = fourierslm_calibrated
+        a = np.array([[0.004], [-0.003]])
+        fs.calibrations["fourier"]["a"] = a
+        fs_sim = fs.simulate()
+        M = np.array(fs.calibrations["fourier"]["M"], float)
+        b = np.array(fs.calibrations["fourier"]["b"], float).reshape(2, 1)
+        np.testing.assert_allclose(
+            np.asarray(fs_sim.cam.b, float).reshape(2, 1), b - M @ a, atol=1e-9
+        )
+        # And the cloned calibration still predicts through (M, a, b).
+        kxy = np.array([[0.01], [0.005]])
+        np.testing.assert_allclose(
+            fs_sim.kxyslm_to_ijcam(kxy), M @ (kxy - a) + b, atol=1e-9
+        )
+
+    def test_rig_load_restores_calibration_and_wavelength(
+        self, fourierslm_calibrated, tmp_path
+    ):
+        """save() -> load() round-trips into a USABLE rig: the Fourier
+        calibration and the SLM wavelength survive (beyond the
+        reference, whose load() drops both)."""
+        fs = fourierslm_calibrated
+        path = fs.save(str(tmp_path))
+        loaded = FourierSLM.load(path)
+        assert loaded.slm.wav_um == fs.slm.wav_um
+        np.testing.assert_allclose(
+            loaded.calibrations["fourier"]["M"],
+            fs.calibrations["fourier"]["M"], rtol=1e-6,
+        )
+        kxy = np.array([[0.01], [0.005]])
+        np.testing.assert_allclose(
+            loaded.kxyslm_to_ijcam(kxy), fs.kxyslm_to_ijcam(kxy), atol=1e-6
+        )
+
+
+def test_fourier_calibrate_anisotropic_pitch():
+    """The simulated camera's k-to-knm sampling uses the X pitch for the
+    column coordinate (it previously reused the Y pitch, scaling every
+    simulated x position by pitch_y/pitch_x on anisotropic-pixel SLMs):
+    Fourier calibration on a pitch_um=(8, 12) rig recovers the camera's
+    own affine."""
+    from slmsuite_tpu.hardware.slms.simulated import SimulatedSLM
+    from slmsuite_tpu.hardware.cameras.simulated import SimulatedCamera
+
+    slm = SimulatedSLM(resolution=(256, 256), pitch_um=(8, 12), wav_um=0.78)
+    slm.set_source_analytic(
+        "gaussian2d", sim=True, x0=0, y0=0, a=1, c=0,
+        wx=0.35 * 256 * slm.pitch[0], wy=0.35 * 256 * slm.pitch[1],
+    )
+    M_true = np.array([[3.0e3, 0.0], [0.0, 4.5e3]])
+    cam = SimulatedCamera(
+        slm, resolution=(256, 256), pitch_um=(5.5, 5.5),
+        M=M_true, b=np.array([[128.0], [128.0]]),
+    )
+    cam.set_exposure(1.0)
+    fs = FourierSLM(cam, slm)
+    fs.fourier_calibrate(array_shape=5, array_pitch=8, verbose=False)
+    M_fit = np.array(fs.calibrations["fourier"]["M"], float)
+    np.testing.assert_allclose(M_fit, M_true, rtol=0.05, atol=40)
